@@ -1,0 +1,307 @@
+"""Config-dict -> model builder (the registry layer).
+
+Replaces the reference's string-type registries (``mmdet/models/builder.py:
+7-15``) with one explicit factory per component family.  The config dict
+surface is kept compatible with the reference configs so users can port
+their configs with minimal edits.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from .models.backbones.resnet import ResNet
+from .models.dense_heads.atss_rpn_head import ATSSRPNCfg, ATSSRPNConvs
+from .models.dense_heads.rpn_head import RPNCfg, RPNConvs
+from .models.detectors.two_stage import (
+    ProposalCfg,
+    RCNNTestCfg,
+    TwoStageDetector,
+    TwoStageNet,
+)
+from .models.necks.fpn import FPN, PAFPN, ChannelMapper
+from .models.roi_heads.bbox_head import BBoxHeadCfg, ConvFCBBoxHead
+from .models.roi_heads.prob_roi_head import ProbRoICfg
+from .ops.anchors import AnchorGenerator
+
+
+class Registry:
+    """Minimal string->factory registry (user-extensible like the
+    reference's ``@MODELS.register_module``)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._map: Dict[str, Callable] = {}
+
+    def register(self, name: Optional[str] = None):
+        def deco(fn):
+            self._map[name or fn.__name__] = fn
+            return fn
+
+        return deco
+
+    def get(self, name: str) -> Callable:
+        if name not in self._map:
+            raise KeyError(f"{name} not registered in {self.name}: {list(self._map)}")
+        return self._map[name]
+
+
+BACKBONES = Registry("backbones")
+NECKS = Registry("necks")
+DETECTORS = Registry("detectors")
+
+_LOSS_BOX_TYPES = {
+    "IoULoss": "iou",
+    "GIoULoss": "giou",
+    "DIoULoss": "diou",
+    "CIoULoss": "ciou",
+    "L1Loss": "l1",
+    "SmoothL1Loss": "smooth_l1",
+}
+
+
+@BACKBONES.register("ResNet")
+def build_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
+    return ResNet(
+        depth=cfg.get("depth", 50),
+        num_stages=cfg.get("num_stages", 4),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        strides=tuple(cfg.get("strides", (1, 2, 2, 2))),
+        dilations=tuple(cfg.get("dilations", (1, 1, 1, 1))),
+        base_channels=cfg.get("base_channels", 64),
+        deep_stem=cfg.get("deep_stem", False),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        dtype=dtype,
+    )
+
+
+@BACKBONES.register("ResNeXt")
+def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
+    return ResNet(
+        depth=cfg.get("depth", 101),
+        num_stages=cfg.get("num_stages", 4),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        groups=cfg.get("groups", 32),
+        base_width=cfg.get("base_width", 4),
+        base_channels=cfg.get("base_channels", 64),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        dtype=dtype,
+    )
+
+
+def build_backbone(cfg: Dict[str, Any], dtype=jnp.float32):
+    cfg = copy.deepcopy(cfg)
+    return BACKBONES.get(cfg.pop("type"))(cfg, dtype=dtype)
+
+
+def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
+    cfg = copy.deepcopy(cfg)
+    t = cfg.pop("type")
+    common = dict(
+        in_channels=cfg.get("in_channels"),
+        out_channels=cfg.get("out_channels", 256),
+        num_outs=cfg.get("num_outs", 5),
+        start_level=cfg.get("start_level", 0),
+        end_level=cfg.get("end_level", -1),
+        add_extra_convs=cfg.get("add_extra_convs", False),
+        relu_before_extra_convs=cfg.get("relu_before_extra_convs", False),
+        no_norm_on_lateral=cfg.get("no_norm_on_lateral", False),
+        dtype=dtype,
+    )
+    if t == "FPN":
+        return FPN(**common)
+    if t == "PAFPN":
+        return PAFPN(**common)
+    if t == "ChannelMapper":
+        return ChannelMapper(
+            out_channels=cfg.get("out_channels", 256),
+            kernel_size=cfg.get("kernel_size", 1),
+            dtype=dtype,
+        )
+    raise KeyError(t)
+
+
+def build_anchor_generator(cfg: Dict[str, Any]) -> AnchorGenerator:
+    cfg = copy.deepcopy(cfg)
+    cfg.pop("type", None)
+    return AnchorGenerator(**cfg)
+
+
+def _coder_params(cfg: Dict[str, Any]):
+    return (
+        tuple(cfg.get("target_means", (0.0, 0.0, 0.0, 0.0))),
+        tuple(cfg.get("target_stds", (1.0, 1.0, 1.0, 1.0))),
+    )
+
+
+def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32):
+    """Returns (flax module, head cfg dataclass, rpn_type, anchor_generator)."""
+    t = cfg["type"]
+    ag = build_anchor_generator(cfg["anchor_generator"])
+    num_anchors = len(ag.base_anchors[0])
+    means, stds = _coder_params(cfg.get("bbox_coder", {}))
+    assigner = (train_cfg or {}).get("assigner", {})
+    if t == "ATSSRPNHead":
+        module = ATSSRPNConvs(
+            num_anchors=num_anchors,
+            feat_channels=cfg.get("feat_channels", 256),
+            stacked_convs=cfg.get("stacked_convs", 4),
+            num_levels=len(ag.strides),
+            last_conv=cfg.get("last_conv", "norm"),
+            dtype=dtype,
+        )
+        loss_cls = cfg.get("loss_cls", {})
+        loss_bbox = cfg.get("loss_bbox", {"type": "IoULoss"})
+        head_cfg = ATSSRPNCfg(
+            gamma=cfg.get("gamma", 1.0),
+            atss=cfg.get("atss", False),
+            reg_decoded_bbox=cfg.get("reg_decoded_bbox", True),
+            target_means=means,
+            target_stds=stds,
+            focal_gamma=loss_cls.get("gamma", 2.0),
+            focal_alpha=loss_cls.get("alpha", 0.25),
+            loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+            loss_cls_type="varifocal" if loss_cls.get("type") == "VarifocalLoss" else "focal",
+            loss_bbox_weight=loss_bbox.get("loss_weight", 1.0),
+            loss_bbox_type=_LOSS_BOX_TYPES.get(loss_bbox.get("type", "IoULoss"), "iou"),
+            loss_iou_weight=cfg.get("loss_centerness", {}).get("loss_weight", 1.0),
+            with_aug_loss=cfg.get("aug_reg_loss") is not None,
+            aug_loss_weight=(cfg.get("aug_reg_loss") or {}).get("loss_weight", 1.0),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+            min_pos_iou=assigner.get("min_pos_iou", 0.0),
+            match_low_quality=assigner.get("match_low_quality", True),
+        )
+        return module, head_cfg, "atss_rpn", ag
+    if t == "RPNHead":
+        module = RPNConvs(
+            num_anchors=num_anchors,
+            feat_channels=cfg.get("feat_channels", 256),
+            dtype=dtype,
+        )
+        sampler = (train_cfg or {}).get("sampler", {})
+        head_cfg = RPNCfg(
+            target_means=means,
+            target_stds=stds,
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.7),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.3),
+            min_pos_iou=assigner.get("min_pos_iou", 0.3),
+            num_samples=sampler.get("num", 256),
+            pos_fraction=sampler.get("pos_fraction", 0.5),
+            smooth_l1_beta=cfg.get("loss_bbox", {}).get("beta", 1.0 / 9.0),
+            loss_cls_weight=cfg.get("loss_cls", {}).get("loss_weight", 1.0),
+            loss_bbox_weight=cfg.get("loss_bbox", {}).get("loss_weight", 1.0),
+        )
+        return module, head_cfg, "rpn", ag
+    raise KeyError(t)
+
+
+def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
+    means, stds = _coder_params(cfg.get("bbox_coder", {}))
+    num_classes = cfg.get("num_classes", 80)
+    module = ConvFCBBoxHead(
+        num_classes=num_classes,
+        num_shared_convs=cfg.get("num_shared_convs", 0),
+        num_shared_fcs=cfg.get("num_shared_fcs", 2),
+        fc_out_channels=cfg.get("fc_out_channels", 1024),
+        roi_feat_size=cfg.get("roi_feat_size", 7),
+        reg_class_agnostic=cfg.get("reg_class_agnostic", False),
+        dtype=dtype,
+    )
+    loss_bbox = cfg.get("loss_bbox", {"type": "L1Loss"})
+    head_cfg = BBoxHeadCfg(
+        num_classes=num_classes,
+        target_means=means,
+        target_stds=stds,
+        reg_class_agnostic=cfg.get("reg_class_agnostic", False),
+        reg_decoded_bbox=cfg.get("reg_decoded_bbox", False),
+        loss_cls_weight=cfg.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=loss_bbox.get("loss_weight", 1.0),
+        loss_bbox_type=_LOSS_BOX_TYPES.get(loss_bbox.get("type", "L1Loss"), "l1"),
+        smooth_l1_beta=loss_bbox.get("beta", 1.0),
+        focal_reg=cfg.get("focal_reg", False),
+        focal_reg_gamma=cfg.get("gamma", 1.0),
+    )
+    return module, head_cfg
+
+
+def build_detector(
+    model_cfg: Dict[str, Any],
+    dtype=jnp.float32,
+) -> TwoStageDetector:
+    """Build a detector from a full (merged) model config dict."""
+    model_cfg = copy.deepcopy(model_cfg)
+    t = model_cfg["type"]
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    if t in ("FasterRCNN", "ProbTwoStage", "TwoStageDetector"):
+        backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+        neck = build_neck(model_cfg["neck"], dtype=dtype)
+        rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+            model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+        )
+        roi = model_cfg["roi_head"]
+        bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
+        extractor = roi.get("bbox_roi_extractor", {})
+        strides = tuple(extractor.get("featmap_strides", (8, 16, 32, 64, 128)))
+        roi_layer = extractor.get("roi_layer", {})
+        net = TwoStageNet(
+            backbone=backbone,
+            neck=neck,
+            rpn=rpn_module,
+            bbox_head=bbox_module,
+            roi_strides=strides,
+            roi_out_size=roi_layer.get("output_size", 7),
+            roi_finest_scale=extractor.get("finest_scale", 56),
+        )
+        rcnn_train = train_cfg.get("rcnn", {})
+        sampler = rcnn_train.get("sampler", {})
+        assigner = rcnn_train.get("assigner", {})
+        roi_cfg = ProbRoICfg(
+            alpha=roi.get("alpha", 0.0),
+            gamma=roi.get("gamma", 0.1),
+            boost=roi.get("boost", roi.get("type") == "ProbRoIHead"),
+            prob=roi.get("prob", roi.get("type") in ("ProbRoIHead", "BoostRoIHead")),
+            quality=roi.get("quality", False),
+            iou_gamma=roi.get("iou_gamma", 0.0),
+            reg_norm=roi.get("reg_norm", "bbox_num"),
+            num_samples=sampler.get("num", 512),
+            pos_fraction=sampler.get("pos_fraction", 0.25),
+            neg_pos_ub=sampler.get("neg_pos_ub", -1),
+            add_gt_as_proposals=sampler.get("add_gt_as_proposals", True),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+            min_pos_iou=assigner.get("min_pos_iou", 0.5),
+            match_low_quality=assigner.get("match_low_quality", False),
+        )
+        rpn_prop = train_cfg.get("rpn_proposal", {})
+        rpn_test = test_cfg.get("rpn", {})
+        rcnn_test = test_cfg.get("rcnn", {})
+        return TwoStageDetector(
+            net,
+            ag,
+            rpn_cfg=rpn_cfg,
+            roi_cfg=roi_cfg,
+            bbox_cfg=bbox_cfg,
+            train_proposal_cfg=ProposalCfg(
+                nms_pre=rpn_prop.get("nms_pre", 4000),
+                max_per_img=rpn_prop.get("max_per_img", 2000),
+                nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
+                min_bbox_size=rpn_prop.get("min_bbox_size", 0),
+            ),
+            test_proposal_cfg=ProposalCfg(
+                nms_pre=rpn_test.get("nms_pre", 1000),
+                max_per_img=rpn_test.get("max_per_img", 256),
+                nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+                min_bbox_size=rpn_test.get("min_bbox_size", 0),
+            ),
+            rcnn_test_cfg=RCNNTestCfg(
+                score_thr=rcnn_test.get("score_thr", 0.05),
+                nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+                max_per_img=rcnn_test.get("max_per_img", 100),
+            ),
+            rpn_type=rpn_type,
+        )
+    raise KeyError(f"unknown detector type {t}")

@@ -1,0 +1,175 @@
+"""Batched, aspect-ratio-bucketed data loader with background prefetch.
+
+Replaces the reference's torch DataLoader + ``GroupSampler``/
+``DistributedGroupSampler`` (``mmdet/datasets/samplers/group_sampler.py:10,
+51``): batches are drawn from one aspect bucket (so every batch hits one of
+two compiled canvas shapes), shuffled per epoch with a seeded RNG, and
+sharded per host for multi-host data parallelism.  Prefetch runs on a
+python thread (image decode is cv2/C++); a C++ decode pool is the planned
+upgrade path.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .coco import CocoDataset
+from .pipeline import collate, load_image, preprocess
+
+
+class DetDataLoader:
+    def __init__(
+        self,
+        dataset: CocoDataset,
+        batch_size: int,
+        canvas: Tuple[int, int] = (800, 1344),
+        scale: Tuple[int, int] = (1333, 800),
+        train: bool = True,
+        flip_prob: float = 0.5,
+        max_gt: int = 100,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        prefetch: int = 4,
+        mstrain_range: Optional[Tuple[int, int]] = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.canvas = canvas
+        self.canvas_portrait = (canvas[1], canvas[0])
+        self.scale = scale
+        self.train = train
+        self.flip_prob = flip_prob if train else 0.0
+        self.max_gt = max_gt
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.prefetch = prefetch
+        self.mstrain_range = mstrain_range
+        self.epoch = 0
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = []
+        for flag in (1, 0):  # landscape bucket first
+            idx = np.where(self.ds.flags == flag)[0]
+            if self.train:
+                rng.shuffle(idx)
+            # round up to full batches within the bucket (group sampler
+            # semantics: batches never mix buckets)
+            bs = self.batch_size * self.num_shards
+            if len(idx) % bs and self.train and len(idx):
+                pad = bs - len(idx) % bs
+                idx = np.concatenate([idx, idx[:pad]])
+            order.append(idx)
+        idx = np.concatenate(order) if order else np.zeros(0, np.int64)
+        return idx
+
+    def _load(self, i: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        info = self.ds.data_infos[i]
+        img = load_image(self.ds.img_path(i))
+        flip = rng.rand() < self.flip_prob
+        canvas = self.canvas if self.ds.flags[i] == 1 else self.canvas_portrait
+        short = None
+        if self.mstrain_range is not None and self.train:
+            short = int(rng.randint(self.mstrain_range[0], self.mstrain_range[1] + 1))
+        return preprocess(
+            img,
+            info["bboxes"],
+            info["labels"],
+            canvas=canvas,
+            scale=self.scale,
+            flip=flip,
+            max_gt=self.max_gt,
+            short_side_override=short,
+        )
+
+    def __len__(self):
+        return len(self._epoch_indices(0)) // (self.batch_size * self.num_shards)
+
+    def epoch_iter(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        # shard: contiguous batch interleave so every shard sees same bucket
+        bs, ns = self.batch_size, self.num_shards
+        rng = np.random.RandomState(self.seed * 1000 + epoch + self.shard_id)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(len(idx) // (bs * ns)):
+                    if stop.is_set():
+                        return
+                    take = idx[(b * ns + self.shard_id) * bs :][:bs]
+                    if len(take) < bs:
+                        return
+                    samples = [self._load(int(i), rng) for i in take]
+                    q.put(collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+class FakeDetLoader:
+    """Synthetic loader for tests/benchmarks (the `_demo_mm_inputs` analog,
+    reference ``tests/test_models/test_forward.py``)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        canvas: Tuple[int, int],
+        num_classes: int,
+        max_gt: int = 20,
+        seed: int = 0,
+        num_batches: int = 10,
+    ):
+        self.batch_size = batch_size
+        self.canvas = canvas
+        self.num_classes = num_classes
+        self.max_gt = max_gt
+        self.seed = seed
+        self.num_batches = num_batches
+
+    def __len__(self):
+        return self.num_batches
+
+    def epoch_iter(self, epoch: int):
+        rng = np.random.RandomState(self.seed + epoch)
+        h, w = self.canvas
+        for _ in range(self.num_batches):
+            b, g = self.batch_size, self.max_gt
+            n = rng.randint(1, g + 1, size=b)
+            cx = rng.uniform(50, w - 50, (b, g))
+            cy = rng.uniform(50, h - 50, (b, g))
+            bw = rng.uniform(20, 150, (b, g))
+            bh = rng.uniform(20, 150, (b, g))
+            boxes = np.stack(
+                [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+            ).astype(np.float32)
+            boxes[..., [0, 2]] = boxes[..., [0, 2]].clip(0, w)
+            boxes[..., [1, 3]] = boxes[..., [1, 3]].clip(0, h)
+            mask = np.arange(g)[None, :] < n[:, None]
+            yield dict(
+                images=rng.randn(b, h, w, 3).astype(np.float32),
+                gt_bboxes=boxes * mask[..., None],
+                gt_labels=(rng.randint(0, self.num_classes, (b, g)) * mask).astype(
+                    np.int32
+                ),
+                gt_mask=mask,
+                img_shape=np.tile(np.array([h, w], np.float32), (b, 1)),
+                scale_factor=np.ones((b, 4), np.float32),
+                ori_shape=np.tile(np.array([h, w], np.int32), (b, 1)),
+            )

@@ -1,0 +1,152 @@
+"""Training engine: optimizer, LR schedule, jitted train step, data-parallel
+sharding.
+
+Collapses the reference's L5 runtime (mmcv ``EpochBasedRunner`` +
+``OptimizerHook``/LR hooks + ``MMDistributedDataParallel``, consumed at
+``mmdet/apis/train.py:38-174``) into one pure ``train_step(state, batch,
+rng) -> (state, metrics)`` jitted over a 1-D data mesh: gradient averaging,
+loss-normaliser reduction and log-var reduction all become XLA collectives
+chosen by the sharding (reference NCCL usage inventory: SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.backbones.resnet import resnet_param_prefixes_for_stage
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def step_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    decay_epochs=(8, 11),
+    gamma: float = 0.1,
+    warmup_iters: int = 500,
+    warmup_ratio: float = 0.001,
+):
+    """Step decay at epoch boundaries + linear warmup (reference
+    ``lr_config`` in schedule_1x)."""
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        epoch = step / steps_per_epoch
+        decay = jnp.asarray(1.0)
+        for e in decay_epochs:
+            decay = decay * jnp.where(epoch >= e, gamma, 1.0)
+        warm_frac = jnp.minimum(step / max(warmup_iters, 1), 1.0)
+        warm = warmup_ratio + (1.0 - warmup_ratio) * warm_frac
+        return base_lr * decay * warm
+
+    return sched
+
+
+def frozen_stages_mask(params, frozen_stages: int):
+    """True for params in frozen backbone stages (replaces the reference's
+    ``requires_grad=False`` freezing, ``resnet.py`` ``_freeze_stages``).
+    Matching is on the param name directly under ``backbone`` so block-
+    internal names like ``conv1`` never shadow the stem prefixes."""
+    prefixes = []
+    for s in range(frozen_stages + 1):
+        prefixes.extend(resnet_param_prefixes_for_stage(s))
+
+    def mask_fn(path, _):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if "backbone" not in names:
+            return False
+        child = names[names.index("backbone") + 1]
+        return any(child.startswith(p) for p in prefixes)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(
+    lr_schedule: Callable,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    grad_clip_norm: Optional[float] = 35.0,
+    params=None,
+    frozen_stages: int = -1,
+):
+    """SGD + momentum + decoupled-equivalent L2 + global-norm clip
+    (reference optimizer_config: grad_clip max_norm 35)."""
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.sgd(learning_rate=lr_schedule, momentum=momentum))
+    if frozen_stages >= 0 and params is not None:
+        # zero the final update for frozen params (optax.masked passes
+        # unmasked updates through *unchanged*, so the zeroing must be its
+        # own trailing stage, not a wrapper around the whole chain)
+        frozen = frozen_stages_mask(params, frozen_stages)
+        chain.append(optax.masked(optax.set_to_zero(), frozen))
+    return optax.chain(*chain)
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    detector,
+    anchors,
+    num_level_anchors,
+    loss_weights: Optional[Dict[str, float]] = None,
+):
+    """Build the pure train step.  Global-batch semantics: under pjit with a
+    sharded batch axis, every sum/mean inside the loss is a global reduction
+    — this reproduces DDP + ``reduce_mean`` numerics (SURVEY.md §2.4) with
+    compiler-scheduled collectives."""
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            losses = detector.loss(
+                variables, rng, batch, anchors, num_level_anchors
+            )
+            total = jnp.asarray(0.0)
+            for k, v in losses.items():
+                w = (loss_weights or {}).get(k, 1.0)
+                total = total + w * jnp.sum(v)
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": total, **{k: jnp.sum(v) for k, v in losses.items()}}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step

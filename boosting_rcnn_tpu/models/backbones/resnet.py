@@ -1,0 +1,192 @@
+"""ResNet family backbones (flax, NHWC).
+
+Covers the reference's ResNet zoo surface (``mmdet/models/backbones/
+resnet.py:306``): depths 18/34/50/101/152, ``style='pytorch'`` (stride on the
+3x3 conv), ``frozen_stages``, frozen BN (``norm_eval``), ``out_indices``, and
+the V1d deep stem.  ResNeXt-style grouped convs via ``groups``/
+``base_width``.  Weight layout is torch-compatible modulo transpose so the
+``tools/convert_torch_weights.py`` converter can load torchvision/released
+checkpoints for parity testing.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import ConvModule, FrozenBatchNorm, max_pool
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(
+            self.planes, (3, 3), (self.stride, self.stride),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes, (1, 1), (self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) with identity shortcut.
+
+    ``style='pytorch'``: stride lives on the 3x3 (reference
+    ``resnet.py:97`` Bottleneck ``conv1_stride/conv2_stride`` logic).
+    """
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 4
+    base_channels: int = 64
+    expansion: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.groups == 1:
+            width = self.planes
+        else:  # ResNeXt width rule (reference resnext.py)
+            width = int(self.planes * (self.base_width / self.base_channels)) * self.groups
+        out_ch = self.planes * self.expansion
+        identity = x
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            width, (3, 3), (self.stride, self.stride),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
+        if self.downsample:
+            identity = nn.Conv(
+                out_ch, (1, 1), (self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet / ResNeXt backbone.
+
+    ``frozen_stages`` is honoured by the optimizer mask (see
+    ``engine/train.py``): stages <= frozen_stages get zero learning rate,
+    which matches the reference's ``requires_grad=False`` freezing while
+    keeping a single static compute graph.
+    """
+
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    base_channels: int = 64
+    stem_channels: Optional[int] = None
+    deep_stem: bool = False
+    groups: int = 1
+    base_width: int = 4
+    frozen_stages: int = -1  # consumed by the train-state param mask
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[: self.num_stages]
+        stem = self.stem_channels or self.base_channels
+
+        if self.deep_stem:
+            for i, (ch, s) in enumerate(
+                [(stem // 2, 2), (stem // 2, 1), (stem, 1)]
+            ):
+                x = nn.Conv(
+                    ch, (3, 3), (s, s), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name=f"stem_conv{i+1}",
+                )(x)
+                x = FrozenBatchNorm(dtype=self.dtype, name=f"stem_bn{i+1}")(x)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(
+                stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
+            x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+        x = max_pool(x, 3, 2, padding=[(1, 1), (1, 1)])
+
+        outs = []
+        planes = self.base_channels
+        for stage, num_blocks in enumerate(stage_blocks):
+            stride = self.strides[stage]
+            dilation = self.dilations[stage]
+            for b in range(num_blocks):
+                blk_stride = stride if b == 0 else 1
+                common = dict(
+                    planes=planes,
+                    stride=blk_stride,
+                    dilation=dilation,
+                    downsample=(b == 0),
+                    dtype=self.dtype,
+                )
+                name = f"layer{stage+1}_{b}"
+                if block_type == "basic":
+                    x = BasicBlock(**common, name=name)(x)
+                else:
+                    x = Bottleneck(
+                        **common,
+                        groups=self.groups,
+                        base_width=self.base_width,
+                        base_channels=self.base_channels,
+                        name=name,
+                    )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)
+
+
+def resnet_param_prefixes_for_stage(stage: int):
+    """Param-name prefixes belonging to stem (stage 0) / residual stages,
+    for the frozen-stages optimizer mask."""
+    if stage == 0:
+        return ("conv1", "bn1", "stem_conv", "stem_bn")
+    return (f"layer{stage}_",)

@@ -1,0 +1,299 @@
+"""Two-stage detector assembly (Boosting R-CNN / Faster R-CNN).
+
+Reference surface being rebuilt: ``mmdet/models/detectors/two_stage.py``
+(``extract_feat:65``, ``forward_train:90``, ``simple_test:171``) wired per
+``configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py``.
+
+TPU design: one flax module holds all networks; a thin orchestrator
+(`TwoStageDetector`) owns the static anchor constants and the pure loss /
+predict functions, each of which is a single jit-able fixed-shape program
+over the whole batch (no per-image python loops).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.anchors import AnchorGenerator
+from ...ops.roi_align import multilevel_roi_align
+from ..dense_heads.atss_rpn_head import (
+    ATSSRPNCfg,
+    ATSSRPNConvs,
+    atss_rpn_loss,
+    atss_rpn_proposals,
+    flatten_levels,
+)
+from ..dense_heads.rpn_head import RPNConvs, rpn_loss, rpn_proposals, RPNCfg
+from ..roi_heads.bbox_head import (
+    BBoxHeadCfg,
+    ConvFCBBoxHead,
+    bbox_head_decode,
+    bbox_head_loss,
+    bbox_targets,
+)
+from ..roi_heads.prob_roi_head import (
+    ProbRoICfg,
+    RoISample,
+    prob_fuse_scores,
+    prob_roi_loss,
+    sample_rois,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalCfg:
+    nms_pre: int = 1000
+    max_per_img: int = 256
+    nms_iou_thr: float = 0.7
+    min_bbox_size: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RCNNTestCfg:
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.7
+    max_per_img: int = 100
+
+
+class TwoStageNet(nn.Module):
+    """All trainable networks of the two-stage detector."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    rpn: nn.Module
+    bbox_head: nn.Module
+    roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    roi_out_size: int = 7
+    roi_sample_num: int = 2
+    roi_finest_scale: int = 56
+
+    def features(self, images):
+        return self.neck(self.backbone(images))
+
+    def rpn_out(self, feats):
+        return self.rpn(feats)
+
+    def roi_out(self, feats, rois, roi_valid):
+        """feats: L x (B, H, W, C); rois: (B, R, 4). One fused RoIAlign +
+        head over the flattened (B*R) axis."""
+        b, r, _ = rois.shape
+        pooled = jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align(
+                fl,
+                rb,
+                vb,
+                self.roi_strides,
+                out_size=self.roi_out_size,
+                sample_num=self.roi_sample_num,
+                finest_scale=self.roi_finest_scale,
+                num_route_levels=len(self.roi_strides),
+            )
+        )(feats, rois, roi_valid)
+        pooled = pooled.reshape(b * r, self.roi_out_size, self.roi_out_size, -1)
+        cls, reg = self.bbox_head(pooled)
+        return cls, reg
+
+    def __call__(self, images, rois, roi_valid):
+        """Init-time path touching every submodule."""
+        feats = self.features(images)
+        rpn_outs = self.rpn_out(feats)
+        cls, reg = self.roi_out(feats, rois, roi_valid)
+        return rpn_outs, cls, reg
+
+
+class TwoStageDetector:
+    """Orchestrator: static anchors + pure train/predict programs.
+
+    ``rpn_type`` selects the boosting ATSSRPNHead ('atss_rpn') or the vanilla
+    RPNHead ('rpn', for stock Faster R-CNN).
+    """
+
+    def __init__(
+        self,
+        net: TwoStageNet,
+        anchor_generator: AnchorGenerator,
+        rpn_cfg: Any,  # ATSSRPNCfg | RPNCfg
+        roi_cfg: ProbRoICfg,
+        bbox_cfg: BBoxHeadCfg,
+        train_proposal_cfg: ProposalCfg = ProposalCfg(4000, 2000),
+        test_proposal_cfg: ProposalCfg = ProposalCfg(1000, 256),
+        rcnn_test_cfg: RCNNTestCfg = RCNNTestCfg(),
+        rpn_type: str = "atss_rpn",
+    ):
+        self.net = net
+        self.anchor_generator = anchor_generator
+        self.rpn_cfg = rpn_cfg
+        self.roi_cfg = roi_cfg
+        self.bbox_cfg = bbox_cfg
+        self.train_proposal_cfg = train_proposal_cfg
+        self.test_proposal_cfg = test_proposal_cfg
+        self.rcnn_test_cfg = rcnn_test_cfg
+        self.rpn_type = rpn_type
+
+    # ---------- static geometry ----------
+    def featmap_sizes(self, canvas_hw: Tuple[int, int]):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s[1]), math.ceil(canvas_hw[1] / s[0]))
+            for s in self.anchor_generator.strides
+        ]
+
+    def anchors_for(self, canvas_hw: Tuple[int, int]):
+        fs = self.featmap_sizes(canvas_hw)
+        flat = self.anchor_generator.flat_anchors(fs)
+        nla = [a.shape[0] for a in self.anchor_generator.grid_anchors(fs)]
+        return jnp.asarray(flat), tuple(nla)
+
+    # ---------- init ----------
+    def init(self, rng, canvas_hw: Tuple[int, int], batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        rois = jnp.zeros((batch_size, 8, 4), jnp.float32)
+        rv = jnp.ones((batch_size, 8), bool)
+        return self.net.init(rng, images, rois, rv)
+
+    # ---------- shared forward pieces ----------
+    def _rpn_flat(self, variables, feats):
+        outs = self.net.apply(variables, feats, method=TwoStageNet.rpn_out)
+        cls_l, reg_l, iou_l = outs[0], outs[1], outs[2]
+        cls = flatten_levels(cls_l, 1)[..., 0]  # (B, A)
+        reg = flatten_levels(reg_l, 4)  # (B, A, 4)
+        iou = flatten_levels(iou_l, 1)[..., 0] if iou_l is not None else None
+        return cls, reg, iou
+
+    def _proposals(self, cls, reg, iou, anchors, nla, img_shapes, pcfg: ProposalCfg):
+        if self.rpn_type == "atss_rpn":
+            fn = lambda c, r, i, s: atss_rpn_proposals(
+                self.rpn_cfg, c, r, i, anchors, nla, s,
+                nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
+                nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
+            )
+            return jax.vmap(fn)(cls, reg, iou, img_shapes)
+        fn = lambda c, r, s: rpn_proposals(
+            self.rpn_cfg, c, r, anchors, nla, s,
+            nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
+            nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
+        )
+        return jax.vmap(fn)(cls, reg, img_shapes)
+
+    # ---------- training ----------
+    def loss(
+        self,
+        variables,
+        rng: jax.Array,
+        batch: Dict[str, jnp.ndarray],
+        anchors: jnp.ndarray,
+        num_level_anchors: Tuple[int, ...],
+        anchor_valid: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """One full forward + loss on a padded batch.
+
+        batch: images (B,H,W,3), gt_bboxes (B,G,4), gt_labels (B,G),
+        gt_mask (B,G), img_shape (B,2).
+        """
+        images = batch["images"]
+        b = images.shape[0]
+        rpn_rng, roi_rng = jax.random.split(rng)
+        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        cls, reg, iou = self._rpn_flat(variables, feats)
+
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        if self.rpn_type == "atss_rpn":
+            losses = atss_rpn_loss(
+                self.rpn_cfg, cls, reg, iou, anchors, valid,
+                batch["gt_bboxes"], batch["gt_mask"],
+                num_level_anchors, axis_name=axis_name,
+            )
+        else:
+            losses = rpn_loss(
+                self.rpn_cfg, cls, reg, anchors, valid,
+                batch["gt_bboxes"], batch["gt_mask"], rng=rpn_rng,
+                axis_name=axis_name,
+            )
+
+        # Proposals (detached, reference get_bboxes uses .detach()).
+        prop_boxes, prop_scores, prop_valid = jax.tree.map(
+            jax.lax.stop_gradient,
+            self._proposals(
+                cls, reg, iou, anchors, num_level_anchors,
+                batch["img_shape"], self.train_proposal_cfg,
+            ),
+        )
+
+        rngs = jax.random.split(roi_rng, b)
+        sample: RoISample = jax.vmap(
+            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+            )
+        )(
+            rngs, prop_boxes, prop_scores, prop_valid,
+            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
+        )
+
+        cls_s, reg_s = self.net.apply(
+            variables, feats, sample.boxes, sample.valid,
+            method=TwoStageNet.roi_out,
+        )
+        flat = RoISample(*[
+            x.reshape((-1,) + x.shape[2:]) for x in sample
+        ])
+        roi_losses = prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
+        losses["loss_cls"] = roi_losses["loss_cls"]
+        losses["loss_bbox"] = roi_losses["loss_bbox"]
+        return losses
+
+    # ---------- inference ----------
+    def predict(
+        self,
+        variables,
+        batch: Dict[str, jnp.ndarray],
+        anchors: jnp.ndarray,
+        num_level_anchors: Tuple[int, ...],
+        rescale: bool = True,
+    ):
+        """Batched inference -> (dets (B, max, 5), labels (B, max), valid).
+
+        Mirrors ``FasterRCNN.simple_test`` + ``ProbRoIHead.simple_test``
+        (``two_stage.py:171``, ``prob_roi_head.py:206``).
+        """
+        images = batch["images"]
+        b = images.shape[0]
+        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        cls, reg, iou = self._rpn_flat(variables, feats)
+        prop_boxes, prop_scores, prop_valid = self._proposals(
+            cls, reg, iou, anchors, num_level_anchors,
+            batch["img_shape"], self.test_proposal_cfg,
+        )
+        cls_s, reg_s = self.net.apply(
+            variables, feats, prop_boxes, prop_valid, method=TwoStageNet.roi_out,
+        )
+        r = prop_boxes.shape[1]
+        cls_s = cls_s.reshape(b, r, -1)
+        reg_s = reg_s.reshape(b, r, -1)
+        if self.roi_cfg.prob:
+            fused = jax.vmap(prob_fuse_scores)(cls_s, prop_scores)
+        else:
+            fused = jax.nn.softmax(cls_s.astype(jnp.float32), axis=-1)
+
+        tc = self.rcnn_test_cfg
+        dets, labels, valid = jax.vmap(
+            lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
+                self.bbox_cfg, ro, sc, bp, shp, sf, rescale,
+                tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
+            )
+        )(
+            prop_boxes, fused, reg_s, prop_valid,
+            batch["img_shape"], batch["scale_factor"],
+        )
+        return dets, labels, valid

@@ -1,0 +1,208 @@
+"""R-CNN box heads (flax) + target/loss/decode logic.
+
+Spec: reference ``mmdet/models/roi_heads/bbox_heads/bbox_head.py:15``
+(``get_targets:188``, ``loss:256``, ``get_bboxes:317``) and the fork's
+``ProbConvFCBBoxHead`` (``convfc_bbox_head.py:284-451``): 2 shared FCs, a
+``get_bboxes`` that *skips softmax* (scores arrive pre-fused with the
+proposal prior) and a loss that honours ``reduction_override`` so the
+boosting reweighting can renormalise per-sample CE.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import box_ops, losses as L
+from ...ops.nms import multiclass_nms_padded
+
+
+class ConvFCBBoxHead(nn.Module):
+    """Shared convs + FCs -> (cls logits, reg deltas).
+
+    ``Shared2FCBBoxHead`` = defaults (0 convs, 2 FCs) — the configuration
+    every Boosting R-CNN / Faster R-CNN config uses.
+    """
+
+    num_classes: int
+    num_shared_convs: int = 0
+    num_shared_fcs: int = 2
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    reg_class_agnostic: bool = False
+    with_cls: bool = True
+    with_reg: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """x: (R, 7, 7, C) pooled features -> (cls (R, C+1), reg (R, 4K))."""
+        for i in range(self.num_shared_convs):
+            x = nn.Conv(
+                256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                name=f"shared_conv_{i}",
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_shared_fcs):
+            x = nn.Dense(self.fc_out_channels, dtype=self.dtype, name=f"shared_fc_{i}")(x)
+            x = nn.relu(x)
+        cls = (
+            nn.Dense(self.num_classes + 1, dtype=self.dtype, name="fc_cls")(x)
+            if self.with_cls
+            else None
+        )
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = (
+            nn.Dense(reg_dim, dtype=self.dtype, name="fc_reg")(x)
+            if self.with_reg
+            else None
+        )
+        return cls, reg
+
+
+@dataclasses.dataclass(frozen=True)
+class BBoxHeadCfg:
+    num_classes: int = 4
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    reg_class_agnostic: bool = False
+    reg_decoded_bbox: bool = False
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 2.0
+    loss_bbox_type: str = "l1"  # 'l1' | 'smooth_l1' | 'giou' | 'ciou'
+    smooth_l1_beta: float = 1.0
+    focal_reg: bool = False
+    focal_reg_gamma: float = 1.0
+
+
+def bbox_targets(
+    cfg: BBoxHeadCfg,
+    sampled_boxes: jnp.ndarray,  # (R, 4)
+    is_pos: jnp.ndarray,  # (R,)
+    valid: jnp.ndarray,  # (R,)
+    matched_gt_boxes: jnp.ndarray,  # (R, 4)
+    matched_gt_labels: jnp.ndarray,  # (R,)
+):
+    """Per-image sampled-RoI targets (reference ``bbox_head.py:122-255``):
+    labels (bg = num_classes), unit label weights on valid slots, encoded
+    (or raw, if ``reg_decoded_bbox``) box targets on positives."""
+    labels = jnp.where(is_pos, matched_gt_labels, cfg.num_classes).astype(jnp.int32)
+    label_weights = valid.astype(jnp.float32)
+    if cfg.reg_decoded_bbox:
+        t = matched_gt_boxes
+    else:
+        t = box_ops.bbox2delta(
+            sampled_boxes, matched_gt_boxes, cfg.target_means, cfg.target_stds,
+            eps=1e-6,
+        )
+    t = jnp.where(is_pos[:, None], t, 0.0)
+    bbox_weights = is_pos[:, None].astype(jnp.float32) * jnp.ones((1, 4))
+    return labels, label_weights, t, bbox_weights
+
+
+def bbox_head_loss(
+    cfg: BBoxHeadCfg,
+    cls_score: jnp.ndarray,  # (R, C+1)
+    bbox_pred: jnp.ndarray,  # (R, 4K)
+    rois: jnp.ndarray,  # (R, 4)
+    labels: jnp.ndarray,
+    label_weights: jnp.ndarray,
+    bbox_t: jnp.ndarray,
+    bbox_w: jnp.ndarray,
+    reduction_override: Optional[str] = None,
+):
+    """The reference head loss (``convfc_bbox_head.py:332-418``) on static
+    shapes.  With ``reduction_override='none'`` returns elementwise losses
+    for the boosting renormalisation."""
+    r = cls_score.shape[0]
+    c = cfg.num_classes
+    pos = (labels >= 0) & (labels < c)
+    posf = pos.astype(jnp.float32)
+
+    if cfg.reg_class_agnostic:
+        pred4 = bbox_pred.reshape(r, 4)
+    else:
+        safe_lab = jnp.clip(labels, 0, c - 1)
+        pred4 = jnp.take_along_axis(
+            bbox_pred.reshape(r, c, 4), safe_lab[:, None, None].repeat(4, -1), axis=1
+        )[:, 0]
+
+    if cfg.reg_decoded_bbox:
+        pred_boxes = box_ops.delta2bbox(rois, pred4, cfg.target_means, cfg.target_stds)
+        box_fn = {"giou": L.giou_loss, "ciou": L.ciou_loss, "iou": L.iou_loss}[
+            cfg.loss_bbox_type
+        ]
+        safe_t = jnp.where(pos[:, None], bbox_t, pred_boxes)
+        elem = box_fn(pred_boxes, safe_t, reduction="none")[:, None] * jnp.ones((1, 4)) / 4.0
+    else:
+        if cfg.loss_bbox_type == "l1":
+            elem = jnp.abs(pred4 - bbox_t)
+        else:
+            d = jnp.abs(pred4 - bbox_t)
+            b = cfg.smooth_l1_beta
+            elem = jnp.where(d < b, 0.5 * d * d / b, d - 0.5 * b)
+    elem = elem * bbox_w * posf[:, None] * cfg.loss_bbox_weight
+
+    if cfg.focal_reg:
+        # iou^gamma reweighting of the reg loss (``convfc_bbox_head.py:372``)
+        dec_pred = box_ops.delta2bbox(rois, pred4, cfg.target_means, cfg.target_stds)
+        dec_t = box_ops.delta2bbox(rois, bbox_t, cfg.target_means, cfg.target_stds)
+        safe_t = jnp.where(pos[:, None], dec_t, dec_pred)
+        iou_t = box_ops.bbox_overlaps_aligned(jax.lax.stop_gradient(dec_pred), safe_t)
+        elem = elem * jnp.maximum(iou_t**cfg.focal_reg_gamma, 1e-12)[:, None]
+
+    ce = L.cross_entropy_loss(cls_score, labels, reduction="none")
+    ce = ce * label_weights * cfg.loss_cls_weight
+
+    if reduction_override == "none":
+        return {"loss_cls": ce, "loss_bbox": elem, "pos": pos}
+
+    # mean reductions: cls by #(weight>0), reg by #sampled rois
+    # (reference ``convfc_bbox_head.py:381-391``)
+    avg_cls = jnp.maximum(jnp.sum((label_weights > 0).astype(jnp.float32)), 1.0)
+    loss_cls = jnp.sum(ce) / avg_cls
+    loss_bbox = jnp.sum(elem) / jnp.maximum(jnp.asarray(r, jnp.float32), 1.0)
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "pos": pos}
+
+
+def bbox_head_decode(
+    cfg: BBoxHeadCfg,
+    rois: jnp.ndarray,  # (R, 4)
+    scores: jnp.ndarray,  # (R, C+1) — already activated/fused by caller
+    bbox_pred: Optional[jnp.ndarray],  # (R, 4K)
+    img_shape: jnp.ndarray,
+    scale_factor: jnp.ndarray,  # (4,)
+    rescale: bool,
+    score_thr: float,
+    nms_iou_thr: float,
+    max_per_img: int,
+    roi_valid: Optional[jnp.ndarray] = None,
+):
+    """Decode + multiclass NMS for one image (reference
+    ``ProbConvFCBBoxHead.get_bboxes:294-330``)."""
+    r = rois.shape[0]
+    c = cfg.num_classes
+    if bbox_pred is not None:
+        boxes = box_ops.delta2bbox(
+            rois, bbox_pred, cfg.target_means, cfg.target_stds, max_shape=img_shape
+        ).reshape(r, -1, 4)
+        if boxes.shape[1] == 1:
+            boxes = jnp.broadcast_to(boxes, (r, c, 4))
+    else:
+        boxes = jnp.broadcast_to(
+            box_ops.clip_boxes(rois, img_shape)[:, None, :], (r, c, 4)
+        )
+    if rescale:
+        boxes = boxes / scale_factor.reshape(1, 1, 4)
+    return multiclass_nms_padded(
+        boxes,
+        scores[:, :c],
+        score_thr=score_thr,
+        iou_threshold=nms_iou_thr,
+        max_per_img=max_per_img,
+        valid=roi_valid,
+    )

@@ -1,0 +1,213 @@
+"""ProbRoIHead — prior-aware R-CNN head with boosting reweighting.
+
+Spec (re-derived from ``mmdet/models/roi_heads/prob_roi_head.py:10-283``):
+
+Training (``forward_train:23`` + ``_bbox_forward_train_boost:107``):
+  * per image: MaxIoU assign (0.6/0.6/min 0.6, no low-quality) over the RPN
+    proposals, RandomSampler(512, pos 0.25) with gt boxes *prepended* as
+    candidates;
+  * per sampled RoI a **prior** is extracted from the proposal score
+    (column 4): positive -> score, negative -> 1 - score, gt-as-proposal -> 0
+    (``:51-64``);
+  * boosting: CE computed per-sample, then renormalised by
+    ``norm_loss`` with weights ``(1 - prior)**gamma`` such that the weighted
+    sum equals the unweighted sum (detached), averaged over all samples
+    (``:117-154``); reg loss summed / #rois.
+
+Inference (``simple_test_bboxes:206``): final score =
+``sqrt(softmax(cls) * prior)`` (``:232-240``), then per-image decode +
+multiclass NMS.
+
+TPU design: fixed 512-RoI slots per image; the per-image python loop becomes
+``vmap``; the RoIAlign + 2-FC forward runs once over the flattened
+``(B*512, 7, 7, C)`` batch (big MXU matmuls).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import box_ops
+from ...ops.assigners import max_iou_assign
+from ...ops.samplers import random_sample
+from .bbox_head import BBoxHeadCfg, bbox_head_loss, bbox_targets
+
+EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbRoICfg:
+    alpha: float = 0.0
+    gamma: float = 0.1
+    boost: bool = False
+    prob: bool = True
+    quality: bool = False
+    iou_gamma: float = 0.0
+    reg_norm: str = "bbox_num"  # 'bbox_num' | 'mean'
+    # rcnn train cfg
+    num_samples: int = 512
+    pos_fraction: float = 0.25
+    neg_pos_ub: int = -1
+    add_gt_as_proposals: bool = True
+    pos_iou_thr: float = 0.6
+    neg_iou_thr: float = 0.6
+    min_pos_iou: float = 0.6
+    match_low_quality: bool = False
+
+
+class RoISample(NamedTuple):
+    """Fixed-shape per-image sampling output."""
+
+    boxes: jnp.ndarray  # (R, 4)
+    is_pos: jnp.ndarray  # (R,)
+    valid: jnp.ndarray  # (R,)
+    prior: jnp.ndarray  # (R,) extracted prior
+    iou: jnp.ndarray  # (R,) |assigned max IoU| (quality variant)
+    matched_gt: jnp.ndarray  # (R, 4)
+    matched_label: jnp.ndarray  # (R,)
+
+
+def sample_rois(
+    cfg: ProbRoICfg,
+    rng: jax.Array,
+    proposals: jnp.ndarray,  # (P, 4)
+    prop_scores: jnp.ndarray,  # (P,) prior column
+    prop_valid: jnp.ndarray,  # (P,)
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_mask: jnp.ndarray,  # (G,)
+    gt_labels: jnp.ndarray,  # (G,)
+) -> RoISample:
+    """Assign + sample one image's RoIs with prior extraction."""
+    g = gt_bboxes.shape[0]
+    assign = max_iou_assign(
+        proposals,
+        prop_valid,
+        gt_bboxes,
+        gt_mask,
+        gt_labels=gt_labels,
+        pos_iou_thr=cfg.pos_iou_thr,
+        neg_iou_thr=cfg.neg_iou_thr,
+        min_pos_iou=cfg.min_pos_iou,
+        match_low_quality=cfg.match_low_quality,
+    )
+    if cfg.add_gt_as_proposals:
+        # Prepend gt candidates with self-assignment (the reference
+        # sampler's ``add_gt_`` step).
+        cand_boxes = jnp.concatenate([gt_bboxes, proposals], axis=0)
+        cand_valid = jnp.concatenate([gt_mask, prop_valid])
+        gt_self = jnp.where(gt_mask, jnp.arange(1, g + 1, dtype=jnp.int32), -1)
+        cand_gt_inds = jnp.concatenate([gt_self, assign.gt_inds])
+        cand_overlap = jnp.concatenate(
+            [gt_mask.astype(jnp.float32), assign.max_overlaps]
+        )
+        cand_is_gt = jnp.concatenate(
+            [jnp.ones((g,), bool), jnp.zeros_like(prop_valid)]
+        )
+        cand_score = jnp.concatenate([jnp.zeros((g,)), prop_scores])
+    else:
+        cand_boxes, cand_valid = proposals, prop_valid
+        cand_gt_inds, cand_overlap = assign.gt_inds, assign.max_overlaps
+        cand_is_gt = jnp.zeros_like(prop_valid)
+        cand_score = prop_scores
+
+    from ...ops.assigners import AssignResult
+
+    res = random_sample(
+        rng,
+        AssignResult(cand_gt_inds, cand_overlap, jnp.zeros_like(cand_gt_inds)),
+        cand_valid,
+        num=cfg.num_samples,
+        pos_fraction=cfg.pos_fraction,
+        neg_pos_ub=cfg.neg_pos_ub,
+    )
+    boxes = cand_boxes[res.inds]
+    score = cand_score[res.inds]
+    is_gt = cand_is_gt[res.inds]
+    overlap = cand_overlap[res.inds]
+
+    # Prior extraction (``prob_roi_head.py:51-64``): gt-added -> 0,
+    # positive -> score, negative -> 1 - score.
+    prior = jnp.where(
+        is_gt, 0.0, jnp.where(res.is_pos, score, 1.0 - score)
+    )
+    prior = jnp.where(res.valid, prior, 0.0)
+    iou = jnp.where(res.is_pos, overlap, 1.0 - overlap)
+
+    safe_gt = jnp.clip(res.gt_inds, 0, g - 1)
+    matched_gt = gt_bboxes[safe_gt]
+    matched_label = jnp.where(res.is_pos, gt_labels[safe_gt], -1).astype(jnp.int32)
+    return RoISample(
+        boxes, res.is_pos, res.valid, jax.lax.stop_gradient(prior),
+        jax.lax.stop_gradient(iou), matched_gt, matched_label,
+    )
+
+
+def norm_loss(loss: jnp.ndarray, weights: jnp.ndarray, avg_factor) -> jnp.ndarray:
+    """Boosting renormalisation (reference ``norm_loss:151``): rescale the
+    weights so the weighted loss sum equals the unweighted sum (detached),
+    then average."""
+    denom = jnp.sum(weights * loss)
+    scale = jnp.sum(loss) / jnp.where(denom == 0, 1.0, denom)
+    new_w = jax.lax.stop_gradient(weights * scale)
+    return jnp.sum(loss * new_w) / avg_factor
+
+
+def prob_roi_loss(
+    cfg: ProbRoICfg,
+    head_cfg: BBoxHeadCfg,
+    cls_score: jnp.ndarray,  # (R_total, C+1)
+    bbox_pred: jnp.ndarray,  # (R_total, 4K)
+    sample: RoISample,  # flattened over batch: each field (R_total, ...)
+):
+    """Boosting-reweighted R-CNN loss (``_bbox_forward_train_boost:107``)."""
+    labels, label_w, bbox_t, bbox_w = bbox_targets(
+        head_cfg,
+        sample.boxes,
+        sample.is_pos,
+        sample.valid,
+        sample.matched_gt,
+        jnp.where(sample.is_pos, sample.matched_label, head_cfg.num_classes),
+    )
+    raw = bbox_head_loss(
+        head_cfg, cls_score, bbox_pred, sample.boxes,
+        labels, label_w, bbox_t, bbox_w, reduction_override="none",
+    )
+    r_total = cls_score.shape[0]
+    validf = sample.valid.astype(jnp.float32)
+
+    if not cfg.boost:
+        loss_cls = jnp.sum(raw["loss_cls"] * validf) / jnp.maximum(
+            jnp.sum(validf), 1.0
+        )
+    else:
+        if cfg.quality:
+            probs = jax.lax.stop_gradient(jax.nn.softmax(cls_score, axis=-1))
+            p_at_label = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
+            lw = (
+                jnp.abs(sample.iou - p_at_label) ** cfg.iou_gamma
+                * (1.0 - sample.prior) ** cfg.gamma
+            )
+        else:
+            lw = (1.0 - sample.prior) ** cfg.gamma
+        if cfg.alpha != 0:
+            lw = lw * cfg.alpha
+        lw = lw * validf
+        loss_cls = norm_loss(raw["loss_cls"] * validf, lw, float(r_total))
+
+    if cfg.reg_norm == "mean":
+        loss_bbox = jnp.sum(raw["loss_bbox"]) / (
+            jnp.maximum(jnp.sum(sample.is_pos.astype(jnp.float32)), 1.0) * 4.0
+        )
+    else:  # 'bbox_num': sum over pos elements / #sampled rois (``:144-147``)
+        loss_bbox = jnp.sum(raw["loss_bbox"]) / float(r_total)
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+
+def prob_fuse_scores(cls_score: jnp.ndarray, prior: jnp.ndarray) -> jnp.ndarray:
+    """Probabilistic inference fusion (``simple_test_bboxes:232-240``):
+    ``sqrt(softmax(cls) * prior)``."""
+    p = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+    return jnp.sqrt(jnp.maximum(p * prior[:, None], 0.0))

@@ -1,0 +1,185 @@
+"""Target assignment on padded, fixed-shape tensors.
+
+The reference assigns per image with dynamic box counts
+(``mmdet/core/bbox/assigners/max_iou_assigner.py:61-210``); here every image
+carries ``(N,)`` candidate boxes with a validity mask and ``(G,)`` padded gt
+boxes with a gt mask, and assignment is a single fixed-shape computation that
+``jax.vmap``s over the batch.
+
+Assignment encoding matches the reference: ``-1`` ignore, ``0`` negative,
+``i + 1`` = matched to gt ``i``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .box_ops import bbox_overlaps
+
+__all__ = ["AssignResult", "max_iou_assign", "atss_assign"]
+
+
+class AssignResult(NamedTuple):
+    gt_inds: jnp.ndarray  # (N,) int32: -1 ignore / 0 neg / i+1 pos
+    max_overlaps: jnp.ndarray  # (N,) float32
+    labels: jnp.ndarray  # (N,) int32 assigned class or -1
+
+
+def max_iou_assign(
+    boxes: jnp.ndarray,
+    box_valid: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_labels: Optional[jnp.ndarray] = None,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.5,
+    min_pos_iou: float = 0.0,
+    match_low_quality: bool = True,
+    gt_max_assign_all: bool = True,
+    gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+    ignore_mask: Optional[jnp.ndarray] = None,
+    ignore_iof_thr: float = -1.0,
+) -> AssignResult:
+    """Masked MaxIoUAssigner (reference ``max_iou_assigner.py:128``
+    ``assign_wrt_overlaps``), single image.
+
+    boxes: (N, 4); box_valid: (N,) bool; gt_bboxes: (G, 4) padded;
+    gt_mask: (G,) bool; gt_labels: (G,) int32 or None.
+    """
+    n = boxes.shape[0]
+    g = gt_bboxes.shape[0]
+    overlaps = bbox_overlaps(gt_bboxes, boxes)  # (G, N)
+    # Invalid gt rows must never win an argmax; invalid boxes must never be a
+    # gt's best match.  (Padded gt rows are all-zero so their IoU is already
+    # 0, but mask explicitly for robustness.)
+    overlaps = jnp.where(gt_mask[:, None], overlaps, 0.0)
+    overlaps_boxmasked = jnp.where(box_valid[None, :], overlaps, -1.0)
+
+    # Per-box best gt (over valid gts only — padded rows are 0, ties resolve
+    # to the first index exactly like torch.max).
+    max_overlaps = jnp.max(overlaps, axis=0)  # (N,)
+    argmax_overlaps = jnp.argmax(overlaps, axis=0)
+    # Per-gt best box over valid boxes.
+    gt_max_overlaps = jnp.max(overlaps_boxmasked, axis=1)  # (G,)
+
+    assigned = jnp.full((n,), -1, dtype=jnp.int32)
+    # 2. negatives
+    assigned = jnp.where(
+        (max_overlaps >= 0) & (max_overlaps < neg_iou_thr), 0, assigned
+    )
+    # 3. positives
+    pos = max_overlaps >= pos_iou_thr
+    assigned = jnp.where(pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+    # 4. low-quality matching: for each gt (in order, later overwrites
+    #    earlier), boxes achieving the gt's max IoU (>= min_pos_iou) are
+    #    forced positive.  Vectorised: each box takes the *last* eligible gt.
+    if match_low_quality:
+        eligible = (
+            (overlaps == gt_max_overlaps[:, None])
+            & (gt_max_overlaps >= min_pos_iou)[:, None]
+            & gt_mask[:, None]
+        )
+        if not gt_max_assign_all:
+            best_box = jnp.argmax(overlaps_boxmasked, axis=1)  # (G,)
+            only_best = jax.nn.one_hot(best_box, n, dtype=bool)
+            eligible = eligible & only_best
+        gt_idx = jnp.arange(g, dtype=jnp.int32)
+        last_eligible = jnp.max(
+            jnp.where(eligible, gt_idx[:, None], -1), axis=0
+        )  # (N,)
+        assigned = jnp.where(last_eligible >= 0, last_eligible + 1, assigned)
+
+    # Ignore regions (iof against ignore boxes) — reference step before
+    # assign_wrt_overlaps (``max_iou_assigner.py:108-120``).
+    if ignore_iof_thr > 0 and gt_bboxes_ignore is not None:
+        iof = bbox_overlaps(boxes, gt_bboxes_ignore, mode="iof")  # (N, Gi)
+        if ignore_mask is not None:
+            iof = jnp.where(ignore_mask[None, :], iof, 0.0)
+        ignore_hit = jnp.max(iof, axis=1) > ignore_iof_thr
+        assigned = jnp.where(ignore_hit, -1, assigned)
+
+    assigned = jnp.where(box_valid, assigned, -1)
+
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(jnp.int32)
+    else:
+        labels = jnp.full((n,), -1, dtype=jnp.int32)
+    return AssignResult(assigned, max_overlaps, labels)
+
+
+def atss_assign(
+    boxes: jnp.ndarray,
+    box_valid: jnp.ndarray,
+    num_level_anchors: Tuple[int, ...],
+    gt_bboxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_labels: Optional[jnp.ndarray] = None,
+    topk: int = 9,
+) -> AssignResult:
+    """ATSS assignment (reference ``atss_assigner.py``), single image.
+
+    For each gt: select ``topk`` closest (center distance) anchors per level,
+    compute the IoU mean+std over those candidates as an adaptive threshold,
+    keep candidates above it whose center lies inside the gt box; each anchor
+    goes to the gt with highest IoU among its claimants.
+    """
+    n = boxes.shape[0]
+    g = gt_bboxes.shape[0]
+    overlaps = bbox_overlaps(gt_bboxes, boxes)  # (G, N)
+    overlaps = jnp.where(gt_mask[:, None] & box_valid[None, :], overlaps, 0.0)
+
+    acx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    acy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+    gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+    dist = jnp.sqrt((acx[None] - gcx[:, None]) ** 2 + (acy[None] - gcy[:, None]) ** 2)
+    dist = jnp.where(box_valid[None, :], dist, jnp.inf)  # (G, N)
+
+    # Per-level top-k candidates by distance.
+    is_cand = jnp.zeros((g, n), dtype=bool)
+    start = 0
+    for na in num_level_anchors:
+        lvl_dist = jax.lax.dynamic_slice_in_dim(dist, start, na, axis=1)
+        k = min(topk, na)
+        _, idx = jax.lax.top_k(-lvl_dist, k)  # (G, k) closest
+        lvl_mask = jnp.zeros((g, na), dtype=bool)
+        lvl_mask = lvl_mask.at[jnp.arange(g)[:, None], idx].set(True)
+        is_cand = jax.lax.dynamic_update_slice_in_dim(
+            is_cand, lvl_mask, start, axis=1
+        )
+        start += na
+    is_cand = is_cand & box_valid[None, :]
+
+    # Adaptive threshold = mean + std of candidate IoUs per gt.
+    cnt = jnp.maximum(jnp.sum(is_cand, axis=1), 1)
+    cand_iou = jnp.where(is_cand, overlaps, 0.0)
+    mean = jnp.sum(cand_iou, axis=1) / cnt
+    var = jnp.sum(jnp.where(is_cand, (overlaps - mean[:, None]) ** 2, 0.0), axis=1) / cnt
+    thr = mean + jnp.sqrt(var)  # (G,)
+
+    # Center-inside-gt test (reference requires all 4 margins > 0.01).
+    l = acx[None, :] - gt_bboxes[:, 0:1]
+    t = acy[None, :] - gt_bboxes[:, 1:2]
+    r = gt_bboxes[:, 2:3] - acx[None, :]
+    b = gt_bboxes[:, 3:4] - acy[None, :]
+    inside = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0.01
+
+    pos = is_cand & (overlaps >= thr[:, None]) & inside & gt_mask[:, None]
+    # Each anchor -> claiming gt with max IoU.
+    claimed_iou = jnp.where(pos, overlaps, -jnp.inf)
+    best_gt = jnp.argmax(claimed_iou, axis=0).astype(jnp.int32)
+    has = jnp.any(pos, axis=0)
+    assigned = jnp.where(has, best_gt + 1, 0)
+    assigned = jnp.where(box_valid, assigned, -1).astype(jnp.int32)
+    max_overlaps = jnp.where(has, jnp.max(claimed_iou, axis=0), jnp.max(overlaps, axis=0))
+
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(jnp.int32)
+    else:
+        labels = jnp.full((n,), -1, dtype=jnp.int32)
+    return AssignResult(assigned, max_overlaps, labels)

@@ -1,0 +1,202 @@
+"""Box primitives: IoU, delta coding, transforms.
+
+TPU-native design notes
+-----------------------
+Everything here is a pure function on fixed-shape ``jnp`` arrays.  Invalid
+rows (padding) are handled by the caller with validity masks; these functions
+never branch on data.  Batch dimensions are added by ``jax.vmap``.
+
+Reference semantics (re-derived, not ported):
+  * IoU family: mmdet ``mmdet/core/bbox/iou_calculators/iou2d_calculator.py``
+    (modes iou/iof/giou, ``eps`` guard).
+  * Delta coder: mmdet ``mmdet/core/bbox/coder/delta_xywh_bbox_coder.py``
+    (``bbox2delta:99`` / ``delta2bbox:145``) including the wh-ratio clamp
+    ``|dw|,|dh| <= |log(16/1000)|`` and the border clip.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "bbox_area",
+    "bbox_overlaps",
+    "bbox_overlaps_aligned",
+    "bbox2delta",
+    "delta2bbox",
+    "clip_boxes",
+    "bbox_center_wh",
+]
+
+
+def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Area of ``(..., 4)`` xyxy boxes (x2>=x1 assumed, clamped at 0)."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    return w * h
+
+
+def bbox_overlaps(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    mode: str = "iou",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Pairwise overlaps between ``(N, 4)`` and ``(M, 4)`` xyxy boxes.
+
+    Returns ``(N, M)``.  ``mode``: ``iou`` | ``iof`` (intersection over
+    foreground, i.e. over ``boxes1`` area) | ``giou``.
+    """
+    assert mode in ("iou", "iof", "giou"), mode
+    area1 = bbox_area(boxes1)  # (N,)
+    area2 = bbox_area(boxes2)  # (M,)
+
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])  # (N,M,2)
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])  # (N,M,2)
+    wh = jnp.maximum(rb - lt, 0.0)
+    overlap = wh[..., 0] * wh[..., 1]
+
+    if mode == "iof":
+        union = area1[:, None]
+    else:
+        union = area1[:, None] + area2[None, :] - overlap
+    union = jnp.maximum(union, eps)
+    ious = overlap / union
+    if mode != "giou":
+        return ious
+
+    enc_lt = jnp.minimum(boxes1[:, None, :2], boxes2[None, :, :2])
+    enc_rb = jnp.maximum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    enc_wh = jnp.maximum(enc_rb - enc_lt, 0.0)
+    enc_area = jnp.maximum(enc_wh[..., 0] * enc_wh[..., 1], eps)
+    return ious - (enc_area - union) / enc_area
+
+
+def bbox_overlaps_aligned(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    mode: str = "iou",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Element-wise overlaps of two equally-shaped ``(..., 4)`` box arrays."""
+    assert mode in ("iou", "iof", "giou"), mode
+    area1 = bbox_area(boxes1)
+    area2 = bbox_area(boxes2)
+
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    overlap = wh[..., 0] * wh[..., 1]
+
+    if mode == "iof":
+        union = area1
+    else:
+        union = area1 + area2 - overlap
+    union = jnp.maximum(union, eps)
+    ious = overlap / union
+    if mode != "giou":
+        return ious
+
+    enc_lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    enc_rb = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    enc_wh = jnp.maximum(enc_rb - enc_lt, 0.0)
+    enc_area = jnp.maximum(enc_wh[..., 0] * enc_wh[..., 1], eps)
+    return ious - (enc_area - union) / enc_area
+
+
+def bbox_center_wh(boxes: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(cx, cy, w, h) of ``(..., 4)`` xyxy boxes."""
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return cx, cy, w, h
+
+
+def bbox2delta(
+    proposals: jnp.ndarray,
+    gt: jnp.ndarray,
+    means: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+    stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+    eps: float = 0.0,
+) -> jnp.ndarray:
+    """Encode ``gt`` relative to ``proposals``; both ``(..., 4)`` xyxy.
+
+    ``eps`` guards ``log``/division for padded zero-size rows (the reference
+    never sees those because it uses dynamic shapes; we mask downstream).
+    """
+    px, py, pw, ph = bbox_center_wh(proposals)
+    gx, gy, gw, gh = bbox_center_wh(gt)
+    pw = jnp.maximum(pw, eps) if eps else pw
+    ph = jnp.maximum(ph, eps) if eps else ph
+    dx = (gx - px) / pw
+    dy = (gy - py) / ph
+    dw = jnp.log(jnp.maximum(gw, eps) / pw) if eps else jnp.log(gw / pw)
+    dh = jnp.log(jnp.maximum(gh, eps) / ph) if eps else jnp.log(gh / ph)
+    deltas = jnp.stack([dx, dy, dw, dh], axis=-1)
+    means = jnp.asarray(means, dtype=deltas.dtype)
+    stds = jnp.asarray(stds, dtype=deltas.dtype)
+    return (deltas - means) / stds
+
+
+def delta2bbox(
+    rois: jnp.ndarray,
+    deltas: jnp.ndarray,
+    means: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+    stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+    max_shape: Optional[jnp.ndarray] = None,
+    wh_ratio_clip: float = 16.0 / 1000.0,
+    clip_border: bool = True,
+) -> jnp.ndarray:
+    """Decode ``deltas`` on top of ``rois``.
+
+    ``rois``: ``(..., 4)``; ``deltas``: ``(..., K*4)`` (class-wise preds
+    supported by reshaping in the caller — here we accept any trailing K*4
+    and broadcast rois).  ``max_shape``: ``(2,)`` array ``(H, W)`` (may be a
+    traced value — per-image ``img_shape`` inside a vmap).
+    """
+    k4 = deltas.shape[-1]
+    assert k4 % 4 == 0
+    reps = k4 // 4
+    means = jnp.tile(jnp.asarray(means, dtype=deltas.dtype), reps)
+    stds = jnp.tile(jnp.asarray(stds, dtype=deltas.dtype), reps)
+    denorm = deltas * stds + means
+    dshape = denorm.shape[:-1] + (reps, 4)
+    denorm = denorm.reshape(dshape)
+    dx, dy, dw, dh = denorm[..., 0], denorm[..., 1], denorm[..., 2], denorm[..., 3]
+
+    px, py, pw, ph = bbox_center_wh(rois)
+    px, py, pw, ph = (v[..., None] for v in (px, py, pw, ph))
+
+    max_ratio = abs(math.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    if clip_border and max_shape is not None:
+        boxes = clip_boxes(boxes, max_shape)
+    return boxes.reshape(deltas.shape)
+
+
+def clip_boxes(boxes: jnp.ndarray, max_shape: jnp.ndarray) -> jnp.ndarray:
+    """Clip ``(..., 4)`` xyxy boxes to ``(H, W)`` bounds (inclusive)."""
+    max_shape = jnp.asarray(max_shape)
+    h = max_shape[..., 0].astype(boxes.dtype)
+    w = max_shape[..., 1].astype(boxes.dtype)
+    x1 = jnp.clip(boxes[..., 0], 0.0, w)
+    y1 = jnp.clip(boxes[..., 1], 0.0, h)
+    x2 = jnp.clip(boxes[..., 2], 0.0, w)
+    y2 = jnp.clip(boxes[..., 3], 0.0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

@@ -1,0 +1,308 @@
+"""Loss functions matching mmdet 2.17 numerics, as pure JAX.
+
+The reference wraps every loss in the ``weight_reduce_loss`` protocol
+(``mmdet/models/losses/utils.py:29-58``): elementwise loss * optional weight,
+then reduce by ``mean``/``sum``/``none`` or divide by an explicit
+``avg_factor``.  We reproduce that protocol exactly — it is what makes the
+boosting-reweighting renormalisation (``prob_roi_head.py:151-154``) and the
+IoU-weighted RPN box loss (``atss_rpn_head.py:340-379``) come out right.
+
+Native-op note: the CUDA ``sigmoid_focal_loss`` the reference uses
+(``mmdet/models/losses/focal_loss.py:5``) is numerically the python spec at
+``focal_loss.py:12``; XLA fuses the whole expression into the surrounding
+computation, so no custom kernel is needed on TPU.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .box_ops import bbox_overlaps_aligned, bbox_center_wh
+
+__all__ = [
+    "weight_reduce_loss",
+    "sigmoid_focal_loss",
+    "varifocal_loss",
+    "quality_focal_loss",
+    "distribution_focal_loss",
+    "cross_entropy_loss",
+    "binary_cross_entropy_loss",
+    "l1_loss",
+    "smooth_l1_loss",
+    "mse_loss",
+    "balanced_l1_loss",
+    "iou_loss",
+    "giou_loss",
+    "diou_loss",
+    "ciou_loss",
+    "accuracy",
+]
+
+
+def weight_reduce_loss(loss, weight=None, reduction="mean", avg_factor=None):
+    """The mmdet reduction protocol (``losses/utils.py:29``)."""
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if reduction == "mean":
+            return jnp.mean(loss)
+        if reduction == "sum":
+            return jnp.sum(loss)
+        return loss
+    if reduction == "mean":
+        return jnp.sum(loss) / avg_factor
+    if reduction == "none":
+        return loss
+    raise ValueError('avg_factor can not be used with reduction="sum"')
+
+
+def _bce_with_logits(pred, target):
+    """Elementwise binary cross entropy on logits (stable form)."""
+    return jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+def sigmoid_focal_loss(
+    pred,
+    target,
+    weight=None,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+    reduction: str = "mean",
+    avg_factor=None,
+):
+    """Focal loss on ``(N, C)`` logits vs ``(N, C)`` 0/1 targets.
+
+    Matches ``py_sigmoid_focal_loss`` (``focal_loss.py:12``).  ``weight`` of
+    shape ``(N,)`` broadcasts over classes as in the reference.
+    """
+    p = jax.nn.sigmoid(pred)
+    target = target.astype(pred.dtype)
+    pt = (1 - p) * target + p * (1 - target)
+    focal_weight = (alpha * target + (1 - alpha) * (1 - target)) * pt**gamma
+    loss = _bce_with_logits(pred, target) * focal_weight
+    if weight is not None and weight.ndim == 1 and loss.ndim == 2:
+        weight = weight[:, None]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def one_hot_targets(labels, num_classes):
+    """FG one-hot for labels in [0, C); label == C (bg) -> all-zero row."""
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+def varifocal_loss(
+    pred,
+    target,
+    weight=None,
+    alpha: float = 0.75,
+    gamma: float = 2.0,
+    iou_weighted: bool = True,
+    reduction: str = "mean",
+    avg_factor=None,
+):
+    """Varifocal loss (``mmdet/models/losses/varifocal_loss.py``): targets are
+    soft IoU scores on the gt class, 0 elsewhere."""
+    p = jax.nn.sigmoid(pred)
+    target = target.astype(pred.dtype)
+    if iou_weighted:
+        focal_weight = target * (target > 0.0) + alpha * jnp.abs(p - target) ** gamma * (
+            target <= 0.0
+        )
+    else:
+        focal_weight = (target > 0.0).astype(pred.dtype) + alpha * jnp.abs(
+            p - target
+        ) ** gamma * (target <= 0.0)
+    loss = _bce_with_logits(pred, target) * focal_weight
+    if weight is not None and weight.ndim == 1 and loss.ndim == 2:
+        weight = weight[:, None]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def quality_focal_loss(
+    pred,
+    labels,
+    quality,
+    weight=None,
+    beta: float = 2.0,
+    reduction: str = "mean",
+    avg_factor=None,
+):
+    """Quality focal loss (GFL) on ``(N, C)`` logits.
+
+    ``labels``: int ``(N,)`` in [0, C] (C = bg); ``quality``: ``(N,)`` IoU
+    scores for positives.  Mirrors ``gfocal_loss.py`` semantics.
+    """
+    n, c = pred.shape
+    p = jax.nn.sigmoid(pred)
+    # Negatives: target 0 everywhere.
+    loss = _bce_with_logits(pred, jnp.zeros_like(pred)) * p**beta
+    # Positives: on the gt class, target = quality.
+    pos = labels < c
+    safe_labels = jnp.where(pos, labels, 0)
+    onehot = jax.nn.one_hot(safe_labels, c, dtype=bool) & pos[:, None]
+    q = jnp.broadcast_to(quality[:, None], (n, c))
+    pos_loss = _bce_with_logits(pred, q) * jnp.abs(q - p) ** beta
+    loss = jnp.where(onehot, pos_loss, loss)
+    loss = jnp.sum(loss, axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def distribution_focal_loss(pred, label, weight=None, reduction="mean", avg_factor=None):
+    """DFL (GFL): ``pred`` ``(N, n_bins)`` logits over discrete offsets,
+    ``label`` continuous in [0, n_bins - 1]."""
+    dis_left = jnp.floor(label).astype(jnp.int32)
+    dis_right = dis_left + 1
+    w_left = dis_right.astype(pred.dtype) - label
+    w_right = label - dis_left.astype(pred.dtype)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    ll = jnp.take_along_axis(logp, dis_left[:, None], axis=-1)[:, 0]
+    lr = jnp.take_along_axis(
+        logp, jnp.clip(dis_right, 0, pred.shape[-1] - 1)[:, None], axis=-1
+    )[:, 0]
+    loss = -(ll * w_left + lr * w_right)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def cross_entropy_loss(
+    pred,
+    label,
+    weight=None,
+    reduction: str = "mean",
+    avg_factor=None,
+    class_weight=None,
+):
+    """Softmax CE on ``(N, C)`` logits vs int labels (mmdet
+    ``cross_entropy_loss.py:168`` ``use_sigmoid=False`` path)."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    ll = jnp.take_along_axis(logp, label[:, None], axis=-1)[:, 0]
+    loss = -ll
+    if class_weight is not None:
+        loss = loss * jnp.asarray(class_weight)[label]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def binary_cross_entropy_loss(
+    pred, target, weight=None, reduction: str = "mean", avg_factor=None
+):
+    """BCE-with-logits (mmdet CrossEntropyLoss ``use_sigmoid=True``), e.g. the
+    RPN IoU-branch 'centerness' loss (``atss_rpn_head.py:383-386``)."""
+    loss = _bce_with_logits(pred, target.astype(pred.dtype))
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def l1_loss(pred, target, weight=None, reduction="mean", avg_factor=None):
+    loss = jnp.abs(pred - target)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def smooth_l1_loss(pred, target, weight=None, beta=1.0, reduction="mean", avg_factor=None):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def mse_loss(pred, target, weight=None, reduction="mean", avg_factor=None):
+    loss = (pred - target) ** 2
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def balanced_l1_loss(
+    pred,
+    target,
+    weight=None,
+    beta=1.0,
+    alpha=0.5,
+    gamma=1.5,
+    reduction="mean",
+    avg_factor=None,
+):
+    diff = jnp.abs(pred - target)
+    b = jnp.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(b * diff / beta + 1) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta,
+    )
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def _iou_family(pred, target, mode, eps):
+    if mode == "iou":
+        ious = bbox_overlaps_aligned(pred, target, eps=eps)
+        return -jnp.log(jnp.maximum(ious, eps))
+    if mode == "linear_iou":
+        ious = bbox_overlaps_aligned(pred, target, eps=eps)
+        return 1.0 - ious
+    if mode == "giou":
+        gious = bbox_overlaps_aligned(pred, target, mode="giou", eps=eps)
+        return 1.0 - gious
+    raise ValueError(mode)
+
+
+def iou_loss(
+    pred,
+    target,
+    weight=None,
+    linear=False,
+    eps=1e-6,
+    reduction="mean",
+    avg_factor=None,
+):
+    """IoULoss (``iou_loss.py:457``): ``-log(iou)`` by default (the shipping
+    Boosting config), or ``1 - iou`` when ``linear``."""
+    loss = _iou_family(pred, target, "linear_iou" if linear else "iou", eps)
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        # the reference sometimes passes (N, 4) weights for box losses;
+        # mmdet takes weight.mean(-1) in that case
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def giou_loss(pred, target, weight=None, eps=1e-7, reduction="mean", avg_factor=None):
+    loss = _iou_family(pred, target, "giou", eps)
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def _diou_term(pred, target, eps):
+    ious = bbox_overlaps_aligned(pred, target, eps=eps)
+    px, py, pw, ph = bbox_center_wh(pred)
+    tx, ty, tw, th = bbox_center_wh(target)
+    center_dist = (px - tx) ** 2 + (py - ty) ** 2
+    enc_lt = jnp.minimum(pred[..., :2], target[..., :2])
+    enc_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    enc_wh = jnp.maximum(enc_rb - enc_lt, 0.0)
+    diag = enc_wh[..., 0] ** 2 + enc_wh[..., 1] ** 2 + eps
+    return ious, center_dist / diag, (pw, ph, tw, th)
+
+
+def diou_loss(pred, target, weight=None, eps=1e-7, reduction="mean", avg_factor=None):
+    ious, dist_term, _ = _diou_term(pred, target, eps)
+    loss = 1.0 - ious + dist_term
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def ciou_loss(pred, target, weight=None, eps=1e-7, reduction="mean", avg_factor=None):
+    """CIoU (``iou_loss.py:654``), used by the COCO boosting config."""
+    ious, dist_term, (pw, ph, tw, th) = _diou_term(pred, target, eps)
+    factor = 4.0 / (jnp.pi**2)
+    v = factor * (jnp.arctan(tw / (th + eps)) - jnp.arctan(pw / (ph + eps))) ** 2
+    alpha = jax.lax.stop_gradient(v / (1.0 - ious + v + eps))
+    loss = 1.0 - ious + dist_term + alpha * v
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def accuracy(pred, label, mask=None):
+    """Top-1 accuracy over valid rows."""
+    correct = (jnp.argmax(pred, axis=-1) == label).astype(jnp.float32)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0) * 100.0
+    return jnp.mean(correct) * 100.0

@@ -1,0 +1,52 @@
+"""Device mesh + sharding utilities (the parallelism layer).
+
+The reference is data-parallel only (SURVEY.md §2.4: ``MMDistributedData
+Parallel`` + NCCL).  TPU-native equivalent: a 1-D ``data`` mesh; the batch
+axis of every input is sharded over it, parameters are replicated, and XLA
+inserts the gradient/normaliser all-reduces over ICI (multi-host: DCN)
+automatically.  ``jax.distributed.initialize`` covers the reference's
+``init_dist`` launcher surface (``tools/train.py:117-124``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place a host-global numpy batch onto the mesh, batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_state(mesh: Mesh, state):
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
+
+
+def init_distributed():
+    """Multi-host init (no-op on a single host)."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

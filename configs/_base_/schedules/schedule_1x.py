@@ -1,0 +1,12 @@
+# 1x schedule: 12 epochs, SGD + momentum, step LR at [8, 11] with linear
+# warmup (reference configs/_base_/schedules/schedule_1x.py equivalents).
+optimizer = dict(type="sgd", lr=0.005, momentum=0.9, weight_decay=1e-4)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(
+    policy="step",
+    warmup="linear",
+    warmup_iters=500,
+    warmup_ratio=0.001,
+    step=[8, 11],
+)
+runner = dict(type="EpochBasedRunner", max_epochs=12)

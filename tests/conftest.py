@@ -1,0 +1,21 @@
+"""Test config: run all tests on a virtual 8-device CPU mesh so multi-chip
+sharding logic is exercised without TPU hardware (the survey's recommended
+strategy, SURVEY.md §4)."""
+import os
+
+# Force CPU: the container env pins JAX_PLATFORMS=axon (remote TPU relay),
+# which serializes python processes and is wrong for unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

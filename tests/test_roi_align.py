@@ -1,0 +1,98 @@
+"""RoIAlign correctness: bilinear numerics vs a numpy reference, level routing."""
+import numpy as np
+
+import boosting_rcnn_tpu.ops.roi_align as ra
+
+
+def np_roi_align(feat_hw, roi, scale, out=7, s=2):
+    """Dense numpy RoIAlign (aligned=True), feat (H, W)."""
+    h, w = feat_hw.shape
+
+    def bilinear(y, x):
+        if y < -1 or y > h or x < -1 or x > w:
+            return 0.0
+        x = min(max(x, 0), w - 1)
+        y = min(max(y, 0), h - 1)
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        lx, ly = x - x0, y - y0
+        return (
+            feat_hw[y0, x0] * (1 - ly) * (1 - lx)
+            + feat_hw[y0, x1] * (1 - ly) * lx
+            + feat_hw[y1, x0] * ly * (1 - lx)
+            + feat_hw[y1, x1] * ly * lx
+        )
+
+    x1, y1, x2, y2 = roi
+    x1, y1, x2, y2 = x1 * scale - 0.5, y1 * scale - 0.5, x2 * scale - 0.5, y2 * scale - 0.5
+    bw, bh = (x2 - x1) / out, (y2 - y1) / out
+    res = np.zeros((out, out))
+    for i in range(out):
+        for j in range(out):
+            acc = 0.0
+            for ky in range(s):
+                for kx in range(s):
+                    yy = y1 + (i + (ky + 0.5) / s) * bh
+                    xx = x1 + (j + (kx + 0.5) / s) * bw
+                    acc += bilinear(yy, xx)
+            res[i, j] = acc / (s * s)
+    return res
+
+
+def test_single_level_matches_numpy(rng):
+    h, w, c = 24, 32, 3
+    feat = rng.rand(h, w, c).astype(np.float32)
+    rois = np.array([[4.0, 4.0, 60.0, 44.0], [0.0, 0.0, 20.0, 20.0]], np.float32)
+    got = np.asarray(ra.roi_align(feat, rois, spatial_scale=0.5, out_size=7))
+    for r in range(2):
+        for ch in range(c):
+            exp = np_roi_align(feat[:, :, ch], rois[r], 0.5)
+            np.testing.assert_allclose(got[r, :, :, ch], exp, rtol=1e-4, atol=1e-5)
+
+
+def test_map_roi_levels():
+    # scale thresholds at finest_scale=56: lvl = floor(log2(sqrt(wh)/56))
+    rois = np.array(
+        [
+            [0, 0, 40, 40],  # 40 < 56 -> lvl 0
+            [0, 0, 113, 113],  # ~2x56 -> lvl 1
+            [0, 0, 230, 230],  # ~4x56 -> lvl 2
+            [0, 0, 1000, 1000],  # clamped to max
+        ],
+        np.float32,
+    )
+    lvl = np.asarray(ra.map_roi_levels(rois, num_levels=4))
+    np.testing.assert_array_equal(lvl, [0, 1, 2, 3])
+
+
+def test_multilevel_routing_equivalence(rng):
+    """A RoI routed to level l must equal single-level RoIAlign on level l."""
+    c = 4
+    feats = [rng.rand(32, 40, c).astype(np.float32) for _ in range(2)]
+    feats.append(rng.rand(16, 20, c).astype(np.float32))
+    feats.append(rng.rand(8, 10, c).astype(np.float32))
+    strides = [8, 16, 32, 64]
+    rois = np.array(
+        [
+            [8.0, 8.0, 50.0, 50.0],  # small -> lvl0
+            [0.0, 0.0, 120.0, 110.0],  # -> lvl1
+        ],
+        np.float32,
+    )
+    valid = np.ones(2, bool)
+    got = np.asarray(
+        ra.multilevel_roi_align(feats, rois, valid, strides, out_size=7)
+    )
+    exp0 = np.asarray(ra.roi_align(feats[0], rois[:1], 1.0 / strides[0]))
+    exp1 = np.asarray(ra.roi_align(feats[1], rois[1:], 1.0 / strides[1]))
+    np.testing.assert_allclose(got[0], exp0[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[1], exp1[0], rtol=1e-4, atol=1e-5)
+
+
+def test_invalid_rois_zeroed(rng):
+    feats = [rng.rand(16, 16, 2).astype(np.float32)]
+    rois = np.array([[0, 0, 30, 30]], np.float32)
+    out = np.asarray(
+        ra.multilevel_roi_align(feats, rois, np.zeros(1, bool), [8])
+    )
+    assert (out == 0).all()
