@@ -1,0 +1,80 @@
+"""Benchmark: flagship Boosting R-CNN R50-PAFPN inference throughput on one
+TPU chip at the reference geometry (800x1333 padded to 800x1344).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: mmdet Faster R-CNN R50-FPN V100 FP32 bs1 = 46.73 ms/im
+(~21.4 img/s, BASELINE.md) — the closest machine-readable reference number
+for a two-stage R50 at this geometry.
+
+Equivalent of the reference's ``tools/analysis_tools/benchmark.py``
+(warmup + timed loop, ``benchmark.py:59-130``).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_IMG_PER_S = 21.4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    warmup = 5
+    canvas = (800, 1344)
+
+    det = _build(tiny=os.environ.get("BENCH_TINY") == "1")
+    if os.environ.get("BENCH_TINY") == "1":
+        canvas = (256, 320)
+
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(batch, *canvas, 3), jnp.float32)
+    img_shape = jnp.asarray([[canvas[0], canvas[1] - 11]] * batch, jnp.float32)
+    scale_factor = jnp.ones((batch, 4), jnp.float32)
+
+    @jax.jit
+    def run(v, im, shp, sf):
+        return det.predict(
+            v, {"images": im, "img_shape": shp, "scale_factor": sf}, anchors, nla
+        )
+
+    out = run(variables, images, img_shape, scale_factor)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        out = run(variables, images, img_shape, scale_factor)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(variables, images, img_shape, scale_factor)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_s = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_800x1344_bs%d"
+                % batch,
+                "value": round(img_per_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

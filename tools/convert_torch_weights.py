@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""PyTorch -> JAX weight converter.
+
+Supports:
+  * torchvision ResNet state_dicts (the reference's
+    ``init_cfg=dict(type='Pretrained', checkpoint='torchvision://resnet50')``,
+    config ``boosting_rcnn_r50_pafpn_1x_utdac.py:16``) -> backbone params;
+  * full mmdet Boosting R-CNN checkpoints -> full detector params, for
+    inference parity testing against released weights (SURVEY.md §7 stage 3).
+
+Conventions: torch convs are OIHW, flax are HWIO; torch Linear is (out, in),
+flax Dense kernel is (in, out).  BN runningstats land in ``batch_stats``.
+"""
+import os
+import re
+import sys
+from typing import Any, Dict, Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _t_conv(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _t_fc(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def convert_torchvision_resnet(state_dict: Dict[str, Any]):
+    """torchvision resnet -> (params, batch_stats) subtrees keyed by our
+    module names (``layer{s}_{b}``, ``downsample_conv`` ...)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf_name, value):
+        d = tree
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf_name] = value
+
+    for k, v in state_dict.items():
+        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        if k.startswith("fc."):
+            continue
+        m = re.match(r"layer(\d+)\.(\d+)\.(.*)", k)
+        if m:
+            stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            mod = f"layer{stage}_{block}"
+            if rest.startswith("downsample.0."):
+                tgt, leaf = ("downsample_conv", rest.split(".")[-1])
+            elif rest.startswith("downsample.1."):
+                tgt, leaf = ("downsample_bn", rest.split(".")[-1])
+            else:
+                tgt, leaf = rest.split(".", 1)
+            _assign_conv_or_bn(params, stats, [mod, tgt], leaf, v)
+        elif k.startswith("conv1."):
+            _assign_conv_or_bn(params, stats, ["conv1"], k.split(".", 1)[1], v)
+        elif k.startswith("bn1."):
+            _assign_conv_or_bn(params, stats, ["bn1"], k.split(".", 1)[1], v)
+    return params, stats
+
+
+def _assign_conv_or_bn(params, stats, path, leaf, v):
+    def put(tree, path, leaf_name, value):
+        d = tree
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf_name] = value
+
+    if leaf == "weight" and v.ndim == 4:
+        put(params, path, "kernel", _t_conv(v))
+    elif leaf == "weight":
+        put(params, path, "scale", v)
+    elif leaf == "bias":
+        put(params, path, "bias", v)
+    elif leaf == "running_mean":
+        put(stats, path, "mean", v)
+    elif leaf == "running_var":
+        put(stats, path, "var", v)
+    # num_batches_tracked ignored
+
+
+def load_pretrained_backbone(checkpoint: str, params):
+    """Load torchvision-style backbone weights into an existing param tree.
+
+    ``torchvision://resnet50`` resolves through torchvision's model zoo when
+    network access exists, else raises (caller falls back to random init).
+    A local ``.pth`` path is also accepted.
+    """
+    import torch
+
+    if checkpoint.startswith("torchvision://"):
+        name = checkpoint.split("://", 1)[1]
+        import torchvision.models as tvm
+
+        model = getattr(tvm, name)(weights="IMAGENET1K_V1")
+        sd = model.state_dict()
+    else:
+        sd = torch.load(checkpoint, map_location="cpu")
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+    bb_params, bb_stats = convert_torchvision_resnet(sd)
+    new = dict(params)
+    merged = dict(new["backbone"])
+    for k, v in bb_params.items():
+        merged[k] = _merge_leaves(merged.get(k, {}), v)
+    new["backbone"] = merged
+    return new
+
+
+def _merge_leaves(dst, src):
+    out = dict(dst)
+    for k, v in src.items():
+        out[k] = _merge_leaves(out.get(k, {}), v) if isinstance(v, dict) else v
+    return out
+
+
+def convert_mmdet_checkpoint(ckpt_path: str):
+    """Full mmdet Boosting R-CNN checkpoint -> (params, batch_stats) trees
+    matching ``TwoStageNet``'s module layout.  Mapping table:
+
+    torch                                  | flax
+    ---------------------------------------|--------------------------------
+    backbone.*                             | backbone/* (torchvision rule)
+    neck.lateral_convs.N.conv              | neck/lateral_N
+    neck.fpn_convs.N.conv                  | neck/fpn_conv_N
+    neck.downsample_convs.N.conv           | neck/downsample_N
+    neck.pafpn_convs.N.conv                | neck/pafpn_conv_N
+    rpn_head.rpn_convs.N.{conv,gn}         | rpn/rpn_conv_N/{Conv_0,GroupNorm_0}
+    rpn_head.{rpn_cls,rpn_reg,rpn_iou}     | rpn/{rpn_cls,rpn_reg,rpn_iou}
+    rpn_head.scales.N.scale                | rpn/scale_N/scale
+    roi_head.bbox_head.shared_fcs.N        | bbox_head/shared_fc_N
+    roi_head.bbox_head.{fc_cls,fc_reg}     | bbox_head/{fc_cls,fc_reg}
+    """
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+
+    params: Dict[str, Any] = {"backbone": {}, "neck": {}, "rpn": {}, "bbox_head": {}}
+    stats: Dict[str, Any] = {"backbone": {}}
+
+    bb = {k[len("backbone."):]: sd[k] for k in sd if k.startswith("backbone.")}
+    import torch as _t
+
+    params["backbone"], stats["backbone"] = convert_torchvision_resnet(bb)
+
+    def put(root, path, leaf, v):
+        d = params[root]
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf] = v
+
+    for k, v in sd.items():
+        if k.startswith("neck."):
+            m = re.match(
+                r"neck\.(lateral_convs|fpn_convs|downsample_convs|pafpn_convs)\.(\d+)\.conv\.(weight|bias)",
+                k,
+            )
+            if not m:
+                continue
+            fam, idx, leaf = m.group(1), int(m.group(2)), m.group(3)
+            name = {
+                "lateral_convs": f"lateral_{idx}",
+                "fpn_convs": f"fpn_conv_{idx}",
+                "downsample_convs": f"downsample_{idx}",
+                "pafpn_convs": f"pafpn_conv_{idx}",
+            }[fam]
+            put("neck", [name, "Conv_0"], "kernel" if leaf == "weight" else "bias",
+                _t_conv(v) if leaf == "weight" else v)
+        elif k.startswith("rpn_head."):
+            m = re.match(r"rpn_head\.rpn_convs\.(\d+)\.conv\.(weight|bias)", k)
+            if m:
+                put("rpn", [f"rpn_conv_{m.group(1)}", "Conv_0"],
+                    "kernel" if m.group(2) == "weight" else "bias",
+                    _t_conv(v) if m.group(2) == "weight" else v)
+                continue
+            m = re.match(r"rpn_head\.rpn_convs\.(\d+)\.gn\.(weight|bias)", k)
+            if m:
+                put("rpn", [f"rpn_conv_{m.group(1)}", "GroupNorm_0"],
+                    "scale" if m.group(2) == "weight" else "bias", v)
+                continue
+            m = re.match(r"rpn_head\.(rpn_cls|rpn_reg|rpn_iou)\.(weight|bias)", k)
+            if m:
+                put("rpn", [m.group(1)], "kernel" if m.group(2) == "weight" else "bias",
+                    _t_conv(v) if m.group(2) == "weight" else v)
+                continue
+            m = re.match(r"rpn_head\.scales\.(\d+)\.scale", k)
+            if m:
+                put("rpn", [f"scale_{m.group(1)}"], "scale", v.reshape(()))
+        elif k.startswith("roi_head.bbox_head."):
+            m = re.match(r"roi_head\.bbox_head\.shared_fcs\.(\d+)\.(weight|bias)", k)
+            if m:
+                put("bbox_head", [f"shared_fc_{m.group(1)}"],
+                    "kernel" if m.group(2) == "weight" else "bias",
+                    _t_fc(v) if m.group(2) == "weight" else v)
+                continue
+            m = re.match(r"roi_head\.bbox_head\.(fc_cls|fc_reg)\.(weight|bias)", k)
+            if m:
+                put("bbox_head", [m.group(1)],
+                    "kernel" if m.group(2) == "weight" else "bias",
+                    _t_fc(v) if m.group(2) == "weight" else v)
+    return params, stats
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("checkpoint")
+    ap.add_argument("out")
+    args = ap.parse_args()
+    p, s = convert_mmdet_checkpoint(args.checkpoint)
+    np.savez(args.out, **{"__tree__": np.array([], dtype=object)})
+    import pickle
+
+    with open(args.out, "wb") as f:
+        pickle.dump({"params": p, "batch_stats": s}, f)
+    print(f"wrote {args.out}")

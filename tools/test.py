@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mirrors the reference's ``tools/test.py``:
+
+    python tools/test.py <config> <checkpoint> [--eval bbox]
+        [--out results.json] [--cfg-options k=v ...]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--eval", nargs="*", default=["bbox"])
+    p.add_argument("--out", default=None, help="dump results json")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--classwise", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.coco import CocoDataset
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+    from boosting_rcnn_tpu.engine.checkpoint import load_params
+    from boosting_rcnn_tpu.engine.eval import run_eval
+    from boosting_rcnn_tpu.utils.logging import get_root_logger
+
+    logger = get_root_logger()
+    cfg = load_config(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+    mc = cfg.model.to_dict()
+    if args.tiny:
+        from tools.train import shrink_model
+
+        mc = shrink_model(mc)
+        dtype = jnp.float32
+    det = build_detector(mc, dtype=dtype)
+
+    data_cfg = cfg.data.to_dict()
+    pipeline = data_cfg["test"].get("pipeline", {})
+    canvas = tuple(pipeline.get("canvas", (800, 1344)))
+    if args.tiny:
+        canvas = (128, 160)
+    ds = CocoDataset(
+        ann_file=data_cfg["test"]["ann_file"],
+        img_prefix=data_cfg["test"].get("img_prefix", ""),
+        classes=data_cfg["test"].get("classes"),
+        test_mode=True,
+    )
+    loader = DetDataLoader(
+        ds,
+        batch_size=data_cfg.get("samples_per_gpu", 2),
+        canvas=canvas,
+        train=False,
+    )
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    if args.checkpoint:
+        params, batch_stats = load_params(args.checkpoint)
+        variables = {"params": params, "batch_stats": batch_stats}
+    anchors, nla = det.anchors_for(canvas)
+
+    results = run_eval(det, variables, loader, anchors, nla, logger=logger)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(ds.results_to_coco_json(results), f)
+        logger.info(f"wrote {args.out}")
+    if "bbox" in args.eval:
+        metrics = ds.evaluate(results, classwise=args.classwise)
+        logger.info(f"eval: {metrics}")
+        print(json.dumps({k: v for k, v in metrics.items() if k != "classwise"}))
+
+
+if __name__ == "__main__":
+    main()

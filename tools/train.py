@@ -1,0 +1,276 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors the reference's ``tools/train.py`` surface:
+
+    python tools/train.py <config> [--work-dir D] [--resume-from CKPT]
+        [--seed N] [--cfg-options k=v ...]
+
+plus TPU-native extras: ``--fake-data`` (synthetic batches for smoke),
+``--iters N`` (cap steps), ``--tiny`` (shrunken model for CPU dev).
+
+The mmcv Runner/hook machinery collapses into a plain epoch loop around one
+jitted train step on a data mesh (SURVEY.md §7 design stance).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument(
+        "--cfg-options", nargs="*", default=[], help="override config, key=val"
+    )
+    p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--iters", type=int, default=None, help="cap total steps")
+    p.add_argument("--tiny", action="store_true", help="shrink model (dev)")
+    p.add_argument("--no-validate", action="store_true")
+    return p.parse_args()
+
+
+def shrink_model(mc):
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["rpn_head"].update(feat_channels=32, stacked_convs=2)
+    mc["roi_head"]["bbox_head"]["fc_out_channels"] = 64
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=200, max_per_img=64)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 32
+    mc["test_cfg"]["rpn"].update(nms_pre=100, max_per_img=32)
+    return mc
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.coco import CocoDataset, DATASET_CLASSES
+    from boosting_rcnn_tpu.data.loader import DetDataLoader, FakeDetLoader
+    from boosting_rcnn_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from boosting_rcnn_tpu.engine.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        step_lr_schedule,
+    )
+    from boosting_rcnn_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        init_distributed,
+        replicated,
+        shard_batch,
+    )
+    from boosting_rcnn_tpu.utils.logging import (
+        JsonLogWriter,
+        collect_env,
+        get_root_logger,
+    )
+
+    init_distributed()
+    cfg = load_config(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+
+    work_dir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
+    )
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(work_dir, "train.log"))
+    jlog = JsonLogWriter(os.path.join(work_dir, "train.log.json"))
+    logger.info(f"env: {collect_env()}")
+    cfg.dump(os.path.join(work_dir, "config_dump.py"))
+
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+    mc = cfg.model.to_dict()
+    if args.tiny:
+        mc = shrink_model(mc)
+        dtype = jnp.float32
+    det = build_detector(mc, dtype=dtype)
+
+    data_cfg = cfg.data.to_dict()
+    pipeline = data_cfg["train"].get("pipeline", {})
+    canvas = tuple(pipeline.get("canvas", (800, 1344)))
+    if args.tiny:
+        canvas = (128, 160)
+    batch_per_host = data_cfg.get("samples_per_gpu", 2) * jax.local_device_count()
+
+    num_classes = mc["roi_head"]["bbox_head"]["num_classes"]
+    if args.fake_data:
+        loader = FakeDetLoader(
+            batch_size=batch_per_host,
+            canvas=canvas,
+            num_classes=num_classes,
+            num_batches=args.iters or 10,
+            seed=args.seed,
+        )
+        steps_per_epoch = len(loader)
+        val_ds = None
+    else:
+        train_ds = CocoDataset(
+            ann_file=data_cfg["train"]["ann_file"],
+            img_prefix=data_cfg["train"].get("img_prefix", ""),
+            classes=data_cfg["train"].get("classes"),
+        )
+        loader = DetDataLoader(
+            train_ds,
+            batch_size=batch_per_host,
+            canvas=canvas,
+            train=True,
+            flip_prob=pipeline.get("flip_prob", 0.5),
+            max_gt=pipeline.get("max_gt", 100),
+            seed=args.seed,
+            num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
+            mstrain_range=pipeline.get("mstrain_range"),
+        )
+        steps_per_epoch = max(len(loader), 1)
+        val_ds = None
+        if not args.no_validate:
+            val_ds = CocoDataset(
+                ann_file=data_cfg["val"]["ann_file"],
+                img_prefix=data_cfg["val"].get("img_prefix", ""),
+                classes=data_cfg["val"].get("classes"),
+                test_mode=True,
+            )
+        logger.info(f"train dataset: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
+
+    max_epochs = cfg.get("runner", {}).get("max_epochs", 12)
+    opt = cfg.optimizer.to_dict()
+    lrc = cfg.lr_config.to_dict()
+    grad_clip = (cfg.get("optimizer_config", {}) or {}).get("grad_clip") or {}
+
+    variables = det.init(jax.random.PRNGKey(args.seed), canvas)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info(f"model params: {n_params/1e6:.2f}M, canvas {canvas}")
+    anchors, nla = det.anchors_for(canvas)
+
+    sched = step_lr_schedule(
+        opt.get("lr", 0.02),
+        steps_per_epoch,
+        decay_epochs=lrc.get("step", [8, 11]),
+        warmup_iters=lrc.get("warmup_iters", 500),
+        warmup_ratio=lrc.get("warmup_ratio", 0.001),
+    )
+    tx = make_optimizer(
+        sched,
+        momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 1e-4),
+        grad_clip_norm=grad_clip.get("max_norm"),
+        params=variables["params"],
+        frozen_stages=mc["backbone"].get("frozen_stages", -1),
+    )
+    state = create_train_state(variables, tx)
+
+    init_cfg = mc["backbone"].get("init_cfg") or {}
+    if init_cfg.get("type") == "Pretrained" and not args.tiny:
+        ckpt = init_cfg.get("checkpoint", "")
+        try:
+            from tools.convert_torch_weights import load_pretrained_backbone
+
+            state = state.replace(
+                params=load_pretrained_backbone(ckpt, state.params)
+            )
+            logger.info(f"loaded pretrained backbone: {ckpt}")
+        except Exception as e:  # zero-egress envs have no torchvision zoo
+            logger.warning(f"pretrained backbone unavailable ({e}); random init")
+
+    start_epoch = 0
+    if args.resume_from:
+        state, meta = restore_checkpoint(args.resume_from, state)
+        start_epoch = int(meta.get("epoch", 0))
+        logger.info(f"resumed from {args.resume_from} at epoch {start_epoch}")
+
+    mesh = create_mesh()
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    state = jax.device_put(state, rep)
+    train_step = jax.jit(
+        make_train_step(det, anchors, nla),
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+    )
+    rng = jax.device_put(jax.random.PRNGKey(args.seed + 1), rep)
+
+    log_interval = cfg.get("log_config", {}).get("interval", 50)
+    total_steps = 0
+    t_start = time.time()
+    nan_guard_interval = 50  # CheckInvalidLossHook equivalent
+    for epoch in range(start_epoch, max_epochs):
+        t_epoch = time.time()
+        t_data = 0.0
+        t_last = time.time()
+        for it, batch in enumerate(loader.epoch_iter(epoch)):
+            batch.pop("ori_shape", None)
+            t_data += time.time() - t_last
+            sb = shard_batch(mesh, batch)
+            state, metrics = train_step(state, sb, rng)
+            total_steps += 1
+            if total_steps % log_interval == 0 or it == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(
+                    epoch=epoch,
+                    iter=it,
+                    lr=float(sched(total_steps)),
+                    time=(time.time() - t_epoch) / (it + 1),
+                    data_time=t_data / (it + 1),
+                )
+                logger.info(
+                    f"Epoch [{epoch}][{it}/{steps_per_epoch}] "
+                    + " ".join(f"{k}: {v:.4f}" for k, v in m.items() if k not in ("epoch", "iter"))
+                )
+                jlog.write({"mode": "train", **m})
+            if total_steps % nan_guard_interval == 0:
+                assert np.isfinite(float(metrics["loss"])), (
+                    f"non-finite loss at step {total_steps}"
+                )
+            t_last = time.time()
+            if args.iters and total_steps >= args.iters:
+                break
+        if jax.process_index() == 0:
+            save_checkpoint(
+                os.path.join(work_dir, f"epoch_{epoch+1}"),
+                jax.device_get(state),
+                meta={
+                    "epoch": epoch + 1,
+                    "step": int(state.step),
+                    "classes": list(
+                        data_cfg["train"].get("classes") or []
+                    ),
+                },
+            )
+        if val_ds is not None:
+            from boosting_rcnn_tpu.data.loader import DetDataLoader as DL
+            from boosting_rcnn_tpu.engine.eval import run_eval
+
+            vloader = DL(
+                val_ds, batch_size=batch_per_host, canvas=canvas, train=False
+            )
+            results = run_eval(
+                det,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                vloader,
+                anchors,
+                nla,
+                logger=logger,
+            )
+            metrics = val_ds.evaluate(results)
+            logger.info(f"Epoch [{epoch}] eval: {metrics}")
+            jlog.write({"mode": "val", "epoch": epoch, **metrics})
+        if args.iters and total_steps >= args.iters:
+            break
+    logger.info(f"done: {total_steps} steps in {time.time()-t_start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
