@@ -227,13 +227,91 @@ def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
     return module, head_cfg
 
 
+def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.dense_heads.atss_head import ATSSCfg, ATSSConvs
+    from .models.dense_heads.retina_head import RetinaCfg, RetinaConvs
+    from .models.detectors.single_stage import (
+        SingleStageDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    t = model_cfg["type"]
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    ag = build_anchor_generator(head["anchor_generator"])
+    num_anchors = len(ag.base_anchors[0])
+    means, stds = _coder_params(head.get("bbox_coder", {}))
+    num_classes = head.get("num_classes", 80)
+    loss_cls = head.get("loss_cls", {})
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    assigner = (model_cfg.get("train_cfg") or {}).get("assigner", {})
+    if t == "ATSS" or head.get("type") == "ATSSHead":
+        module = ATSSConvs(
+            num_classes=num_classes,
+            num_anchors=num_anchors,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            num_levels=len(ag.strides),
+            dtype=dtype,
+        )
+        hc = ATSSCfg(
+            num_classes=num_classes,
+            target_means=means,
+            target_stds=stds,
+            topk=assigner.get("topk", 9),
+            focal_gamma=loss_cls.get("gamma", 2.0),
+            focal_alpha=loss_cls.get("alpha", 0.25),
+            loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+            loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 2.0),
+        )
+        head_type = "atss"
+    else:
+        module = RetinaConvs(
+            num_classes=num_classes,
+            num_anchors=num_anchors,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            dtype=dtype,
+        )
+        hc = RetinaCfg(
+            num_classes=num_classes,
+            target_means=means,
+            target_stds=stds,
+            focal_gamma=loss_cls.get("gamma", 2.0),
+            focal_alpha=loss_cls.get("alpha", 0.25),
+            loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+            loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.0),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+            smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.0),
+        )
+        head_type = "retina"
+    net = SingleStageNet(backbone=backbone, neck=neck, head=module)
+    return SingleStageDetector(
+        net,
+        ag,
+        head_cfg=hc,
+        head_type=head_type,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
-) -> TwoStageDetector:
+):
     """Build a detector from a full (merged) model config dict."""
     model_cfg = copy.deepcopy(model_cfg)
     t = model_cfg["type"]
+    if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
+        return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
     test_cfg = model_cfg.get("test_cfg") or {}
     if t in ("FasterRCNN", "ProbTwoStage", "TwoStageDetector"):

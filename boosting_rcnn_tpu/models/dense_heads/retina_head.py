@@ -1,0 +1,177 @@
+"""RetinaNet head (spec: reference ``mmdet/models/dense_heads/
+retina_head.py`` + ``anchor_head.py`` target/loss/get_bboxes protocol).
+
+4-conv cls tower + 4-conv reg tower per level, A*C sigmoid class logits,
+A*4 deltas; MaxIoU(0.5/0.4) assignment over all anchors, focal loss with
+pmean'd positive-count normaliser, SmoothL1/L1 box loss.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import box_ops, losses as L
+from ...ops.assigners import max_iou_assign
+from ...ops.nms import multiclass_nms_padded
+
+
+class RetinaConvs(nn.Module):
+    num_classes: int = 80
+    num_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        cls_tower = [
+            nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"cls_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        reg_tower = [
+            nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"reg_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        conv_cls = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            bias_init=nn.initializers.constant(-4.595), dtype=self.dtype,
+            name="retina_cls",
+        )
+        conv_reg = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.dtype, name="retina_reg",
+        )
+        cls_out, reg_out = [], []
+        for x in feats:
+            c = x
+            r = x
+            for conv in cls_tower:
+                c = nn.relu(conv(c))
+            for conv in reg_tower:
+                r = nn.relu(conv(r))
+            cls_out.append(conv_cls(c))
+            reg_out.append(conv_reg(r).astype(jnp.float32))
+        return cls_out, reg_out, None
+
+
+@dataclasses.dataclass(frozen=True)
+class RetinaCfg:
+    num_classes: int = 80
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
+    smooth_l1_beta: float = 0.0  # 0 -> plain L1 (modern retinanet default)
+
+
+def retina_loss(
+    cfg: RetinaCfg,
+    cls_logits: jnp.ndarray,  # (B, A, C)
+    bbox_preds: jnp.ndarray,  # (B, A, 4)
+    anchors: jnp.ndarray,
+    valid: jnp.ndarray,  # (B, A)
+    gt_bboxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    axis_name: Optional[str] = None,
+):
+    b, a, c = cls_logits.shape
+
+    def targets(v, gb, gl, gm):
+        assign = max_iou_assign(
+            anchors, v, gb, gm, gt_labels=gl,
+            pos_iou_thr=cfg.pos_iou_thr, neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou, match_low_quality=True,
+        )
+        pos = assign.gt_inds > 0
+        neg = assign.gt_inds == 0
+        w = (pos | neg).astype(jnp.float32)
+        g = gb.shape[0]
+        safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
+        enc = box_ops.bbox2delta(anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6)
+        bt = jnp.where(pos[:, None], enc, 0.0)
+        labels = jnp.where(pos, assign.labels, cfg.num_classes)
+        return pos, w, bt, labels
+
+    pos, w, bt, labels = jax.vmap(targets)(valid, gt_bboxes, gt_labels, gt_mask)
+    num_pos = jnp.sum(pos.astype(jnp.float32))
+    if axis_name is not None:
+        num_pos = jax.lax.pmean(num_pos, axis_name)
+    num_total = jnp.maximum(num_pos, 1.0)
+
+    onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
+    loss_cls = (
+        L.sigmoid_focal_loss(
+            cls_logits.reshape(-1, c), onehot, weight=w.reshape(-1),
+            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha, avg_factor=num_total,
+        )
+        * cfg.loss_cls_weight
+    )
+    posf = pos.reshape(-1, 1).astype(jnp.float32)
+    if cfg.smooth_l1_beta > 0:
+        loss_bbox = L.smooth_l1_loss(
+            bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
+            beta=cfg.smooth_l1_beta, avg_factor=num_total,
+        )
+    else:
+        loss_bbox = L.l1_loss(
+            bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
+            avg_factor=num_total,
+        )
+    return {
+        "loss_cls": loss_cls,
+        "loss_bbox": loss_bbox * cfg.loss_bbox_weight,
+    }
+
+
+def retina_get_bboxes(
+    cfg: RetinaCfg,
+    cls_logits: jnp.ndarray,  # (A, C) single image
+    bbox_preds: jnp.ndarray,  # (A, 4)
+    anchors: jnp.ndarray,
+    num_level_anchors: Sequence[int],
+    img_shape: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    rescale: bool,
+    nms_pre: int = 1000,
+    score_thr: float = 0.05,
+    nms_iou_thr: float = 0.5,
+    max_per_img: int = 100,
+):
+    """Single-image detection decode (``anchor_head.py`` ``_get_bboxes``)."""
+    scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    sel_scores, sel_boxes = [], []
+    start = 0
+    for na in num_level_anchors:
+        s = jax.lax.dynamic_slice_in_dim(scores_all, start, na)  # (na, C)
+        bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
+        an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
+        k = min(nms_pre, na) if nms_pre > 0 else na
+        max_s = jnp.max(s, axis=-1)
+        _, ti = jax.lax.top_k(max_s, k)
+        boxes = box_ops.delta2bbox(
+            an[ti], bp[ti], cfg.target_means, cfg.target_stds, max_shape=img_shape
+        )
+        sel_scores.append(s[ti])
+        sel_boxes.append(boxes)
+        start += na
+    scores = jnp.concatenate(sel_scores)  # (K, C)
+    boxes = jnp.concatenate(sel_boxes)  # (K, 4)
+    if rescale:
+        boxes = boxes / scale_factor.reshape(1, 4)
+    # append a dummy bg column: multiclass_nms_padded takes fg-only scores
+    return multiclass_nms_padded(
+        boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
+        max_per_img=max_per_img,
+    )

@@ -1,0 +1,128 @@
+"""Single-stage detector assembly (RetinaNet / ATSS).
+
+Reference surface: ``mmdet/models/detectors/single_stage.py`` +
+``retinanet.py``/``atss.py`` wrappers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.anchors import AnchorGenerator
+from ..dense_heads.atss_head import ATSSCfg, atss_get_bboxes, atss_loss
+from ..dense_heads.atss_rpn_head import flatten_levels
+from ..dense_heads.retina_head import RetinaCfg, retina_get_bboxes, retina_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class SSTestCfg:
+    nms_pre: int = 1000
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_per_img: int = 100
+
+
+class SingleStageNet(nn.Module):
+    backbone: nn.Module
+    neck: nn.Module
+    head: nn.Module
+
+    def features(self, images):
+        return self.neck(self.backbone(images))
+
+    def __call__(self, images):
+        return self.head(self.features(images))
+
+
+class SingleStageDetector:
+    def __init__(
+        self,
+        net: SingleStageNet,
+        anchor_generator: AnchorGenerator,
+        head_cfg: Any,  # RetinaCfg | ATSSCfg
+        head_type: str,  # 'retina' | 'atss'
+        test_cfg: SSTestCfg = SSTestCfg(),
+    ):
+        self.net = net
+        self.anchor_generator = anchor_generator
+        self.head_cfg = head_cfg
+        self.head_type = head_type
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s[1]), math.ceil(canvas_hw[1] / s[0]))
+            for s in self.anchor_generator.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        fs = self.featmap_sizes(canvas_hw)
+        flat = self.anchor_generator.flat_anchors(fs)
+        nla = [a.shape[0] for a in self.anchor_generator.grid_anchors(fs)]
+        return jnp.asarray(flat), tuple(nla)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        cls_l, reg_l, extra_l = self.net.apply(variables, images)
+        c = self.head_cfg.num_classes
+        cls = flatten_levels(cls_l, c)
+        reg = flatten_levels(reg_l, 4)
+        extra = flatten_levels(extra_l, 1)[..., 0] if extra_l is not None else None
+        return cls, reg, extra
+
+    def loss(
+        self,
+        variables,
+        rng,
+        batch,
+        anchors,
+        num_level_anchors,
+        anchor_valid=None,
+        axis_name=None,
+    ):
+        images = batch["images"]
+        b = images.shape[0]
+        cls, reg, extra = self._flat_outs(variables, images)
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        if self.head_type == "atss":
+            return atss_loss(
+                self.head_cfg, cls, reg, extra, anchors, valid,
+                batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+                num_level_anchors, axis_name=axis_name,
+            )
+        return retina_loss(
+            self.head_cfg, cls, reg, anchors, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors, rescale=True):
+        images = batch["images"]
+        cls, reg, extra = self._flat_outs(variables, images)
+        tc = self.test_cfg
+        if self.head_type == "atss":
+            fn = lambda c_, r_, e_, shp, sf: atss_get_bboxes(
+                self.head_cfg, c_, r_, e_, anchors, num_level_anchors, shp, sf,
+                rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+                nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+            )
+            return jax.vmap(fn)(cls, reg, extra, batch["img_shape"], batch["scale_factor"])
+        fn = lambda c_, r_, shp, sf: retina_get_bboxes(
+            self.head_cfg, c_, r_, anchors, num_level_anchors, shp, sf,
+            rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])

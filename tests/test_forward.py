@@ -1,0 +1,115 @@
+"""Model forward/loss smoke tests over the config zoo.
+
+Mirrors the reference's test strategy (``tests/test_models/test_forward.py``:
+real configs shrunk to tiny backbones, synthetic `_demo_mm_inputs` batches,
+assert loss dict finite, then inference) — SURVEY.md §4.
+"""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boosting_rcnn_tpu.builder import build_detector
+from boosting_rcnn_tpu.config import load_config
+from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CANVAS = (128, 160)
+
+
+def shrink(mc):
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"]["in_channels"] = [8, 16, 32, 64]
+    mc["neck"]["out_channels"] = 32
+    head_key = "rpn_head" if "rpn_head" in mc else "bbox_head"
+    mc[head_key].update(feat_channels=32)
+    if "stacked_convs" in mc[head_key]:
+        mc[head_key]["stacked_convs"] = 2
+    if "roi_head" in mc:
+        mc["roi_head"]["bbox_head"]["fc_out_channels"] = 32
+        mc["train_cfg"]["rpn_proposal"].update(nms_pre=100, max_per_img=48)
+        mc["train_cfg"]["rcnn"]["sampler"]["num"] = 24
+        mc["test_cfg"]["rpn"].update(nms_pre=64, max_per_img=24)
+    else:
+        mc["test_cfg"]["nms_pre"] = 64
+    return mc
+
+
+def demo_batch(num_classes, b=2, g=5, seed=0):
+    loader = FakeDetLoader(
+        batch_size=b, canvas=CANVAS, num_classes=num_classes, max_gt=g,
+        seed=seed, num_batches=1,
+    )
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+CONFIGS = [
+    "configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py",
+    "configs/faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py",
+    "configs/retinanet/retinanet_r50_fpn_1x_coco.py",
+    "configs/atss/atss_r50_fpn_1x_coco.py",
+]
+
+
+@pytest.mark.parametrize("cfg_path", CONFIGS, ids=[os.path.basename(c) for c in CONFIGS])
+def test_forward_train_and_test(cfg_path):
+    cfg = load_config(os.path.join(REPO, cfg_path))
+    mc = shrink(cfg.model.to_dict())
+    if "roi_head" in mc:
+        num_classes = mc["roi_head"]["bbox_head"]["num_classes"]
+    else:
+        num_classes = mc["bbox_head"]["num_classes"]
+        mc["bbox_head"]["num_classes"] = num_classes = min(num_classes, 8)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(num_classes)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert losses, "no losses returned"
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (cfg_path, k, float(v))
+        assert float(v) >= 0, (cfg_path, k, float(v))
+    # cls losses must be positive on random inputs
+    cls_keys = [k for k in losses if "cls" in k]
+    assert any(float(losses[k]) > 0 for k in cls_keys)
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    dets = np.asarray(dets)
+    assert dets.ndim == 3 and dets.shape[-1] == 5
+    assert np.isfinite(dets[np.asarray(valid)]).all()
+
+
+@pytest.mark.parametrize("cfg_path", CONFIGS[:2], ids=[os.path.basename(c) for c in CONFIGS[:2]])
+def test_forward_empty_gt(cfg_path):
+    """Empty-GT edge case (reference ``test_forward.py:86-120``)."""
+    cfg = load_config(os.path.join(REPO, cfg_path))
+    mc = shrink(cfg.model.to_dict())
+    num_classes = (
+        mc["roi_head"]["bbox_head"]["num_classes"]
+        if "roi_head" in mc
+        else mc["bbox_head"]["num_classes"]
+    )
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(num_classes)
+    batch["gt_mask"] = jnp.zeros_like(batch["gt_mask"])
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (cfg_path, k, float(v))
+
+
+def test_all_configs_load():
+    """Config-zoo load test (reference ``test_config.py`` analog)."""
+    for path in glob.glob(os.path.join(REPO, "configs/*/*.py")):
+        if "_base_" in path:
+            continue
+        cfg = load_config(path)
+        assert "model" in cfg.to_dict(), path
+        assert "type" in cfg.model.to_dict(), path
