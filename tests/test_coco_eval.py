@@ -1,0 +1,108 @@
+"""Validation of the numpy COCO-style evaluator on constructed cases with
+known AP (the reference validates via pycocotools; absent here, we pin
+known-answer scenarios)."""
+import numpy as np
+
+from boosting_rcnn_tpu.core.evaluation.coco_eval import CocoStyleEval
+
+
+def mk_gt(boxes, labels):
+    return dict(
+        bboxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+        labels=np.asarray(labels, np.int64),
+        bboxes_ignore=np.zeros((0, 4), np.float32),
+    )
+
+
+def mk_res(dets, labels):
+    return (
+        np.asarray(dets, np.float32).reshape(-1, 5),
+        np.asarray(labels, np.int64),
+    )
+
+
+def test_perfect_detection_ap1():
+    gts = [mk_gt([[10, 10, 60, 60]], [0])]
+    results = [mk_res([[10, 10, 60, 60, 0.9]], [0])]
+    ev = CocoStyleEval(gts, results, num_classes=1)
+    s = ev.summarize()
+    assert s["AP"] == 1.0 and s["AP50"] == 1.0 and s["AP75"] == 1.0
+
+
+def test_miss_gives_zero():
+    gts = [mk_gt([[10, 10, 60, 60]], [0])]
+    results = [mk_res(np.zeros((0, 5)), np.zeros(0))]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    assert s["AP"] == 0.0
+
+
+def test_wrong_class_zero():
+    gts = [mk_gt([[10, 10, 60, 60]], [0])]
+    results = [mk_res([[10, 10, 60, 60, 0.9]], [1])]
+    s = CocoStyleEval(gts, results, num_classes=2).summarize()
+    assert s["AP"] == 0.0
+
+
+def test_half_iou_passes_only_low_thresholds():
+    # det IoU with gt = 50/150 ≈ 0.333 -> below every threshold: AP 0
+    gts = [mk_gt([[0, 0, 10, 10]], [0])]
+    results = [mk_res([[0, 5, 10, 15, 0.9]], [0])]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    assert s["AP"] == 0.0
+    # IoU ≈ 0.6 (shift by 2.5): passes 0.5/0.55/0.6, fails higher
+    gts = [mk_gt([[0, 0, 10, 10]], [0])]
+    results = [mk_res([[0, 2.5, 10, 12.5, 0.9]], [0])]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    assert s["AP50"] == 1.0
+    assert s["AP75"] == 0.0
+    assert 0.2 < s["AP"] < 0.4  # 3/10 thresholds pass
+
+
+def test_duplicate_detection_is_fp():
+    # one gt, two identical dets: 2nd is a FP; P@thresholds:
+    # precision envelope -> AP stays 1.0 at recall 1 reached by first det
+    gts = [mk_gt([[0, 0, 10, 10]], [0])]
+    results = [mk_res([[0, 0, 10, 10, 0.9], [0, 0, 10, 10, 0.8]], [0, 0])]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    assert s["AP50"] == 1.0
+
+
+def test_score_ordering_matters():
+    # two gts; high-scored FP then lower-scored TPs: precision at
+    # recall points is reduced
+    gts = [mk_gt([[0, 0, 10, 10], [20, 20, 30, 30]], [0, 0])]
+    results = [
+        mk_res(
+            [
+                [50, 50, 60, 60, 0.95],  # FP, highest score
+                [0, 0, 10, 10, 0.9],
+                [20, 20, 30, 30, 0.8],
+            ],
+            [0, 0, 0],
+        )
+    ]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    # precision after all 3: [0, 1/2, 2/3] -> envelope [2/3, 2/3, 2/3]
+    assert abs(s["AP50"] - 2 / 3) < 0.01
+
+
+def test_crowd_ignore_not_fp():
+    gt = mk_gt([[0, 0, 10, 10]], [0])
+    gt["bboxes_ignore"] = np.array([[100, 100, 150, 150]], np.float32)
+    results = [
+        mk_res(
+            [[0, 0, 10, 10, 0.9], [100, 100, 150, 150, 0.85]], [0, 0]
+        )
+    ]
+    s = CocoStyleEval([gt], results, num_classes=1).summarize()
+    # det on the ignore region must not count as FP
+    assert s["AP50"] == 1.0
+
+
+def test_area_ranges():
+    # small gt (16x16=256 < 32^2) only contributes to APs
+    gts = [mk_gt([[0, 0, 16, 16]], [0])]
+    results = [mk_res([[0, 0, 16, 16, 0.9]], [0])]
+    s = CocoStyleEval(gts, results, num_classes=1).summarize()
+    assert s["APs"] == 1.0
+    assert np.isnan(s["APl"])
