@@ -303,6 +303,91 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.detectors.cascade import CascadeDetector, CascadeNet
+    from .models.roi_heads.cascade_roi_head import CascadeCfg
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+        model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+    )
+    roi = model_cfg["roi_head"]
+    head_cfgs_list = roi["bbox_head"]
+    if isinstance(head_cfgs_list, dict):
+        head_cfgs_list = [head_cfgs_list] * roi.get("num_stages", 3)
+    modules, bbox_cfgs = [], []
+    for hcfg in head_cfgs_list:
+        m, bc = build_bbox_head(hcfg, dtype=dtype)
+        modules.append(m)
+        bbox_cfgs.append(bc)
+    extractor = roi.get("bbox_roi_extractor", {})
+    strides = tuple(extractor.get("featmap_strides", (4, 8, 16, 32)))
+    net = CascadeNet(
+        backbone=backbone,
+        neck=neck,
+        rpn=rpn_module,
+        bbox_heads=tuple(modules),
+        roi_strides=strides,
+        roi_finest_scale=extractor.get("finest_scale", 56),
+    )
+    rcnn_cfgs = train_cfg.get("rcnn", [])
+    if isinstance(rcnn_cfgs, dict):
+        rcnn_cfgs = [rcnn_cfgs]
+    stage_pos = tuple(
+        rc.get("assigner", {}).get("pos_iou_thr", thr)
+        for rc, thr in zip(
+            rcnn_cfgs + [{}] * 3, (0.5, 0.6, 0.7)
+        )
+    )[: roi.get("num_stages", 3)]
+    sampler = (rcnn_cfgs[0] if rcnn_cfgs else {}).get("sampler", {})
+    roi_cfg = ProbRoICfg(
+        boost=roi.get("boost", False),
+        prob=roi.get("type") == "ProbCascadeRoIHead",
+        gamma=roi.get("gamma", 0.1),
+        num_samples=sampler.get("num", 512),
+        pos_fraction=sampler.get("pos_fraction", 0.25),
+        add_gt_as_proposals=sampler.get("add_gt_as_proposals", True),
+    )
+    cascade_cfg = CascadeCfg(
+        num_stages=roi.get("num_stages", 3),
+        stage_loss_weights=tuple(roi.get("stage_loss_weights", (1.0, 0.5, 0.25))),
+        stage_pos_iou=stage_pos,
+        prob=roi.get("type") == "ProbCascadeRoIHead",
+        boost=roi.get("boost", False),
+        gamma=roi.get("gamma", 0.1),
+    )
+    rpn_prop = train_cfg.get("rpn_proposal", {})
+    rpn_test = test_cfg.get("rpn", {})
+    rcnn_test = test_cfg.get("rcnn", {})
+    return CascadeDetector(
+        net,
+        ag,
+        rpn_cfg=rpn_cfg,
+        roi_cfg=roi_cfg,
+        bbox_cfg=bbox_cfgs[0],
+        train_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_prop.get("nms_pre", 2000),
+            max_per_img=rpn_prop.get("max_per_img", 1000),
+            nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        test_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_test.get("nms_pre", 1000),
+            max_per_img=rpn_test.get("max_per_img", 1000),
+            nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        rcnn_test_cfg=RCNNTestCfg(
+            score_thr=rcnn_test.get("score_thr", 0.05),
+            nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=rcnn_test.get("max_per_img", 100),
+        ),
+        rpn_type=rpn_type,
+        cascade_cfg=cascade_cfg,
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -314,6 +399,8 @@ def build_detector(
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
     test_cfg = model_cfg.get("test_cfg") or {}
+    if t == "CascadeRCNN":
+        return build_cascade(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "ProbTwoStage", "TwoStageDetector"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)

@@ -29,9 +29,14 @@ def shrink(mc):
     if "stacked_convs" in mc[head_key]:
         mc[head_key]["stacked_convs"] = 2
     if "roi_head" in mc:
-        mc["roi_head"]["bbox_head"]["fc_out_channels"] = 32
+        bh = mc["roi_head"]["bbox_head"]
+        heads = bh if isinstance(bh, list) else [bh]
+        for h in heads:
+            h["fc_out_channels"] = 32
         mc["train_cfg"]["rpn_proposal"].update(nms_pre=100, max_per_img=48)
-        mc["train_cfg"]["rcnn"]["sampler"]["num"] = 24
+        rcnn = mc["train_cfg"]["rcnn"]
+        for rc in rcnn if isinstance(rcnn, list) else [rcnn]:
+            rc["sampler"]["num"] = 24
         mc["test_cfg"]["rpn"].update(nms_pre=64, max_per_img=24)
     else:
         mc["test_cfg"]["nms_pre"] = 64
@@ -53,6 +58,7 @@ CONFIGS = [
     "configs/faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py",
     "configs/retinanet/retinanet_r50_fpn_1x_coco.py",
     "configs/atss/atss_r50_fpn_1x_coco.py",
+    "configs/cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py",
 ]
 
 
@@ -61,7 +67,8 @@ def test_forward_train_and_test(cfg_path):
     cfg = load_config(os.path.join(REPO, cfg_path))
     mc = shrink(cfg.model.to_dict())
     if "roi_head" in mc:
-        num_classes = mc["roi_head"]["bbox_head"]["num_classes"]
+        bh = mc["roi_head"]["bbox_head"]
+        num_classes = (bh[0] if isinstance(bh, list) else bh)["num_classes"]
     else:
         num_classes = mc["bbox_head"]["num_classes"]
         mc["bbox_head"]["num_classes"] = num_classes = min(num_classes, 8)
