@@ -309,6 +309,10 @@ def atss_rpn_loss(
             ) * cfg.aug_loss_weight
             loss_bbox = (loss_bbox + loss_aug) * 0.5
     else:
+        # encoded-delta branch (COCO config): iou_target from decoded pairs,
+        # but the box loss is applied to the raw delta vectors with (N, 4)
+        # iou^gamma weights — reference ``loss_single`` else-branch
+        # (``atss_rpn_head.py:365-379``), including the CIoU-on-deltas quirk.
         decoded = _decode(cfg, anchors_b, bbox_preds).reshape(-1, 4)
         dec_t = _decode(cfg, anchors_b, bbox_targets).reshape(-1, 4)
         safe_t = jnp.where(posf[:, None] > 0, dec_t, decoded)
@@ -317,10 +321,19 @@ def atss_rpn_loss(
         )
         iou_target = jnp.where(posf > 0, iou_target, 0.0)
         w4 = jnp.maximum(iou_target**cfg.gamma, EPS)[:, None] * posf[:, None]
-        loss_bbox = L.smooth_l1_loss(
-            bbox_preds.reshape(-1, 4), bbox_targets.reshape(-1, 4),
-            weight=w4, avg_factor=1.0,
-        )
+        box_loss_fn = {
+            "iou": L.iou_loss,
+            "giou": L.giou_loss,
+            "diou": L.diou_loss,
+            "ciou": L.ciou_loss,
+            "smooth_l1": lambda p, t, weight, avg_factor: L.smooth_l1_loss(
+                p, t, weight=weight, avg_factor=avg_factor
+            ),
+            "l1": L.l1_loss,
+        }[cfg.loss_bbox_type]
+        flat_pred = bbox_preds.reshape(-1, 4)
+        flat_t = jnp.where(posf[:, None] > 0, bbox_targets.reshape(-1, 4), flat_pred)
+        loss_bbox = box_loss_fn(flat_pred, flat_t, weight=w4, avg_factor=1.0)
 
     bbox_avg = jnp.sum(iou_target)
     if axis_name is not None:

@@ -59,6 +59,7 @@ CONFIGS = [
     "configs/retinanet/retinanet_r50_fpn_1x_coco.py",
     "configs/atss/atss_r50_fpn_1x_coco.py",
     "configs/cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py",
+    "configs/boosting_rcnn/boosting_rcnn_r50_fpn_1x_coco.py",
 ]
 
 
