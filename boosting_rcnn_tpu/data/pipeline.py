@@ -60,14 +60,26 @@ def preprocess(
     sc = (max(scale), short_side_override) if short_side_override else scale
     nw, nh, f = rescale_size(w0, h0, sc)
     nw, nh = min(nw, canvas[1]), min(nh, canvas[0])
-    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    if to_rgb:
-        resized = resized[..., ::-1]
-    if flip:
-        resized = resized[:, ::-1]
 
-    out = np.zeros((*canvas, 3), np.float32)
-    out[:nh, :nw] = (resized.astype(np.float32) - mean) / std
+    # Native fused path (C++ resize+flip+normalize+pad); cv2 fallback.
+    out = None
+    if img.dtype == np.uint8:
+        try:
+            from native import native_preprocess
+
+            out = native_preprocess(
+                img, canvas, nh, nw, mean, std, to_rgb=to_rgb, flip=flip
+            )
+        except ImportError:
+            out = None
+    if out is None:
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if to_rgb:
+            resized = resized[..., ::-1]
+        if flip:
+            resized = resized[:, ::-1]
+        out = np.zeros((*canvas, 3), np.float32)
+        out[:nh, :nw] = (resized.astype(np.float32) - mean) / std
 
     # boxes
     w_scale = nw / w0
