@@ -91,6 +91,23 @@ def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("SwinTransformer")
+def build_swin(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.swin import SwinTransformer
+
+    return SwinTransformer(
+        embed_dims=cfg.get("embed_dims", 96),
+        depths=tuple(cfg.get("depths", (2, 2, 6, 2))),
+        num_heads=tuple(cfg.get("num_heads", (3, 6, 12, 24))),
+        window_size=cfg.get("window_size", 7),
+        patch_size=cfg.get("patch_size", 4),
+        mlp_ratio=cfg.get("mlp_ratio", 4.0),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        dtype=dtype,
+    )
+
+
 def build_backbone(cfg: Dict[str, Any], dtype=jnp.float32):
     cfg = copy.deepcopy(cfg)
     return BACKBONES.get(cfg.pop("type"))(cfg, dtype=dtype)

@@ -1,0 +1,79 @@
+"""Backbone shape/property tests (reference ``tests/test_models/test_backbones``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boosting_rcnn_tpu.models.backbones.resnet import ResNet
+from boosting_rcnn_tpu.models.backbones.swin import (
+    SwinTransformer,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def test_resnet50_shapes():
+    m = ResNet(depth=50, base_channels=8)
+    x = jnp.zeros((1, 64, 96, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert len(outs) == 4
+    # strides 4, 8, 16, 32; channels base*4*2^i for bottleneck
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 64 // (4 * 2**i), 96 // (4 * 2**i), 8 * 4 * 2**i)
+
+
+def test_resnet18_basic_blocks():
+    m = ResNet(depth=18, base_channels=8)
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert outs[-1].shape == (1, 1, 1, 64)
+
+
+def test_resnext_grouped():
+    m = ResNet(depth=50, base_channels=8, groups=4, base_width=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert outs[-1].shape[-1] == 8 * 4 * 8
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.rand(2, 14, 28, 5).astype(np.float32))
+    win = window_partition(x, 7)
+    assert win.shape == (2 * 2 * 4, 49, 5)
+    back = window_reverse(win, 7, 14, 28)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_shifted_mask_blocks_cross_region():
+    mask = shifted_window_mask(14, 14, 7, 3)
+    assert mask.shape == (4, 49, 49)
+    # first window (no boundary) fully visible
+    assert (mask[0] == 0).all()
+    # boundary windows must mask something
+    assert (mask[-1] < 0).any()
+
+
+def test_swin_tiny_shapes():
+    m = SwinTransformer(embed_dims=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8))
+    x = jnp.zeros((1, 56, 84, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert len(outs) == 4
+    assert outs[0].shape == (1, 14, 21, 16)
+    assert outs[1].shape == (1, 7, 11, 32)
+    assert outs[3].shape[-1] == 128
+    n = sum(v.size for v in jax.tree.leaves(vars_["params"]))
+    assert n > 0
+
+
+def test_swin_nondivisible_input():
+    # canvas not divisible by window*patch — padding must keep it working
+    m = SwinTransformer(embed_dims=8, depths=(1, 1), num_heads=(1, 2))
+    x = jnp.zeros((1, 50, 61, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert outs[0].shape[1:3] == (13, 16)  # ceil(50/4), ceil(61/4)
