@@ -418,7 +418,7 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
-    if t in ("FasterRCNN", "ProbTwoStage", "TwoStageDetector"):
+    if t in ("FasterRCNN", "MaskRCNN", "ProbTwoStage", "TwoStageDetector"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)
         rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
@@ -426,16 +426,32 @@ def build_detector(
         )
         roi = model_cfg["roi_head"]
         bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
+        mask_module = None
+        if roi.get("mask_head"):
+            from .models.roi_heads.mask_head import FCNMaskHead
+
+            mh = roi["mask_head"]
+            mask_module = FCNMaskHead(
+                num_classes=mh.get("num_classes", bbox_cfg.num_classes),
+                num_convs=mh.get("num_convs", 4),
+                conv_channels=mh.get("conv_out_channels", 256),
+                dtype=dtype,
+            )
         extractor = roi.get("bbox_roi_extractor", {})
         strides = tuple(extractor.get("featmap_strides", (8, 16, 32, 64, 128)))
         roi_layer = extractor.get("roi_layer", {})
+        mask_extractor = roi.get("mask_roi_extractor", {})
         net = TwoStageNet(
             backbone=backbone,
             neck=neck,
             rpn=rpn_module,
             bbox_head=bbox_module,
+            mask_head=mask_module,
             roi_strides=strides,
             roi_out_size=roi_layer.get("output_size", 7),
+            mask_roi_out_size=mask_extractor.get("roi_layer", {}).get(
+                "output_size", 14
+            ),
             roi_finest_scale=extractor.get("finest_scale", 56),
         )
         rcnn_train = train_cfg.get("rcnn", {})

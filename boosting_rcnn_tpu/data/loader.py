@@ -135,6 +135,8 @@ class FakeDetLoader:
         max_gt: int = 20,
         seed: int = 0,
         num_batches: int = 10,
+        with_masks: bool = False,
+        mask_crop_size: int = 28,
     ):
         self.batch_size = batch_size
         self.canvas = canvas
@@ -142,6 +144,8 @@ class FakeDetLoader:
         self.max_gt = max_gt
         self.seed = seed
         self.num_batches = num_batches
+        self.with_masks = with_masks
+        self.mask_crop_size = mask_crop_size
 
     def __len__(self):
         return self.num_batches
@@ -162,7 +166,7 @@ class FakeDetLoader:
             boxes[..., [0, 2]] = boxes[..., [0, 2]].clip(0, w)
             boxes[..., [1, 3]] = boxes[..., [1, 3]].clip(0, h)
             mask = np.arange(g)[None, :] < n[:, None]
-            yield dict(
+            out = dict(
                 images=rng.randn(b, h, w, 3).astype(np.float32),
                 gt_bboxes=boxes * mask[..., None],
                 gt_labels=(rng.randint(0, self.num_classes, (b, g)) * mask).astype(
@@ -173,3 +177,13 @@ class FakeDetLoader:
                 scale_factor=np.ones((b, 4), np.float32),
                 ori_shape=np.tile(np.array([h, w], np.int32), (b, 1)),
             )
+            if self.with_masks:
+                s = self.mask_crop_size
+                yy, xx = np.mgrid[0:s, 0:s]
+                circle = (
+                    ((yy - s / 2) ** 2 + (xx - s / 2) ** 2) < (s / 2.5) ** 2
+                ).astype(np.uint8)
+                out["gt_mask_crops"] = np.broadcast_to(
+                    circle, (b, g, s, s)
+                ).copy()
+            yield out

@@ -1,0 +1,102 @@
+"""Instance mask utilities (host side).
+
+Replaces the reference's ``BitmapMasks``/``PolygonMasks`` structures
+(``mmdet/core/mask/structures.py``) with a TPU-friendly representation:
+each gt instance carries a fixed-size binary crop rasterised **relative to
+its own box** (the TF-TPU Mask R-CNN trick).  Box-relative crops are
+scale-invariant, so resize needs no re-rasterisation and flips are a
+left-right mirror — and the on-device mask target becomes a pure bilinear
+resample (no dynamic shapes).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+MASK_CROP_SIZE = 112
+
+
+def polygons_to_box_crop(
+    polygons: Sequence[np.ndarray],
+    box: np.ndarray,  # (4,) xyxy in the same coords as the polygons
+    size: int = MASK_CROP_SIZE,
+) -> np.ndarray:
+    """Rasterise instance polygons into a (size, size) crop of ``box``."""
+    x1, y1, x2, y2 = box
+    w = max(x2 - x1, 1e-3)
+    h = max(y2 - y1, 1e-3)
+    out = np.zeros((size, size), np.uint8)
+    pts = []
+    for poly in polygons:
+        p = np.asarray(poly, np.float64).reshape(-1, 2).copy()
+        p[:, 0] = (p[:, 0] - x1) / w * size
+        p[:, 1] = (p[:, 1] - y1) / h * size
+        pts.append(np.round(p).astype(np.int32))
+    if pts and cv2 is not None:
+        cv2.fillPoly(out, pts, 1)
+    return out
+
+
+def rle_to_box_crop(rle, box, img_h, img_w, size: int = MASK_CROP_SIZE):
+    """COCO uncompressed RLE -> box crop (rare; crowd anns are ignore-only)."""
+    if isinstance(rle, dict) and isinstance(rle.get("counts"), list):
+        counts = rle["counts"]
+        h, w = rle["size"]
+        flat = np.zeros(h * w, np.uint8)
+        pos, val = 0, 0
+        for c in counts:
+            flat[pos : pos + c] = val
+            pos += c
+            val = 1 - val
+        full = flat.reshape(w, h).T
+        x1, y1, x2, y2 = [int(round(v)) for v in box]
+        x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+        crop = full[y1:y2, x1:x2]
+        if cv2 is not None and crop.size:
+            return cv2.resize(crop, (size, size), interpolation=cv2.INTER_NEAREST)
+    return np.zeros((size, size), np.uint8)
+
+
+def paste_mask(
+    mask28: np.ndarray,  # (m, m) float prob
+    box: np.ndarray,  # (4,) xyxy in output image coords
+    img_h: int,
+    img_w: int,
+    thr: float = 0.5,
+) -> np.ndarray:
+    """Paste a predicted RoI mask into the full image (reference
+    ``FCNMaskHead.get_seg_masks`` behaviour, host side)."""
+    x1, y1, x2, y2 = box
+    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+    x1i, y1i = max(x1i, 0), max(y1i, 0)
+    x2i, y2i = min(max(x2i, x1i + 1), img_w), min(max(y2i, y1i + 1), img_h)
+    out = np.zeros((img_h, img_w), np.uint8)
+    if x2i <= x1i or y2i <= y1i or cv2 is None:
+        return out
+    resized = cv2.resize(
+        mask28.astype(np.float32), (x2i - x1i, y2i - y1i),
+        interpolation=cv2.INTER_LINEAR,
+    )
+    out[y1i:y2i, x1i:x2i] = (resized > thr).astype(np.uint8)
+    return out
+
+
+def mask_iou_matrix(masks1: List[np.ndarray], masks2: List[np.ndarray]) -> np.ndarray:
+    """(N, M) IoU between binary bitmap lists."""
+    n, m = len(masks1), len(masks2)
+    out = np.zeros((n, m))
+    a1 = [m_.sum() for m_ in masks1]
+    a2 = [m_.sum() for m_ in masks2]
+    for i in range(n):
+        for j in range(m):
+            inter = np.logical_and(masks1[i], masks2[j]).sum()
+            union = a1[i] + a2[j] - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out

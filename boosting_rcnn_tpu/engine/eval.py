@@ -36,12 +36,16 @@ def run_eval(
     n_batches = 0
     for batch in loader.epoch_iter(0):
         batch.pop("ori_shape", None)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        dets, labels, valid = predict(variables, jb)
-        dets, labels, valid = map(np.asarray, (dets, labels, valid))
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "gt_mask_crops"}
+        out = predict(variables, jb)
+        dets, labels, valid = map(np.asarray, out[:3])
+        masks = np.asarray(out[3]) if len(out) > 3 else None
         for i in range(dets.shape[0]):
             m = valid[i]
-            results.append((dets[i][m], labels[i][m]))
+            if masks is not None:
+                results.append((dets[i][m], labels[i][m], masks[i][m]))
+            else:
+                results.append((dets[i][m], labels[i][m]))
         n_batches += 1
         if logger and n_batches % log_every == 0:
             logger.info(

@@ -89,14 +89,18 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = 35.0,
     params=None,
     frozen_stages: int = -1,
+    opt_type: str = "sgd",
 ):
-    """SGD + momentum + decoupled-equivalent L2 + global-norm clip
-    (reference optimizer_config: grad_clip max_norm 35)."""
+    """SGD+momentum (or AdamW for transformer backbones) + L2 + global-norm
+    clip (reference optimizer_config: grad_clip max_norm 35)."""
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(optax.sgd(learning_rate=lr_schedule, momentum=momentum))
+    if opt_type == "adamw":
+        chain.append(optax.adamw(learning_rate=lr_schedule, weight_decay=weight_decay))
+    else:
+        chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.sgd(learning_rate=lr_schedule, momentum=momentum))
     if frozen_stages >= 0 and params is not None:
         # zero the final update for frozen params (optax.masked passes
         # unmasked updates through *unchanged*, so the zeroing must be its

@@ -68,8 +68,10 @@ class TwoStageNet(nn.Module):
     neck: nn.Module
     rpn: nn.Module
     bbox_head: nn.Module
+    mask_head: Optional[nn.Module] = None
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
+    mask_roi_out_size: int = 14
     roi_sample_num: int = 2
     roi_finest_scale: int = 56
 
@@ -99,11 +101,33 @@ class TwoStageNet(nn.Module):
         cls, reg = self.bbox_head(pooled)
         return cls, reg
 
+    def mask_out(self, feats, rois, roi_valid):
+        """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
+        b, r, _ = rois.shape
+        pooled = jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align(
+                fl,
+                rb,
+                vb,
+                self.roi_strides,
+                out_size=self.mask_roi_out_size,
+                sample_num=self.roi_sample_num,
+                finest_scale=self.roi_finest_scale,
+                num_route_levels=len(self.roi_strides),
+            )
+        )(feats, rois, roi_valid)
+        pooled = pooled.reshape(
+            b * r, self.mask_roi_out_size, self.mask_roi_out_size, -1
+        )
+        return self.mask_head(pooled)
+
     def __call__(self, images, rois, roi_valid):
         """Init-time path touching every submodule."""
         feats = self.features(images)
         rpn_outs = self.rpn_out(feats)
         cls, reg = self.roi_out(feats, rois, roi_valid)
+        if self.mask_head is not None:
+            self.mask_out(feats, rois, roi_valid)
         return rpn_outs, cls, reg
 
 
@@ -251,6 +275,26 @@ class TwoStageDetector:
         roi_losses = prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
         losses["loss_cls"] = roi_losses["loss_cls"]
         losses["loss_bbox"] = roi_losses["loss_bbox"]
+
+        if self.net.mask_head is not None and "gt_mask_crops" in batch:
+            from ..roi_heads.mask_head import mask_loss, resample_mask_targets
+
+            mask_logits = self.net.apply(
+                variables, feats, sample.boxes, sample.valid & sample.is_pos,
+                method=TwoStageNet.mask_out,
+            )
+            targets = jax.vmap(
+                lambda crops, gb, rb, gi: resample_mask_targets(crops, gb, rb, gi)
+            )(
+                batch["gt_mask_crops"], batch["gt_bboxes"],
+                sample.boxes, sample.gt_idx,
+            )
+            losses["loss_mask"] = mask_loss(
+                mask_logits,
+                targets.reshape((-1,) + targets.shape[2:]),
+                jnp.where(flat.is_pos, flat.matched_label, 0),
+                flat.is_pos & flat.valid,
+            )
         return losses
 
     # ---------- inference ----------
@@ -296,4 +340,23 @@ class TwoStageDetector:
             prop_boxes, fused, reg_s, prop_valid,
             batch["img_shape"], batch["scale_factor"],
         )
+        if self.net.mask_head is not None:
+            # mask branch on the final detections, in padded-image coords
+            det_boxes = dets[..., :4]
+            if rescale:
+                det_boxes = det_boxes * batch["scale_factor"][:, None, :]
+            mask_logits = self.net.apply(
+                variables, feats, det_boxes, valid, method=TwoStageNet.mask_out,
+            )
+            m = mask_logits.shape[1]
+            c = mask_logits.shape[-1]
+            mask_logits = mask_logits.reshape(b, -1, m, m, c)
+            safe = jnp.clip(labels, 0, c - 1)
+            sel = jnp.take_along_axis(
+                mask_logits,
+                safe[:, :, None, None, None].repeat(m, 2).repeat(m, 3),
+                axis=-1,
+            )[..., 0]
+            masks = jax.nn.sigmoid(sel.astype(jnp.float32))  # (B, D, 28, 28)
+            return dets, labels, valid, masks
         return dets, labels, valid

@@ -1,0 +1,114 @@
+"""FCN mask head + TPU-native mask targets.
+
+Spec: reference ``mmdet/models/roi_heads/mask_heads/fcn_mask_head.py``
+(4x conv256 + 2x deconv + 1x1 per-class logits, BCE on the gt class) and
+``mmdet/core/mask/mask_target.py`` (28x28 targets cropped from gt masks by
+the sampled pos RoIs).
+
+TPU design: gt masks arrive as fixed (G, S, S) *box-relative* crops (see
+``data/mask_utils.py``); the per-RoI 28x28 target is a bilinear resample of
+the matched gt's crop under the RoI<->gt-box affine map — one fixed-shape
+gather instead of the reference's dynamic per-RoI cv2 crop-resize.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import losses as L
+
+
+class FCNMaskHead(nn.Module):
+    num_classes: int = 80
+    num_convs: int = 4
+    conv_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (R, 14, 14, C) -> (R, 28, 28, num_classes) logits."""
+        for i in range(self.num_convs):
+            x = nn.Conv(
+                self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                dtype=self.dtype, name=f"conv_{i}",
+            )(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(
+            self.conv_channels, (2, 2), strides=(2, 2), dtype=self.dtype,
+            name="upsample",
+        )(x)
+        x = nn.relu(x)
+        return nn.Conv(
+            self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits"
+        )(x).astype(jnp.float32)
+
+
+def resample_mask_targets(
+    gt_mask_crops: jnp.ndarray,  # (G, S, S) float/uint8 box-relative crops
+    gt_boxes: jnp.ndarray,  # (G, 4) the boxes the crops are relative to
+    roi_boxes: jnp.ndarray,  # (R, 4) sampled positive RoIs
+    roi_gt_idx: jnp.ndarray,  # (R,) matched gt index
+    out_size: int = 28,
+) -> jnp.ndarray:
+    """28x28 binary target for each RoI by bilinear-sampling its matched
+    gt's box-relative crop."""
+    g, s, _ = gt_mask_crops.shape
+    r = roi_boxes.shape[0]
+    crops = gt_mask_crops.astype(jnp.float32)[roi_gt_idx]  # (R, S, S)
+    gb = gt_boxes[roi_gt_idx]  # (R, 4)
+    gw = jnp.maximum(gb[:, 2] - gb[:, 0], 1e-3)
+    gh = jnp.maximum(gb[:, 3] - gb[:, 1], 1e-3)
+    # RoI pixel centers in image coords
+    frac = (jnp.arange(out_size) + 0.5) / out_size
+    rx = roi_boxes[:, 0:1] + frac[None, :] * (roi_boxes[:, 2:3] - roi_boxes[:, 0:1])
+    ry = roi_boxes[:, 1:2] + frac[None, :] * (roi_boxes[:, 3:4] - roi_boxes[:, 1:2])
+    # -> crop coords
+    cx = (rx - gb[:, 0:1]) / gw[:, None] * s - 0.5  # (R, out)
+    cy = (ry - gb[:, 1:2]) / gh[:, None] * s - 0.5
+
+    def sample_one(crop, cxr, cyr):
+        x = jnp.clip(cxr, 0.0, s - 1.0)
+        y = jnp.clip(cyr, 0.0, s - 1.0)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, s - 1)
+        y1 = jnp.minimum(y0 + 1, s - 1)
+        lx = x - x0
+        ly = y - y0
+        # outer-product the per-axis samples: (out, out)
+        v00 = crop[y0[:, None], x0[None, :]]
+        v01 = crop[y0[:, None], x1[None, :]]
+        v10 = crop[y1[:, None], x0[None, :]]
+        v11 = crop[y1[:, None], x1[None, :]]
+        w00 = (1 - ly)[:, None] * (1 - lx)[None, :]
+        w01 = (1 - ly)[:, None] * lx[None, :]
+        w10 = ly[:, None] * (1 - lx)[None, :]
+        w11 = ly[:, None] * lx[None, :]
+        return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+    out = jax.vmap(sample_one)(crops, cx, cy)
+    return (out >= 0.5).astype(jnp.float32)
+
+
+def mask_loss(
+    mask_logits: jnp.ndarray,  # (R, 28, 28, C)
+    mask_targets: jnp.ndarray,  # (R, 28, 28)
+    labels: jnp.ndarray,  # (R,)
+    pos_mask: jnp.ndarray,  # (R,)
+    loss_weight: float = 1.0,
+):
+    """BCE on the gt-class channel, averaged over positives (reference
+    ``fcn_mask_head.py`` ``loss``)."""
+    r, m, _, c = mask_logits.shape
+    safe = jnp.clip(labels, 0, c - 1)
+    logits = jnp.take_along_axis(
+        mask_logits, safe[:, None, None, None].repeat(m, 1).repeat(m, 2), axis=-1
+    )[..., 0]
+    elem = L.binary_cross_entropy_loss(logits, mask_targets, reduction="none")
+    posf = pos_mask.astype(jnp.float32)
+    num = jnp.maximum(jnp.sum(posf), 1.0)
+    return jnp.sum(elem * posf[:, None, None]) / (num * m * m) * loss_weight

@@ -68,6 +68,7 @@ class RoISample(NamedTuple):
     iou: jnp.ndarray  # (R,) |assigned max IoU| (quality variant)
     matched_gt: jnp.ndarray  # (R, 4)
     matched_label: jnp.ndarray  # (R,)
+    gt_idx: jnp.ndarray  # (R,) 0-based matched gt index (pos slots)
 
 
 def sample_rois(
@@ -141,7 +142,7 @@ def sample_rois(
     matched_label = jnp.where(res.is_pos, gt_labels[safe_gt], -1).astype(jnp.int32)
     return RoISample(
         boxes, res.is_pos, res.valid, jax.lax.stop_gradient(prior),
-        jax.lax.stop_gradient(iou), matched_gt, matched_label,
+        jax.lax.stop_gradient(iou), matched_gt, matched_label, safe_gt,
     )
 
 

@@ -1,0 +1,98 @@
+"""Mask R-CNN path tests: target resampling numerics + end-to-end forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import os
+
+import pytest
+
+from boosting_rcnn_tpu.models.roi_heads.mask_head import (
+    FCNMaskHead,
+    mask_loss,
+    resample_mask_targets,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_resample_identity():
+    """RoI == gt box -> target is the (resized) crop itself."""
+    s = 56
+    crop = np.zeros((s, s), np.float32)
+    crop[: s // 2] = 1.0  # top half on
+    gt_boxes = np.array([[10.0, 20.0, 50.0, 60.0]], np.float32)
+    roi = gt_boxes.copy()
+    t = np.asarray(
+        resample_mask_targets(crop[None], gt_boxes, roi, np.array([0]), out_size=28)
+    )
+    assert t.shape == (1, 28, 28)
+    np.testing.assert_array_equal(t[0, :13], 1.0)
+    np.testing.assert_array_equal(t[0, 15:], 0.0)
+
+
+def test_resample_shifted_roi():
+    """RoI covering the bottom half of the gt -> target all zeros there."""
+    s = 56
+    crop = np.zeros((s, s), np.float32)
+    crop[: s // 2] = 1.0
+    gt_boxes = np.array([[0.0, 0.0, 40.0, 40.0]], np.float32)
+    roi = np.array([[0.0, 20.0, 40.0, 40.0]], np.float32)  # bottom half
+    t = np.asarray(
+        resample_mask_targets(crop[None], gt_boxes, roi, np.array([0]), out_size=28)
+    )
+    assert t.sum() == 0
+    roi_top = np.array([[0.0, 0.0, 40.0, 20.0]], np.float32)
+    t2 = np.asarray(
+        resample_mask_targets(crop[None], gt_boxes, roi_top, np.array([0]), out_size=28)
+    )
+    assert (t2 == 1).all()
+
+
+def test_mask_head_shapes_and_loss():
+    head = FCNMaskHead(num_classes=4, conv_channels=16)
+    x = jnp.zeros((6, 14, 14, 8))
+    v = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(v, x)
+    assert out.shape == (6, 28, 28, 4)
+    targets = jnp.ones((6, 28, 28))
+    labels = jnp.array([0, 1, 2, 3, 0, 1])
+    pos = jnp.array([True, True, False, False, True, False])
+    l = mask_loss(out, targets, labels, pos)
+    assert np.isfinite(float(l)) and float(l) > 0
+
+
+def test_mask_rcnn_forward():
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+    from tests.test_forward import shrink, CANVAS
+
+    cfg = load_config(
+        os.path.join(REPO, "configs/mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py")
+    )
+    mc = shrink(cfg.model.to_dict())
+    mc["roi_head"]["mask_head"]["num_classes"] = 4
+    mc["roi_head"]["bbox_head"]["num_classes"] = 4
+    mc["roi_head"]["mask_head"]["conv_out_channels"] = 16
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+
+    loader = FakeDetLoader(
+        batch_size=2, canvas=CANVAS, num_classes=4, max_gt=5,
+        num_batches=1, with_masks=True,
+    )
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    out = det.predict(variables, batch, anchors, nla)
+    assert len(out) == 4
+    dets, labels, valid, masks = out
+    assert masks.shape[-2:] == (28, 28)
+    assert np.asarray(masks).min() >= 0 and np.asarray(masks).max() <= 1
