@@ -48,7 +48,13 @@ class CocoStyleEval:
         self.num_classes = num_classes
         self.max_dets = max_dets
 
-    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, gt_ignore_mask, area_rng):
+    def compute_iou(self, det_boxes, gt_boxes, gt_ig, img_idx, cls, det_sel):
+        """Det-vs-gt IoU for one (image, class); override for segm."""
+        return _iou(det_boxes, gt_boxes, gt_ig)
+
+    def _evaluate_img(
+        self, det_boxes, det_scores, gt_boxes, gt_ignore_mask, area_rng, ious
+    ):
         """Greedy matching for one (image, class, area-range).
 
         Returns (dt_matched (T, D), dt_ignore (T, D), num_valid_gt).
@@ -67,7 +73,7 @@ class CocoStyleEval:
         gt_order = np.argsort(gt_ig, kind="stable")
         gt_boxes = gt_boxes[gt_order]
         gt_ig = gt_ig[gt_order]
-        ious = _iou(det_boxes, gt_boxes, gt_ig)  # crowd==ignored here
+        ious = ious[:, gt_order]
 
         dt_m = np.zeros((t, d), dtype=np.int64) - 1
         gt_m = np.zeros((t, g), dtype=np.int64) - 1
@@ -115,7 +121,7 @@ class CocoStyleEval:
         for ki in range(k):
             per_img = []
             for img_idx, (gt, res) in enumerate(zip(self.gts, self.results)):
-                dets, labels = res
+                dets, labels = res[0], res[1]
                 m = labels == ki
                 db = dets[m, :4]
                 ds = dets[m, 4]
@@ -123,18 +129,20 @@ class CocoStyleEval:
                 gm = gt["labels"] == ki
                 gb = gt["bboxes"][gm]
                 gig = np.zeros(len(gb), dtype=bool)
-                if len(gt.get("bboxes_ignore", [])) and ki == 0:
-                    pass  # ignore regions are class-agnostic; appended below
                 ig_boxes = gt.get("bboxes_ignore", np.zeros((0, 4)))
                 gb_all = np.concatenate([gb, ig_boxes], axis=0)
                 gig_all = np.concatenate([gig, np.ones(len(ig_boxes), dtype=bool)])
-                per_img.append((db[order], ds[order], gb_all, gig_all, img_idx))
+                det_sel = np.where(m)[0][order]
+                ious = self.compute_iou(
+                    db[order], gb_all, gig_all, img_idx, ki, det_sel
+                )
+                per_img.append((db[order], ds[order], gb_all, gig_all, ious))
 
             for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
                 tps, igs, scores = [], [], []
                 npig = 0
-                for db, ds, gb, gig, _ in per_img:
-                    tp, dig, nv = self._evaluate_img(db, ds, gb, gig, arng)
+                for db, ds, gb, gig, ious in per_img:
+                    tp, dig, nv = self._evaluate_img(db, ds, gb, gig, arng, ious)
                     tps.append(tp)
                     igs.append(dig)
                     scores.append(ds)
@@ -171,6 +179,9 @@ class CocoStyleEval:
         if not hasattr(self, "precision"):
             self.accumulate()
 
+        return self._summarize_impl()
+
+    def _summarize_impl(self):
         def ap(iou_thr=None, area="all"):
             ai = list(AREA_RANGES).index(area)
             p = self.precision[:, :, :, ai]
@@ -195,3 +206,31 @@ class CocoStyleEval:
             "APl": ap(area="large"),
             "per_class_AP": per_class,
         }
+
+
+class SegmCocoStyleEval(CocoStyleEval):
+    """Mask-AP variant: det masks are box-relative 28x28 probability crops
+    (``results[i] = (dets, labels, mask_crops)``); gt masks come from COCO
+    segmentations rasterised on demand.  Area ranges use box areas (minor
+    deviation from COCOeval's segmentation areas, recorded here)."""
+
+    def compute_iou(self, det_boxes, gt_boxes, gt_ig, img_idx, cls, det_sel):
+        from ...data.mask_utils import crop_mask_iou, polygons_to_bitmap
+
+        gt = self.gts[img_idx]
+        res = self.results[img_idx]
+        h, w = int(gt["height"]), int(gt["width"])
+        crops = [res[2][j] for j in det_sel]
+        gm = gt["labels"] == cls
+        segs = [s for s, keep in zip(gt.get("segmentations", []), gm) if keep]
+        gt_bitmaps = [polygons_to_bitmap(s, h, w) for s in segs]
+        # appended ignore regions: treat the box area as the mask
+        n_ig = len(gt_boxes) - len(gt_bitmaps)
+        for bi in range(len(gt_bitmaps), len(gt_boxes)):
+            bm = np.zeros((h, w), np.uint8)
+            x1, y1, x2, y2 = [int(round(v)) for v in gt_boxes[bi]]
+            bm[max(y1, 0) : max(y2, 0), max(x1, 0) : max(x2, 0)] = 1
+            gt_bitmaps.append(bm)
+        return crop_mask_iou(
+            det_boxes, crops, gt_boxes, gt_bitmaps, gt_ig, h, w
+        )

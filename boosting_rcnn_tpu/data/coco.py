@@ -94,7 +94,7 @@ class CocoDataset:
         self.data_infos: List[dict] = []
         for img_id, im in imgs.items():
             anns = anns_by_img[img_id]
-            boxes, labels, ignore = [], [], []
+            boxes, labels, ignore, segs = [], [], [], []
             for a in anns:
                 x, y, w, h = a["bbox"]
                 if w < 1 or h < 1 or a.get("area", w * h) <= 0:
@@ -105,6 +105,7 @@ class CocoDataset:
                 else:
                     boxes.append(box)
                     labels.append(self.cat2label[a["category_id"]])
+                    segs.append(a.get("segmentation"))
             if (
                 not test_mode
                 and filter_empty_gt
@@ -120,6 +121,7 @@ class CocoDataset:
                     bboxes=np.asarray(boxes, np.float32).reshape(-1, 4),
                     labels=np.asarray(labels, np.int64),
                     bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+                    segmentations=segs,
                 )
             )
         # aspect-ratio group flag (reference ``custom.py:164``): 1 if w/h > 1
@@ -154,9 +156,10 @@ class CocoDataset:
         return out
 
     def evaluate(self, results, metric="bbox", classwise=False):
-        """COCO-style bbox mAP via the built-in numpy evaluator."""
-        from ..core.evaluation.coco_eval import CocoStyleEval
+        """COCO-style bbox (and segm) mAP via the built-in numpy evaluator."""
+        from ..core.evaluation.coco_eval import CocoStyleEval, SegmCocoStyleEval
 
+        metrics = [metric] if isinstance(metric, str) else list(metric)
         gts = [
             dict(
                 bboxes=d["bboxes"],
@@ -164,21 +167,34 @@ class CocoDataset:
                 bboxes_ignore=d["bboxes_ignore"],
                 width=d["width"],
                 height=d["height"],
+                segmentations=d.get("segmentations", []),
             )
             for d in self.data_infos
         ]
-        ev = CocoStyleEval(gts, results, num_classes=len(self.CLASSES))
-        stats = ev.summarize()
-        out = {
-            "bbox_mAP": stats["AP"],
-            "bbox_mAP_50": stats["AP50"],
-            "bbox_mAP_75": stats["AP75"],
-            "bbox_mAP_s": stats["APs"],
-            "bbox_mAP_m": stats["APm"],
-            "bbox_mAP_l": stats["APl"],
-        }
-        if classwise:
-            out["classwise"] = {
-                self.CLASSES[i]: ap for i, ap in enumerate(stats["per_class_AP"])
-            }
+        out = {}
+        if "bbox" in metrics:
+            ev = CocoStyleEval(gts, results, num_classes=len(self.CLASSES))
+            stats = ev.summarize()
+            out.update(
+                bbox_mAP=stats["AP"],
+                bbox_mAP_50=stats["AP50"],
+                bbox_mAP_75=stats["AP75"],
+                bbox_mAP_s=stats["APs"],
+                bbox_mAP_m=stats["APm"],
+                bbox_mAP_l=stats["APl"],
+            )
+            if classwise:
+                out["classwise"] = {
+                    self.CLASSES[i]: ap
+                    for i, ap in enumerate(stats["per_class_AP"])
+                }
+        if "segm" in metrics:
+            assert len(results[0]) >= 3, "segm eval needs mask results"
+            ev = SegmCocoStyleEval(gts, results, num_classes=len(self.CLASSES))
+            stats = ev.summarize()
+            out.update(
+                segm_mAP=stats["AP"],
+                segm_mAP_50=stats["AP50"],
+                segm_mAP_75=stats["AP75"],
+            )
         return out

@@ -35,6 +35,7 @@ class DetDataLoader:
         shard_id: int = 0,
         prefetch: int = 4,
         mstrain_range: Optional[Tuple[int, int]] = None,
+        with_masks: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -49,6 +50,7 @@ class DetDataLoader:
         self.shard_id = shard_id
         self.prefetch = prefetch
         self.mstrain_range = mstrain_range
+        self.with_masks = with_masks
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -85,6 +87,7 @@ class DetDataLoader:
             flip=flip,
             max_gt=self.max_gt,
             short_side_override=short,
+            segmentations=info.get("segmentations") if self.with_masks else None,
         )
 
     def __len__(self):

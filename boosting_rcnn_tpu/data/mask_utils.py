@@ -88,6 +88,62 @@ def paste_mask(
     return out
 
 
+def polygons_to_bitmap(segmentation, h: int, w: int) -> np.ndarray:
+    """COCO segmentation (polygon list or uncompressed RLE) -> (h, w) uint8."""
+    out = np.zeros((h, w), np.uint8)
+    if segmentation is None or cv2 is None:
+        return out
+    if isinstance(segmentation, dict):
+        counts = segmentation.get("counts")
+        if isinstance(counts, list):
+            sh, sw = segmentation["size"]
+            flat = np.zeros(sh * sw, np.uint8)
+            pos, val = 0, 0
+            for c in counts:
+                flat[pos : pos + c] = val
+                pos += c
+                val = 1 - val
+            return flat.reshape(sw, sh).T[:h, :w]
+        return out
+    pts = [
+        np.round(np.asarray(p, np.float64).reshape(-1, 2)).astype(np.int32)
+        for p in segmentation
+        if len(p) >= 6
+    ]
+    if pts:
+        cv2.fillPoly(out, pts, 1)
+    return out
+
+
+def crop_mask_iou(
+    boxes1: np.ndarray,  # (N, 4)
+    crops1: List[np.ndarray],  # N box-relative prob/binary crops
+    boxes2: np.ndarray,  # (M, 4)
+    bitmaps2: List[np.ndarray],  # M full-image bitmaps
+    iscrowd: np.ndarray,  # (M,)
+    img_h: int,
+    img_w: int,
+    thr: float = 0.5,
+) -> np.ndarray:
+    """(N, M) mask IoU with det masks given as box crops and gts as full
+    bitmaps; pastes each det once then compares."""
+    n, m = len(boxes1), len(bitmaps2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    det_full = [
+        paste_mask(crops1[i], boxes1[i], img_h, img_w, thr) for i in range(n)
+    ]
+    a1 = np.array([d.sum() for d in det_full], np.float64)
+    a2 = np.array([g.sum() for g in bitmaps2], np.float64)
+    out = np.zeros((n, m))
+    for i in range(n):
+        for j in range(m):
+            inter = np.logical_and(det_full[i], bitmaps2[j]).sum()
+            union = a1[i] if iscrowd[j] else a1[i] + a2[j] - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out
+
+
 def mask_iou_matrix(masks1: List[np.ndarray], masks2: List[np.ndarray]) -> np.ndarray:
     """(N, M) IoU between binary bitmap lists."""
     n, m = len(masks1), len(masks2)

@@ -55,6 +55,8 @@ def preprocess(
     std: np.ndarray = DEFAULT_STD,
     to_rgb: bool = True,
     short_side_override: Optional[int] = None,
+    segmentations: Optional[list] = None,
+    mask_crop_size: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     h0, w0 = img.shape[:2]
     sc = (max(scale), short_side_override) if short_side_override else scale
@@ -104,7 +106,29 @@ def preprocess(
     gt_labels[:n] = labels[:n]
     gt_mask[:n] = True
 
+    extra = {}
+    if segmentations is not None:
+        from .mask_utils import MASK_CROP_SIZE, polygons_to_box_crop, rle_to_box_crop
+
+        s = mask_crop_size or MASK_CROP_SIZE
+        crops = np.zeros((max_gt, s, s), np.uint8)
+        for i in range(n):
+            seg = segmentations[i]
+            if seg is None:
+                continue
+            # box-relative crops are scale-invariant: rasterise in ORIGINAL
+            # image coords against the original box, flip the crop if the
+            # image was flipped
+            if isinstance(seg, dict):
+                crops[i] = rle_to_box_crop(seg, bboxes[i], h0, w0, s)
+            else:
+                crops[i] = polygons_to_box_crop(seg, bboxes[i], s)
+            if flip:
+                crops[i] = crops[i][:, ::-1]
+        extra["gt_mask_crops"] = crops
+
     return dict(
+        **extra,
         images=out,
         gt_bboxes=gt_bboxes,
         gt_labels=gt_labels,

@@ -1,0 +1,115 @@
+"""Dataset round-trip tests with a fake COCO json (the reference's
+``_create_dummy_coco_json`` strategy, ``tests/test_data/test_datasets/
+test_common.py:21``)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from boosting_rcnn_tpu.data.coco import CocoDataset
+
+
+@pytest.fixture
+def fake_coco(tmp_path):
+    anns = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 100, "height": 80},
+            {"id": 2, "file_name": "b.jpg", "width": 120, "height": 90},
+        ],
+        "categories": [
+            {"id": 7, "name": "echinus"},
+            {"id": 9, "name": "starfish"},
+        ],
+        "annotations": [
+            {
+                "id": 1, "image_id": 1, "category_id": 7,
+                "bbox": [10, 10, 30, 20], "area": 600, "iscrowd": 0,
+                "segmentation": [[10, 10, 40, 10, 40, 30, 10, 30]],
+            },
+            {
+                "id": 2, "image_id": 1, "category_id": 9,
+                "bbox": [50, 40, 20, 20], "area": 400, "iscrowd": 0,
+                "segmentation": [[50, 40, 70, 40, 70, 60, 50, 60]],
+            },
+            {
+                "id": 3, "image_id": 2, "category_id": 7,
+                "bbox": [5, 5, 40, 40], "area": 1600, "iscrowd": 0,
+                "segmentation": [[5, 5, 45, 5, 45, 45, 5, 45]],
+            },
+            {  # crowd -> ignore region
+                "id": 4, "image_id": 2, "category_id": 7,
+                "bbox": [60, 60, 20, 20], "area": 400, "iscrowd": 1,
+                "segmentation": {"counts": [8100, 300], "size": [90, 120]},
+            },
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(anns))
+    return str(p)
+
+
+def test_dataset_parsing(fake_coco):
+    ds = CocoDataset(fake_coco, test_mode=True)
+    assert len(ds) == 2
+    assert ds.CLASSES == ("echinus", "starfish")
+    d0 = ds.data_infos[0]
+    np.testing.assert_allclose(d0["bboxes"], [[10, 10, 40, 30], [50, 40, 70, 60]])
+    np.testing.assert_array_equal(d0["labels"], [0, 1])
+    d1 = ds.data_infos[1]
+    assert len(d1["bboxes_ignore"]) == 1  # crowd
+    assert ds.flags.tolist() == [1, 1]  # both landscape
+
+
+def test_perfect_results_full_ap(fake_coco):
+    ds = CocoDataset(fake_coco, test_mode=True)
+    results = []
+    for d in ds.data_infos:
+        dets = np.concatenate(
+            [d["bboxes"], np.full((len(d["bboxes"]), 1), 0.9, np.float32)], axis=1
+        )
+        results.append((dets, d["labels"].copy()))
+    m = ds.evaluate(results)
+    assert m["bbox_mAP"] == 1.0 and m["bbox_mAP_50"] == 1.0
+
+
+def test_segm_eval_round_trip(fake_coco):
+    ds = CocoDataset(fake_coco, test_mode=True)
+    results = []
+    for d in ds.data_infos:
+        n = len(d["bboxes"])
+        dets = np.concatenate(
+            [d["bboxes"], np.full((n, 1), 0.9, np.float32)], axis=1
+        )
+        # perfect box-filling masks (the fake polygons ARE the boxes)
+        masks = np.ones((n, 28, 28), np.float32)
+        results.append((dets, d["labels"].copy(), masks))
+    m = ds.evaluate(results, metric=["bbox", "segm"])
+    assert m["bbox_mAP"] == 1.0
+    assert m["segm_mAP_50"] == 1.0
+
+
+def test_results_to_coco_json(fake_coco):
+    ds = CocoDataset(fake_coco, test_mode=True)
+    dets = np.array([[10, 10, 40, 30, 0.8]], np.float32)
+    out = ds.results_to_coco_json([(dets, np.array([0])), (np.zeros((0, 5)), np.zeros(0))])
+    assert out[0]["category_id"] == 7
+    assert out[0]["bbox"] == [10, 10, 30, 20]
+
+
+def test_filter_empty_gt(tmp_path):
+    anns = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 100, "height": 80},
+            {"id": 2, "file_name": "b.jpg", "width": 100, "height": 80},
+        ],
+        "categories": [{"id": 1, "name": "x"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10],
+             "area": 100, "iscrowd": 0}
+        ],
+    }
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(anns))
+    assert len(CocoDataset(str(p))) == 1  # train mode filters empty
+    assert len(CocoDataset(str(p), test_mode=True)) == 2
