@@ -91,6 +91,22 @@ def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("Res2Net")
+def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.res2net import Res2Net
+
+    return Res2Net(
+        depth=cfg.get("depth", 101),
+        num_stages=cfg.get("num_stages", 4),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        base_channels=cfg.get("base_channels", 64),
+        scales=cfg.get("scales", 4),
+        base_width=cfg.get("base_width", 26),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("SwinTransformer")
 def build_swin(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.swin import SwinTransformer

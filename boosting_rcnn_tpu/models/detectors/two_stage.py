@@ -59,6 +59,7 @@ class RCNNTestCfg:
     score_thr: float = 0.05
     nms_iou_thr: float = 0.7
     max_per_img: int = 100
+    nms_type: str = "nms"  # 'nms' | 'soft_nms' 
 
 
 class TwoStageNet(nn.Module):
@@ -335,6 +336,7 @@ class TwoStageDetector:
             lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
                 self.bbox_cfg, ro, sc, bp, shp, sf, rescale,
                 tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
+                nms_type=tc.nms_type,
             )
         )(
             prop_boxes, fused, reg_s, prop_valid,

@@ -181,6 +181,7 @@ def bbox_head_decode(
     nms_iou_thr: float,
     max_per_img: int,
     roi_valid: Optional[jnp.ndarray] = None,
+    nms_type: str = "nms",
 ):
     """Decode + multiclass NMS for one image (reference
     ``ProbConvFCBBoxHead.get_bboxes:294-330``)."""
@@ -205,4 +206,5 @@ def bbox_head_decode(
         iou_threshold=nms_iou_thr,
         max_per_img=max_per_img,
         valid=roi_valid,
+        nms_type=nms_type,
     )

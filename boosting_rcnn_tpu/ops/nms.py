@@ -28,7 +28,12 @@ from jax import lax
 
 from .box_ops import bbox_overlaps
 
-__all__ = ["nms_padded", "batched_nms_padded", "multiclass_nms_padded"]
+__all__ = [
+    "nms_padded",
+    "batched_nms_padded",
+    "multiclass_nms_padded",
+    "soft_nms_padded",
+]
 
 NEG_INF = -1e30
 
@@ -171,6 +176,10 @@ def multiclass_nms_padded(
     valid: Optional[jnp.ndarray] = None,
     pre_nms_top_k: int = 2048,
     tile: int = 256,
+    nms_type: str = "nms",  # 'nms' | 'soft_nms'
+    soft_sigma: float = 0.5,
+    soft_min_score: float = 1e-3,
+    soft_method: str = "linear",
 ):
     """Per-class NMS over ``(N, C)`` fg scores (bg already dropped).
 
@@ -206,11 +215,71 @@ def multiclass_nms_padded(
     top_labels = flat_labels[top_idx]
     top_valid = top_scores > NEG_INF / 2
 
-    ob, os, ov, oi = batched_nms_padded(
-        top_boxes, top_scores, top_labels, iou_threshold, max_per_img, top_valid, tile
-    )
+    if nms_type == "soft_nms":
+        # class-offset trick is exact for soft-NMS too: cross-class IoU = 0
+        # so decay never crosses classes.
+        max_coord = jnp.max(jnp.where(top_valid[:, None], top_boxes, 0.0))
+        shifted = top_boxes + (
+            top_labels.astype(top_boxes.dtype) * (max_coord + 1.0)
+        )[:, None]
+        _, os, ov, oi = soft_nms_padded(
+            shifted, top_scores, max_per_img,
+            iou_threshold=iou_threshold, sigma=soft_sigma,
+            min_score=soft_min_score, method=soft_method, valid=top_valid,
+        )
+        ob = jnp.where(ov[:, None], top_boxes[oi], 0.0)
+    else:
+        ob, os, ov, oi = batched_nms_padded(
+            top_boxes, top_scores, top_labels, iou_threshold, max_per_img,
+            top_valid, tile,
+        )
     out_labels = jnp.where(ov, top_labels[oi], 0)
     dets = jnp.concatenate(
         [ob, jnp.where(ov, os, 0.0)[:, None]], axis=-1
     )
     return dets, out_labels, ov
+
+
+def soft_nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    iou_threshold: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",  # 'linear' | 'gaussian'
+    valid: Optional[jnp.ndarray] = None,
+):
+    """Soft-NMS (reference option ``nms=dict(type='soft_nms', ...)`` in
+    test_cfg, handled by mmcv ``soft_nms``).
+
+    TPU-native form: soft-NMS is inherently sequential (the next pick depends
+    on decayed scores), but only ``max_out`` picks are ever kept — so run
+    exactly ``max_out`` argmax+decay steps, each a fixed-shape vector op.
+    Identical to full soft-NMS truncated to the top ``max_out`` survivors.
+
+    Returns (out_boxes, out_scores (decayed), out_valid, out_idx).
+    """
+    boxes = jnp.asarray(boxes)
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    s = jnp.where(valid, scores, NEG_INF)
+
+    def body(state, _):
+        s_cur = state
+        i = jnp.argmax(s_cur)
+        top_score = s_cur[i]
+        top_box = boxes[i]
+        ious = bbox_overlaps(top_box[None], boxes)[0]
+        if method == "gaussian":
+            decay = jnp.exp(-(ious**2) / sigma)
+        else:
+            decay = jnp.where(ious > iou_threshold, 1.0 - ious, 1.0)
+        s_new = s_cur * decay
+        s_new = s_new.at[i].set(NEG_INF)  # picked: remove from pool
+        return s_new, (top_box, top_score, i)
+
+    _, (ob, os_, oi) = lax.scan(body, s, None, length=max_out)
+    ov = os_ > jnp.maximum(min_score, 0.0)
+    return ob, jnp.where(ov, os_, NEG_INF), ov, jnp.where(ov, oi, 0)
