@@ -362,3 +362,92 @@ class TwoStageDetector:
             masks = jax.nn.sigmoid(sel.astype(jnp.float32))  # (B, D, 28, 28)
             return dets, labels, valid, masks
         return dets, labels, valid
+
+
+def _hflip_boxes(boxes: jnp.ndarray, img_w: jnp.ndarray) -> jnp.ndarray:
+    """Mirror xyxy boxes inside a valid width ``img_w`` (per image)."""
+    x1 = img_w - boxes[..., 2]
+    x2 = img_w - boxes[..., 0]
+    return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+
+
+def aug_predict(
+    detector: "TwoStageDetector",
+    variables,
+    batch: Dict[str, jnp.ndarray],
+    anchors: jnp.ndarray,
+    num_level_anchors: Tuple[int, ...],
+    rescale: bool = True,
+):
+    """Horizontal-flip test-time augmentation (the reference's
+    ``MultiScaleFlipAug`` + ``aug_test`` path, ``two_stage.py:184`` /
+    ``test_mixins.py``): proposals from both views are merged with NMS, both
+    views score the merged proposals, scores and decoded boxes are averaged,
+    then one multiclass NMS."""
+    from ...ops.nms import nms_padded
+
+    det = detector
+    images = batch["images"]
+    b = images.shape[0]
+    img_w = batch["img_shape"][:, 1]
+
+    flipped = images[:, :, ::-1]
+    feats1 = det.net.apply(variables, images, method=TwoStageNet.features)
+    feats2 = det.net.apply(variables, flipped, method=TwoStageNet.features)
+
+    # NOTE: the flipped view's valid region sits on the RIGHT of the canvas
+    # (canvas flip moves content), so its rpn proposals live in flipped
+    # coords; unflip maps them back to the original frame.
+    outs = []
+    for feats, is_flip in ((feats1, False), (feats2, True)):
+        cls, reg, iou = det._rpn_flat(variables, feats)
+        pb, ps, pv = det._proposals(
+            cls, reg, iou, anchors, num_level_anchors,
+            batch["img_shape"], det.test_proposal_cfg,
+        )
+        if is_flip:
+            canvas_w = float(images.shape[2])
+            pb = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(pb)
+        outs.append((pb, ps, pv))
+
+    # merge proposals across views (reference merge_aug_proposals: concat +
+    # NMS + keep max_per_img)
+    mb = jnp.concatenate([o[0] for o in outs], axis=1)
+    msc = jnp.concatenate([o[1] for o in outs], axis=1)
+    mv = jnp.concatenate([o[2] for o in outs], axis=1)
+    tcfg = det.test_proposal_cfg
+    pb, ps, pv, _ = jax.vmap(
+        lambda bx, sc, vd: nms_padded(
+            bx, sc, tcfg.nms_iou_thr, tcfg.max_per_img, valid=vd
+        )
+    )(mb, msc, mv)
+    ps = jnp.where(pv, ps, 0.0)
+
+    # score the merged proposals from both views
+    r = pb.shape[1]
+    canvas_w = float(images.shape[2])
+    fused_sum = 0.0
+    reg_ref = None
+    for feats, is_flip in ((feats1, False), (feats2, True)):
+        rois = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(pb) if is_flip else pb
+        cls_s, reg_s = det.net.apply(
+            variables, feats, rois, pv, method=TwoStageNet.roi_out
+        )
+        cls_s = cls_s.reshape(b, r, -1)
+        if det.roi_cfg.prob:
+            fused = jax.vmap(prob_fuse_scores)(cls_s, ps)
+        else:
+            fused = jax.nn.softmax(cls_s.astype(jnp.float32), axis=-1)
+        fused_sum = fused_sum + fused
+        if not is_flip:
+            reg_ref = reg_s.reshape(b, r, -1)
+    fused = fused_sum / 2.0
+
+    tc = det.rcnn_test_cfg
+    return jax.vmap(
+        lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
+            det.bbox_cfg, ro, sc, bp, shp, sf, rescale,
+            tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
+            nms_type=tc.nms_type,
+        )
+    )(pb, fused, reg_ref, pv, batch["img_shape"], batch["scale_factor"])

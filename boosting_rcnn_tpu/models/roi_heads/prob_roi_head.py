@@ -212,3 +212,67 @@ def prob_fuse_scores(cls_score: jnp.ndarray, prior: jnp.ndarray) -> jnp.ndarray:
     ``sqrt(softmax(cls) * prior)``."""
     p = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
     return jnp.sqrt(jnp.maximum(p * prior[:, None], 0.0))
+
+
+# ---------------------------------------------------------------------------
+# DyProbRoIHead: boosting + Dynamic R-CNN (reference ``prob_roi_head.py:
+# 473-623``).  The reference collects IoU/regression-error history lists and
+# rewrites the assigner threshold & SmoothL1 beta every
+# ``update_iter_interval`` python-side; in a jitted step that becomes a small
+# dynamic state updated with an EMA of the same statistics (equivalent
+# smoothing, no host round-trip).
+# ---------------------------------------------------------------------------
+
+
+class DynamicRCNNState(NamedTuple):
+    iou_thr: jnp.ndarray  # () current assigner threshold
+    beta: jnp.ndarray  # () current SmoothL1 beta
+
+
+def dynamic_rcnn_init(initial_iou: float = 0.4, initial_beta: float = 1.0):
+    return DynamicRCNNState(jnp.asarray(initial_iou), jnp.asarray(initial_beta))
+
+
+def dynamic_rcnn_update(
+    state: DynamicRCNNState,
+    sample: RoISample,
+    reg_error: jnp.ndarray,  # (R_total, 4) |pred - target| on positives
+    initial_iou: float = 0.4,
+    initial_beta: float = 1.0,
+    ema: float = 0.05,
+    kappa_iou_percentile: float = 75.0,
+    kappa_beta_percentile: float = 10.0,
+) -> DynamicRCNNState:
+    """Track the kth-percentile positive IoU and regression error and move
+    the working threshold/beta toward them (DynamicRCNN's KI/KE statistics)."""
+    posf = (sample.is_pos & sample.valid).astype(jnp.float32)
+    pos_iou = jnp.where(posf > 0, sample.iou, jnp.nan)
+    batch_iou = jnp.nanpercentile(pos_iou, kappa_iou_percentile)
+    batch_iou = jnp.where(jnp.isnan(batch_iou), state.iou_thr, batch_iou)
+    err = jnp.where(posf[:, None] > 0, reg_error, jnp.nan)
+    batch_beta = jnp.nanpercentile(err, kappa_beta_percentile)
+    batch_beta = jnp.where(jnp.isnan(batch_beta), state.beta, batch_beta)
+    new_iou = jnp.maximum(initial_iou, (1 - ema) * state.iou_thr + ema * batch_iou)
+    new_beta = jnp.minimum(initial_beta, (1 - ema) * state.beta + ema * batch_beta)
+    return DynamicRCNNState(new_iou, new_beta)
+
+
+def sample_rois_dynamic(
+    cfg: ProbRoICfg,
+    rng: jax.Array,
+    proposals, prop_scores, prop_valid, gt_bboxes, gt_mask, gt_labels,
+    iou_thr: jnp.ndarray,
+):
+    """``sample_rois`` with a traced (dynamic) assigner threshold."""
+    import dataclasses as _dc
+
+    # thresholds flow into jnp comparisons, so traced scalars are fine; the
+    # dataclass just carries them.
+    dyn_cfg = _dc.replace(cfg)
+    object.__setattr__(dyn_cfg, "pos_iou_thr", iou_thr)
+    object.__setattr__(dyn_cfg, "neg_iou_thr", iou_thr)
+    object.__setattr__(dyn_cfg, "min_pos_iou", iou_thr)
+    return sample_rois(
+        dyn_cfg, rng, proposals, prop_scores, prop_valid,
+        gt_bboxes, gt_mask, gt_labels,
+    )
