@@ -1,0 +1,249 @@
+"""Extended train-time augmentations (host side, numpy/cv2).
+
+Reference surface: ``mmdet/datasets/pipelines/transforms.py`` —
+``PhotoMetricDistortion``, ``Expand``, ``MinIoURandomCrop``, ``RandomCrop``,
+``CutOut``, ``Mosaic``/``MixUp`` (YOLOX-style).  These run before the fused
+resize/normalize/pad stage, on uint8 BGR images + float boxes.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def photo_metric_distortion(
+    img: np.ndarray,
+    rng: np.random.RandomState,
+    brightness_delta: int = 32,
+    contrast_range: Tuple[float, float] = (0.5, 1.5),
+    saturation_range: Tuple[float, float] = (0.5, 1.5),
+    hue_delta: int = 18,
+) -> np.ndarray:
+    """Random brightness/contrast/saturation/hue (uint8 BGR in/out)."""
+    img = img.astype(np.float32)
+    if rng.randint(2):
+        img += rng.uniform(-brightness_delta, brightness_delta)
+    mode = rng.randint(2)
+    if mode == 1 and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+    if cv2 is not None:
+        hsv = cv2.cvtColor(img.clip(0, 255).astype(np.uint8), cv2.COLOR_BGR2HSV).astype(
+            np.float32
+        )
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(*saturation_range)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) % 180
+        img = cv2.cvtColor(
+            hsv.clip(0, 255).astype(np.uint8), cv2.COLOR_HSV2BGR
+        ).astype(np.float32)
+    if mode == 0 and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def expand(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.RandomState,
+    mean: Sequence[float] = (123.675, 116.28, 103.53),
+    ratio_range: Tuple[float, float] = (1, 4),
+    prob: float = 0.5,
+):
+    """Place the image on a larger mean-filled canvas (SSD-style zoom-out)."""
+    if rng.rand() > prob:
+        return img, boxes
+    h, w = img.shape[:2]
+    ratio = rng.uniform(*ratio_range)
+    nh, nw = int(h * ratio), int(w * ratio)
+    top = rng.randint(0, nh - h + 1)
+    left = rng.randint(0, nw - w + 1)
+    out = np.empty((nh, nw, 3), img.dtype)
+    out[...] = np.asarray(mean[::-1], img.dtype)  # BGR mean fill
+    out[top : top + h, left : left + w] = img
+    b = boxes.copy()
+    if len(b):
+        b[:, [0, 2]] += left
+        b[:, [1, 3]] += top
+    return out, b
+
+
+def min_iou_random_crop(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    labels: np.ndarray,
+    rng: np.random.RandomState,
+    min_ious: Sequence[float] = (0.1, 0.3, 0.5, 0.7, 0.9),
+    min_crop_size: float = 0.3,
+    max_tries: int = 50,
+):
+    """SSD-style IoU-constrained random crop."""
+    h, w = img.shape[:2]
+    modes = (1, *min_ious, 0)
+    while True:
+        mode = modes[rng.randint(len(modes))]
+        if mode == 1:
+            return img, boxes, labels
+        for _ in range(max_tries):
+            nw = rng.uniform(min_crop_size * w, w)
+            nh = rng.uniform(min_crop_size * h, h)
+            if nh / nw < 0.5 or nh / nw > 2:
+                continue
+            left = rng.uniform(0, w - nw)
+            top = rng.uniform(0, h - nh)
+            patch = np.array([left, top, left + nw, top + nh])
+            if len(boxes):
+                lt = np.maximum(boxes[:, :2], patch[:2])
+                rb = np.minimum(boxes[:, 2:], patch[2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                ious = inter / np.maximum(area, 1e-6)
+                if mode > 0 and ious.min() < mode:
+                    continue
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = (
+                    (centers[:, 0] > patch[0])
+                    & (centers[:, 1] > patch[1])
+                    & (centers[:, 0] < patch[2])
+                    & (centers[:, 1] < patch[3])
+                )
+                if not keep.any():
+                    continue
+                nb = boxes[keep].copy()
+                nb[:, :2] = np.maximum(nb[:, :2], patch[:2]) - patch[:2]
+                nb[:, 2:] = np.minimum(nb[:, 2:], patch[2:]) - patch[:2]
+                nl = labels[keep]
+            else:
+                nb, nl = boxes, labels
+            x1, y1, x2, y2 = patch.astype(int)
+            return img[y1:y2, x1:x2], nb, nl
+
+
+def random_crop(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    labels: np.ndarray,
+    rng: np.random.RandomState,
+    crop_size: Tuple[int, int],
+):
+    """Plain random crop keeping boxes whose center survives."""
+    h, w = img.shape[:2]
+    ch, cw = min(crop_size[0], h), min(crop_size[1], w)
+    top = rng.randint(0, h - ch + 1)
+    left = rng.randint(0, w - cw + 1)
+    img = img[top : top + ch, left : left + cw]
+    if len(boxes):
+        b = boxes.copy()
+        b[:, [0, 2]] -= left
+        b[:, [1, 3]] -= top
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, cw)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, ch)
+        keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        return img, b[keep], labels[keep]
+    return img, boxes, labels
+
+
+def cutout(
+    img: np.ndarray,
+    rng: np.random.RandomState,
+    n_holes: Tuple[int, int] = (1, 3),
+    cutout_ratio: Tuple[float, float] = (0.05, 0.2),
+    fill: Sequence[float] = (0, 0, 0),
+):
+    h, w = img.shape[:2]
+    img = img.copy()
+    for _ in range(rng.randint(n_holes[0], n_holes[1] + 1)):
+        rw = int(w * rng.uniform(*cutout_ratio))
+        rh = int(h * rng.uniform(*cutout_ratio))
+        x = rng.randint(0, max(w - rw, 1))
+        y = rng.randint(0, max(h - rh, 1))
+        img[y : y + rh, x : x + rw] = np.asarray(fill, img.dtype)
+    return img
+
+
+def mosaic(
+    imgs: List[np.ndarray],
+    boxes: List[np.ndarray],
+    labels: List[np.ndarray],
+    rng: np.random.RandomState,
+    out_size: Tuple[int, int] = (640, 640),
+    center_ratio: Tuple[float, float] = (0.5, 1.5),
+    pad_val: int = 114,
+):
+    """4-image mosaic (reference ``transforms.py:1948``)."""
+    assert len(imgs) == 4
+    oh, ow = out_size
+    canvas = np.full((oh * 2, ow * 2, 3), pad_val, np.uint8)
+    cx = int(rng.uniform(*center_ratio) * ow)
+    cy = int(rng.uniform(*center_ratio) * oh)
+    out_boxes, out_labels = [], []
+    placements = [
+        (max(cx - 0, 0), max(cy - 0, 0), "tl"),
+    ]
+    corners = ["tl", "tr", "bl", "br"]
+    for img, b, l, corner in zip(imgs, boxes, labels, corners):
+        h, w = img.shape[:2]
+        scale = min(2 * oh / h, 2 * ow / w, 1.0)
+        nw, nh = int(w * scale), int(h * scale)
+        if cv2 is not None and (nw, nh) != (w, h):
+            img = cv2.resize(img, (nw, nh))
+        if corner == "tl":
+            x1, y1 = max(cx - nw, 0), max(cy - nh, 0)
+            x2, y2 = cx, cy
+        elif corner == "tr":
+            x1, y1 = cx, max(cy - nh, 0)
+            x2, y2 = min(cx + nw, 2 * ow), cy
+        elif corner == "bl":
+            x1, y1 = max(cx - nw, 0), cy
+            x2, y2 = cx, min(cy + nh, 2 * oh)
+        else:
+            x1, y1 = cx, cy
+            x2, y2 = min(cx + nw, 2 * ow), min(cy + nh, 2 * oh)
+        pw, ph = x2 - x1, y2 - y1
+        if pw <= 0 or ph <= 0:
+            continue
+        canvas[y1:y2, x1:x2] = img[:ph, :pw] if corner in ("br",) else img[
+            nh - ph :, nw - pw :
+        ] if corner == "tl" else img[nh - ph :, :pw] if corner == "bl" else img[
+            :ph, nw - pw :
+        ]
+        if len(b):
+            bb = b * scale
+            if corner == "tl":
+                off = (x2 - nw, y2 - nh)
+            elif corner == "tr":
+                off = (x1, y2 - nh)
+            elif corner == "bl":
+                off = (x2 - nw, y1)
+            else:
+                off = (x1, y1)
+            bb = bb + np.array([off[0], off[1], off[0], off[1]])
+            bb[:, [0, 2]] = bb[:, [0, 2]].clip(0, 2 * ow)
+            bb[:, [1, 3]] = bb[:, [1, 3]].clip(0, 2 * oh)
+            keep = (bb[:, 2] > bb[:, 0]) & (bb[:, 3] > bb[:, 1])
+            out_boxes.append(bb[keep])
+            out_labels.append(l[keep])
+    ob = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
+    ol = np.concatenate(out_labels) if out_labels else np.zeros((0,), np.int64)
+    return canvas, ob.astype(np.float32), ol
+
+
+def mixup(
+    img1, boxes1, labels1, img2, boxes2, labels2, rng, ratio: float = 0.5
+):
+    """Two-image mixup (reference ``transforms.py:2197`` simplified)."""
+    h = max(img1.shape[0], img2.shape[0])
+    w = max(img1.shape[1], img2.shape[1])
+    out = np.zeros((h, w, 3), np.float32)
+    out[: img1.shape[0], : img1.shape[1]] += img1.astype(np.float32) * ratio
+    out[: img2.shape[0], : img2.shape[1]] += img2.astype(np.float32) * (1 - ratio)
+    boxes = np.concatenate([boxes1, boxes2]).astype(np.float32)
+    labels = np.concatenate([labels1, labels2])
+    return out.clip(0, 255).astype(np.uint8), boxes, labels

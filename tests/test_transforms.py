@@ -1,0 +1,75 @@
+"""Pipeline transform tests (reference ``tests/test_data/test_pipelines``)."""
+import numpy as np
+import pytest
+
+from boosting_rcnn_tpu.data import transforms as T
+
+
+@pytest.fixture
+def img(rng):
+    return (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+
+
+def test_photo_metric_distortion_shape(img):
+    rng = np.random.RandomState(1)
+    out = T.photo_metric_distortion(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_expand_boxes_shift(img):
+    rng = np.random.RandomState(0)
+    boxes = np.array([[10, 10, 30, 30]], np.float32)
+    out, b = T.expand(img, boxes, rng, prob=1.0)
+    assert out.shape[0] >= img.shape[0] and out.shape[1] >= img.shape[1]
+    # box stays the same size, shifted inside the new canvas
+    np.testing.assert_allclose(b[0, 2] - b[0, 0], 20)
+    assert b[0, 0] >= 0 and b[0, 2] <= out.shape[1]
+
+
+def test_min_iou_random_crop_keeps_center_boxes(img):
+    rng = np.random.RandomState(3)
+    boxes = np.array([[20, 20, 40, 40]], np.float32)
+    labels = np.array([2])
+    out, b, l = T.min_iou_random_crop(img, boxes, labels, rng)
+    assert out.ndim == 3
+    assert len(b) == len(l)
+    if len(b):
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def test_random_crop(img):
+    rng = np.random.RandomState(0)
+    boxes = np.array([[10, 10, 30, 30], [70, 50, 79, 59]], np.float32)
+    labels = np.array([0, 1])
+    out, b, l = T.random_crop(img, boxes, labels, rng, (40, 50))
+    assert out.shape[:2] == (40, 50)
+    assert len(b) == len(l) <= 2
+
+
+def test_cutout(img):
+    rng = np.random.RandomState(0)
+    out = T.cutout(img, rng)
+    assert out.shape == img.shape
+    assert (out != img).any()
+
+
+def test_mosaic(rng):
+    imgs = [(rng.rand(50, 60, 3) * 255).astype(np.uint8) for _ in range(4)]
+    boxes = [np.array([[5, 5, 20, 20]], np.float32) for _ in range(4)]
+    labels = [np.array([i]) for i in range(4)]
+    r = np.random.RandomState(0)
+    canvas, b, l = T.mosaic(imgs, boxes, labels, r, out_size=(64, 64))
+    assert canvas.shape == (128, 128, 3)
+    assert len(b) == len(l)
+    if len(b):
+        assert (b >= 0).all() and (b[:, [0, 2]] <= 128).all()
+
+
+def test_mixup(rng):
+    i1 = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    i2 = (rng.rand(50, 30, 3) * 255).astype(np.uint8)
+    b1 = np.array([[0, 0, 10, 10]], np.float32)
+    b2 = np.array([[5, 5, 15, 15]], np.float32)
+    out, b, l = T.mixup(i1, b1, np.array([0]), i2, b2, np.array([1]), np.random.RandomState(0))
+    assert out.shape == (50, 40, 3)
+    assert len(b) == 2 and len(l) == 2
