@@ -113,11 +113,13 @@ def test_forward_empty_gt(cfg_path):
         assert np.isfinite(float(v)), (cfg_path, k, float(v))
 
 
-def test_all_configs_load():
-    """Config-zoo load test (reference ``test_config.py`` analog)."""
+def test_all_configs_load_and_build():
+    """Config-zoo test: every config must load AND build a detector
+    (reference ``test_config.py`` builds every config)."""
     for path in glob.glob(os.path.join(REPO, "configs/*/*.py")):
         if "_base_" in path:
             continue
         cfg = load_config(path)
         assert "model" in cfg.to_dict(), path
-        assert "type" in cfg.model.to_dict(), path
+        det = build_detector(cfg.model.to_dict())
+        assert det is not None, path
