@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from boosting_rcnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_IMG_PER_S = 21.4
 
 
