@@ -126,3 +126,41 @@ def inference_detector(
         ]
         outs.append(per_class)
     return outs[0] if single else outs
+
+
+def train_detector(
+    config,
+    work_dir: str = "work_dirs/api_run",
+    fake_data: bool = False,
+    max_iters: Optional[int] = None,
+    seed: int = 0,
+    tiny: bool = False,
+):
+    """Programmatic training entry (reference ``apis/train.py:38``
+    ``train_detector``); thin wrapper over the tools/train.py loop."""
+    import sys
+
+    from .config import Config, load_config
+
+    cfg = load_config(config) if isinstance(config, str) else config
+    argv_backup = sys.argv
+    try:
+        sys.argv = [
+            "train.py",
+            cfg.filename or config,
+            "--work-dir",
+            work_dir,
+            "--seed",
+            str(seed),
+        ]
+        if fake_data:
+            sys.argv.append("--fake-data")
+        if tiny:
+            sys.argv.append("--tiny")
+        if max_iters:
+            sys.argv.extend(["--iters", str(max_iters)])
+        from tools.train import main as train_main
+
+        train_main()
+    finally:
+        sys.argv = argv_backup
