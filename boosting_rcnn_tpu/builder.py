@@ -428,6 +428,8 @@ def build_detector(
     """Build a detector from a full (merged) model config dict."""
     model_cfg = copy.deepcopy(model_cfg)
     t = model_cfg["type"]
+    if t == "FCOS":
+        return build_fcos(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -519,3 +521,47 @@ def build_detector(
             rpn_type=rpn_type,
         )
     raise KeyError(f"unknown detector type {t}")
+
+
+def build_fcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.dense_heads.fcos_head import FCOSCfg, FCOSConvs
+    from .models.detectors.single_stage import (
+        FCOSDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    strides = tuple(head.get("strides", (8, 16, 32, 64, 128)))
+    loss_cls = head.get("loss_cls", {})
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=FCOSConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            num_levels=len(strides),
+            dtype=dtype,
+        ),
+    )
+    hc = FCOSCfg(
+        num_classes=num_classes,
+        strides=strides,
+        center_sampling=head.get("center_sampling", False),
+        focal_gamma=loss_cls.get("gamma", 2.0),
+        focal_alpha=loss_cls.get("alpha", 0.25),
+        loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.0),
+    )
+    return FCOSDetector(
+        net, hc,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )

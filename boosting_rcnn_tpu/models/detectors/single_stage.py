@@ -126,3 +126,74 @@ class SingleStageDetector:
             nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
+
+
+class FCOSDetector:
+    """Point-based single-stage detector (FCOS)."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, test_cfg: SSTestCfg = SSTestCfg()):
+        from ..dense_heads.fcos_head import FCOSCfg
+
+        self.net = net
+        self.head_cfg: FCOSCfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        """Points + static geometry (named for API parity with the anchor
+        detectors; returns (points pack, per-level counts))."""
+        from ..dense_heads.fcos_head import fcos_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pts, strides, lo, hi = fcos_points(fs, self.head_cfg.strides)
+        nlp = tuple(h * w for h, w in fs)
+        pack = (
+            jnp.asarray(pts), jnp.asarray(strides),
+            jnp.asarray(lo), jnp.asarray(hi),
+        )
+        return pack, nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, ctr_l = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        ctr = flatten_levels(ctr_l, 1)[..., 0]
+        return cls, reg, ctr
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.fcos_head import fcos_loss
+
+        pts, strides, lo, hi = pack
+        cls, reg, ctr = self._flat_outs(variables, batch["images"])
+        return fcos_loss(
+            self.head_cfg, cls, reg, ctr, pts, lo, hi, strides,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ..dense_heads.fcos_head import fcos_get_bboxes
+
+        pts = pack[0]
+        cls, reg, ctr = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, e_, shp, sf: fcos_get_bboxes(
+            self.head_cfg, c_, r_, e_, pts, num_level_points, shp, sf, rescale,
+            nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, ctr, batch["img_shape"], batch["scale_factor"])
