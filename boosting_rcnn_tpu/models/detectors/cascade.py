@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.roi_align import multilevel_roi_align
+from ...ops.roi_align import multilevel_roi_align, multilevel_roi_align_fast
 from ..roi_heads.bbox_head import BBoxHeadCfg, bbox_head_decode
 from ..roi_heads.cascade_roi_head import (
     CascadeCfg,
@@ -51,7 +51,7 @@ class CascadeNet(nn.Module):
     def roi_out(self, feats, rois, roi_valid, stage: int):
         b, r, _ = rois.shape
         pooled = jax.vmap(
-            lambda fl, rb, vb: multilevel_roi_align(
+            lambda fl, rb, vb: multilevel_roi_align_fast(
                 fl, rb, vb, self.roi_strides,
                 out_size=self.roi_out_size, sample_num=self.roi_sample_num,
                 finest_scale=self.roi_finest_scale,

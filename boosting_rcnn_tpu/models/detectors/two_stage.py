@@ -21,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.anchors import AnchorGenerator
-from ...ops.roi_align import multilevel_roi_align
+from ...ops.roi_align import multilevel_roi_align, multilevel_roi_align_fast
 from ..dense_heads.atss_rpn_head import (
     ATSSRPNCfg,
     ATSSRPNConvs,
@@ -87,7 +87,7 @@ class TwoStageNet(nn.Module):
         head over the flattened (B*R) axis."""
         b, r, _ = rois.shape
         pooled = jax.vmap(
-            lambda fl, rb, vb: multilevel_roi_align(
+            lambda fl, rb, vb: multilevel_roi_align_fast(
                 fl,
                 rb,
                 vb,
@@ -106,7 +106,7 @@ class TwoStageNet(nn.Module):
         """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
         b, r, _ = rois.shape
         pooled = jax.vmap(
-            lambda fl, rb, vb: multilevel_roi_align(
+            lambda fl, rb, vb: multilevel_roi_align_fast(
                 fl,
                 rb,
                 vb,

@@ -306,3 +306,95 @@ def accuracy(pred, label, mask=None):
         m = mask.astype(jnp.float32)
         return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0) * 100.0
     return jnp.mean(correct) * 100.0
+
+
+def ghm_c_loss(
+    pred,
+    target,
+    label_weight,
+    bins: int = 10,
+    momentum: float = 0.0,
+    reduction: str = "mean",
+):
+    """GHM classification loss (reference ``mmdet/models/losses/ghm_loss.py``):
+    per-sample BCE reweighted by the inverse gradient-density of its bin.
+    The EMA-of-bin-counts (momentum) variant needs mutable state; the
+    stateless density estimate is used here (momentum=0 semantics).
+    """
+    target = target.astype(pred.dtype)
+    g = jnp.abs(jax.nn.sigmoid(pred) - target)
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(valid.astype(pred.dtype)), 1.0)
+    edges = jnp.linspace(0.0, 1.0, bins + 1).at[-1].add(1e-6)
+    weights = jnp.zeros_like(pred)
+    n_nonempty = 0.0
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds.astype(pred.dtype))
+        has = num_in_bin > 0
+        w = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), 0.0)
+        weights = weights + jnp.where(has, w, 0.0)
+        n_nonempty = n_nonempty + has.astype(pred.dtype)
+    weights = weights / jnp.maximum(n_nonempty, 1.0)
+    loss = _bce_with_logits(pred, target) * weights
+    return weight_reduce_loss(loss, None, reduction, tot)
+
+
+def ghm_r_loss(
+    pred,
+    target,
+    label_weight,
+    mu: float = 0.02,
+    bins: int = 10,
+    reduction: str = "mean",
+):
+    """GHM regression loss (ASL1 base, density-reweighted)."""
+    diff = pred - target
+    asl1 = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff))
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(valid.astype(pred.dtype)), 1.0)
+    edges = jnp.linspace(0.0, 1.0, bins + 1).at[-1].add(1e3)
+    weights = jnp.zeros_like(pred)
+    n_nonempty = 0.0
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds.astype(pred.dtype))
+        has = num_in_bin > 0
+        w = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), 0.0)
+        weights = weights + jnp.where(has, w, 0.0)
+        n_nonempty = n_nonempty + has.astype(pred.dtype)
+    weights = weights / jnp.maximum(n_nonempty, 1.0)
+    return weight_reduce_loss(asl1 * weights, None, reduction, tot)
+
+
+def seesaw_loss(
+    pred,
+    labels,
+    cum_counts,
+    weight=None,
+    p: float = 0.8,
+    q: float = 2.0,
+    eps: float = 1e-2,
+    reduction: str = "mean",
+    avg_factor=None,
+):
+    """Seesaw loss (reference ``seesaw_loss.py``): per-class-pair mitigation
+    (count ratio^p) and compensation (prob ratio^q) factors scale the
+    negative logits' softmax weights.  ``cum_counts``: (C,) class counts.
+    """
+    n, c = pred.shape
+    onehot = jax.nn.one_hot(labels, c)
+    counts = jnp.maximum(cum_counts.astype(pred.dtype), 1.0)
+    ratio = counts[None, :] / counts[:, None]  # (C, C): N_j / N_i
+    mitigation = jnp.where(ratio < 1.0, ratio**p, 1.0)  # (C_i=gt, C_j)
+    m = mitigation[labels]  # (N, C)
+    probs = jax.nn.softmax(pred, axis=-1)
+    p_at = jnp.take_along_axis(probs, labels[:, None], axis=-1)
+    comp = jnp.where(probs > p_at, (probs / jnp.maximum(p_at, eps)) ** q, 1.0)
+    sw = m * comp
+    sw = jnp.where(onehot > 0, 1.0, sw)
+    shifted = pred + jnp.log(jnp.maximum(sw, 1e-12))
+    logp = jax.nn.log_softmax(shifted, axis=-1)
+    loss = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)

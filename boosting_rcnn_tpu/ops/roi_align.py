@@ -171,3 +171,118 @@ def multilevel_roi_align(
     out = _bilinear_gather(flat, x, y, hs[lvl], ws[lvl], offs[lvl])
     pooled = _pool_bins(out, r, out_size, sample_num)
     return pooled * roi_valid[:, None, None, None].astype(pooled.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: separable-matmul RoIAlign.
+#
+# Bilinear RoIAlign sampling is separable: the (out*s)^2 sample grid is the
+# outer product of per-axis sample positions, so pooling a RoI equals
+#   pooled = pool2x2( Wy @ window @ Wx^T )
+# with per-RoI interpolation matrices Wy (out*s, WIN), Wx (out*s, WIN) and a
+# (WIN, WIN, C) feature window around the RoI.  This turns the scattered
+# 4-point row gather (HBM-hostile on TPU: ~26 ms/step measured at bs8) into
+# one contiguous block gather + two batched matmuls on the MXU.
+#
+# Exactness: identical to the gather implementation whenever the RoI spans
+# <= WIN-1 feature cells on its level — guaranteed by FPN level routing
+# (span < 14 cells) except for extreme aspect ratios, whose edge samples
+# clamp to the window border (deviation documented; the exact path remains
+# available via RoIAlignImpl 'exact').
+# ---------------------------------------------------------------------------
+
+
+def _interp_matrix(start, bin_sz, win_origin, hi, out_size, s, win):
+    """Per-roi 1-D interpolation matrix (out*s, win): hat weights of each
+    sample position against window grid coordinates.  ``hi``: per-roi last
+    valid window coordinate (level boundary), matching mmcv's clamp to
+    ``[0, size-1]``."""
+    frac = (jnp.arange(out_size * s) // s + ((jnp.arange(out_size * s) % s) + 0.5) / s)
+    pos = start[..., None] + frac[None, :] * bin_sz[..., None]  # (R, out*s)
+    rel = pos - win_origin[..., None]
+    rel = jnp.clip(rel, 0.0, hi[..., None])
+    k = jnp.arange(win, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - k[None, None, :]))
+    return w  # (R, out*s, win)
+
+
+def multilevel_roi_align_fast(
+    feats: Sequence[jnp.ndarray],  # L x (H_l, W_l, C)
+    rois: jnp.ndarray,  # (R, 4)
+    roi_valid: jnp.ndarray,
+    strides: Sequence[int],
+    out_size: int = 7,
+    sample_num: int = 2,
+    finest_scale: int = 56,
+    num_route_levels: int | None = None,
+    win: int = 24,
+) -> jnp.ndarray:
+    nl = num_route_levels or len(feats)
+    c = feats[0].shape[-1]
+    r = rois.shape[0]
+    s = sample_num
+
+    # Stack levels into one (sumH + win, maxW, C) buffer (pad W and append
+    # ``win`` zero rows) so a window is one dynamic_slice regardless of level
+    # and never reads out of bounds.
+    max_w = max(f.shape[1] for f in feats[:nl])
+    win_w = min(win, max_w)  # tiny test canvases can be narrower than win
+    rows = []
+    row_off = []
+    acc = 0
+    for f in feats[:nl]:
+        h, w, _ = f.shape
+        rows.append(jnp.pad(f, ((0, 0), (0, max_w - w), (0, 0))))
+        row_off.append(acc)
+        acc += h
+    rows.append(jnp.zeros((win, max_w, c), feats[0].dtype))
+    stacked = jnp.concatenate(rows, axis=0)
+    row_off = jnp.asarray(row_off, jnp.int32)
+    hs = jnp.asarray([f.shape[0] for f in feats[:nl]], jnp.int32)
+    ws = jnp.asarray([f.shape[1] for f in feats[:nl]], jnp.int32)
+
+    lvl = map_roi_levels(rois, nl, finest_scale)
+    inv_strides = jnp.asarray([1.0 / strides[i] for i in range(nl)], jnp.float32)
+    scale = inv_strides[lvl]
+
+    x1 = rois[:, 0] * scale - 0.5
+    y1 = rois[:, 1] * scale - 0.5
+    x2 = rois[:, 2] * scale - 0.5
+    y2 = rois[:, 3] * scale - 0.5
+    bin_w = (x2 - x1) / out_size
+    bin_h = (y2 - y1) / out_size
+
+    # window origin: roi start, pulled back so the window stays inside the
+    # level where possible
+    wy0 = jnp.clip(
+        jnp.floor(y1).astype(jnp.int32), 0, jnp.maximum(hs[lvl] - win, 0)
+    )
+    wx0 = jnp.clip(
+        jnp.floor(x1).astype(jnp.int32), 0, jnp.maximum(ws[lvl] - win_w, 0)
+    )
+    row0 = row_off[lvl] + wy0
+
+    windows = jax.vmap(
+        lambda r0, x0: jax.lax.dynamic_slice(stacked, (r0, x0, 0), (win, win_w, c))
+    )(row0, wx0)  # (R, win, win_w, C)
+
+    # samples clamp to the smaller of (window end, level boundary) — the
+    # level clamp reproduces mmcv's border rule for small top levels
+    hi_y = jnp.minimum(
+        jnp.float32(win - 1), (hs[lvl] - 1 - wy0).astype(jnp.float32)
+    )
+    hi_x = jnp.minimum(
+        jnp.float32(win_w - 1), (ws[lvl] - 1 - wx0).astype(jnp.float32)
+    )
+    wy = _interp_matrix(y1, bin_h, wy0.astype(jnp.float32), hi_y, out_size, s, win)
+    wx = _interp_matrix(x1, bin_w, wx0.astype(jnp.float32), hi_x, out_size, s, win_w)
+    wy = wy.astype(windows.dtype)
+    wx = wx.astype(windows.dtype)
+
+    # sampled[r, i, j, c] = sum_k sum_m wy[r,i,k] win[r,k,m,c] wx[r,j,m]
+    t = jnp.einsum("rik,rkmc->rimc", wy, windows)
+    sampled = jnp.einsum("rimc,rjm->rijc", t, wx)
+    pooled = sampled.reshape(r, out_size, s, out_size, s, c).mean(axis=(2, 4))
+    return (pooled * roi_valid[:, None, None, None].astype(pooled.dtype)).astype(
+        feats[0].dtype
+    )

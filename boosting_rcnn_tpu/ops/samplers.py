@@ -112,3 +112,39 @@ def pseudo_sample(assign: AssignResult, cand_valid: jnp.ndarray) -> SampleResult
         jnp.sum(pos.astype(jnp.int32)),
         jnp.sum(neg.astype(jnp.int32)),
     )
+
+
+def ohem_sample(
+    assign: AssignResult,
+    cand_valid: jnp.ndarray,
+    cand_loss: jnp.ndarray,
+    num: int = 512,
+    pos_fraction: float = 0.25,
+) -> SampleResult:
+    """OHEM sampling (reference ``mmdet/core/bbox/samplers/ohem_sampler.py``):
+    hardest positives and negatives by current per-candidate loss instead of
+    random keys.  The caller computes ``cand_loss`` with a preliminary head
+    forward (same two-pass structure as the reference)."""
+    n = assign.gt_inds.shape[0]
+    num_expected_pos = int(round(num * pos_fraction))
+    pos_mask = (assign.gt_inds > 0) & cand_valid
+    neg_mask = (assign.gt_inds == 0) & cand_valid
+    # rank by descending loss within each group
+    pos_rank = _rank_within(pos_mask, -cand_loss)
+    neg_rank = _rank_within(neg_mask, -cand_loss)
+    num_pos = jnp.minimum(
+        jnp.sum(pos_mask.astype(jnp.int32)), num_expected_pos
+    )
+    sel_pos = pos_mask & (pos_rank < num_expected_pos)
+    sel_neg = neg_mask & (neg_rank < num - num_pos)
+    key = jnp.where(sel_pos, pos_rank, jnp.where(sel_neg, num_pos + neg_rank, BIG))
+    order = jnp.argsort(key)[:num]
+    slot_key = key[order]
+    valid = slot_key < BIG
+    inds = jnp.where(valid, order, 0).astype(jnp.int32)
+    is_pos = valid & (slot_key < num_pos)
+    gt_inds = jnp.where(is_pos, jnp.asarray(assign.gt_inds)[inds] - 1, 0).astype(
+        jnp.int32
+    )
+    num_neg = jnp.sum(sel_neg.astype(jnp.int32))
+    return SampleResult(inds, is_pos, valid, gt_inds, num_pos, num_neg)

@@ -96,3 +96,39 @@ def test_invalid_rois_zeroed(rng):
         ra.multilevel_roi_align(feats, rois, np.zeros(1, bool), [8])
     )
     assert (out == 0).all()
+
+
+def test_fast_matches_exact(rng):
+    """Separable-matmul RoIAlign == gather RoIAlign for realistic rois."""
+    c = 8
+    feats = [
+        rng.rand(64, 80, c).astype(np.float32),
+        rng.rand(32, 40, c).astype(np.float32),
+        rng.rand(16, 20, c).astype(np.float32),
+        rng.rand(8, 10, c).astype(np.float32),
+        rng.rand(4, 5, c).astype(np.float32),
+    ]
+    strides = [8, 16, 32, 64, 128]
+    n = 30
+    ar = rng.rand(n) * 2.5 + 0.4  # aspect <= ~3
+    sc = rng.rand(n) * 250 + 12
+    w = sc * np.sqrt(ar)
+    h = sc / np.sqrt(ar)
+    x1 = rng.rand(n) * np.clip(640 - w, 1, None)
+    y1 = rng.rand(n) * np.clip(512 - h, 1, None)
+    rois = np.stack(
+        [x1, y1, np.minimum(x1 + w, 639), np.minimum(y1 + h, 511)], -1
+    ).astype(np.float32)
+    valid = np.ones(n, bool)
+    exact = np.asarray(ra.multilevel_roi_align(feats, rois, valid, strides))
+    fast = np.asarray(ra.multilevel_roi_align_fast(feats, rois, valid, strides))
+    np.testing.assert_allclose(fast, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_invalid_rois_zeroed(rng):
+    feats = [rng.rand(16, 16, 2).astype(np.float32)]
+    rois = np.array([[0, 0, 30, 30]], np.float32)
+    out = np.asarray(
+        ra.multilevel_roi_align_fast(feats, rois, np.zeros(1, bool), [8])
+    )
+    assert (out == 0).all()
