@@ -31,7 +31,7 @@ def main():
 
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config
-    from boosting_rcnn_tpu.data.coco import CocoDataset
+    from boosting_rcnn_tpu.data.builder import build_dataset
     from boosting_rcnn_tpu.data.loader import DetDataLoader
     from boosting_rcnn_tpu.engine.checkpoint import load_params
     from boosting_rcnn_tpu.engine.eval import run_eval
@@ -56,12 +56,7 @@ def main():
     canvas = tuple(pipeline.get("canvas", (800, 1344)))
     if args.tiny:
         canvas = (128, 160)
-    ds = CocoDataset(
-        ann_file=data_cfg["test"]["ann_file"],
-        img_prefix=data_cfg["test"].get("img_prefix", ""),
-        classes=data_cfg["test"].get("classes"),
-        test_mode=True,
-    )
+    ds = build_dataset(data_cfg["test"], test_mode=True)
     loader = DetDataLoader(
         ds,
         batch_size=data_cfg.get("samples_per_gpu", 2),
@@ -75,12 +70,12 @@ def main():
     anchors, nla = det.anchors_for(canvas)
 
     results = run_eval(det, variables, loader, anchors, nla, logger=logger)
-    if args.out:
+    if args.out and hasattr(ds, "results_to_coco_json"):
         with open(args.out, "w") as f:
             json.dump(ds.results_to_coco_json(results), f)
         logger.info(f"wrote {args.out}")
-    if "bbox" in args.eval:
-        metrics = ds.evaluate(results, classwise=args.classwise)
+    if args.eval:
+        metrics = ds.evaluate(results, metric=args.eval, classwise=args.classwise)
         logger.info(f"eval: {metrics}")
         print(json.dumps({k: v for k, v in metrics.items() if k != "classwise"}))
 

@@ -55,7 +55,7 @@ def main():
 
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config
-    from boosting_rcnn_tpu.data.coco import CocoDataset, DATASET_CLASSES
+    from boosting_rcnn_tpu.data.builder import build_dataset
     from boosting_rcnn_tpu.data.loader import DetDataLoader, FakeDetLoader
     from boosting_rcnn_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
     from boosting_rcnn_tpu.engine.train import (
@@ -117,11 +117,7 @@ def main():
         steps_per_epoch = len(loader)
         val_ds = None
     else:
-        train_ds = CocoDataset(
-            ann_file=data_cfg["train"]["ann_file"],
-            img_prefix=data_cfg["train"].get("img_prefix", ""),
-            classes=data_cfg["train"].get("classes"),
-        )
+        train_ds = build_dataset(data_cfg["train"])
         loader = DetDataLoader(
             train_ds,
             batch_size=batch_per_host,
@@ -133,16 +129,14 @@ def main():
             num_shards=jax.process_count(),
             shard_id=jax.process_index(),
             mstrain_range=pipeline.get("mstrain_range"),
+            with_masks=bool(mc["roi_head"].get("mask_head"))
+            if "roi_head" in mc
+            else False,
         )
         steps_per_epoch = max(len(loader), 1)
         val_ds = None
         if not args.no_validate:
-            val_ds = CocoDataset(
-                ann_file=data_cfg["val"]["ann_file"],
-                img_prefix=data_cfg["val"].get("img_prefix", ""),
-                classes=data_cfg["val"].get("classes"),
-                test_mode=True,
-            )
+            val_ds = build_dataset(data_cfg["val"], test_mode=True)
         logger.info(f"train dataset: {len(train_ds)} imgs, {steps_per_epoch} steps/epoch")
 
     max_epochs = cfg.get("runner", {}).get("max_epochs", 12)
