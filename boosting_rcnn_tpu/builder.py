@@ -465,6 +465,8 @@ def build_detector(
             rpn=rpn_module,
             bbox_head=bbox_module,
             mask_head=mask_module,
+            bridge=(t == "ProbTwoStage")
+            or model_cfg["rpn_head"].get("bridge", False),
             roi_strides=strides,
             roi_out_size=roi_layer.get("output_size", 7),
             mask_roi_out_size=mask_extractor.get("roi_layer", {}).get(

@@ -75,12 +75,32 @@ class TwoStageNet(nn.Module):
     mask_roi_out_size: int = 14
     roi_sample_num: int = 2
     roi_finest_scale: int = 56
+    bridge: bool = False  # ProbTwoStage fusion (reference prob_two_stage.py)
 
     def features(self, images):
         return self.neck(self.backbone(images))
 
     def rpn_out(self, feats):
         return self.rpn(feats)
+
+    @nn.compact
+    def rpn_bridge_out(self, feats):
+        """ProbTwoStage mode (reference ``detectors/prob_two_stage.py:
+        37-110``): the RPN tower features are concatenated with the FPN
+        features and fused by per-level 3x3 ConvModules (GN) to feed the RoI
+        head."""
+        from ..layers import ConvModule
+
+        cls_l, reg_l, iou_l, tower = self.rpn(feats, bridge=True)
+        fused = []
+        for i, (f, t) in enumerate(zip(feats, tower)):
+            y = jnp.concatenate([f, t], axis=-1)
+            y = ConvModule(
+                f.shape[-1], 3, norm_cfg={"type": "GN", "num_groups": 32},
+                act="relu", dtype=f.dtype, name=f"fusion_conv_{i}",
+            )(y)
+            fused.append(y)
+        return (cls_l, reg_l, iou_l), tuple(fused)
 
     def roi_out(self, feats, rois, roi_valid):
         """feats: L x (B, H, W, C); rois: (B, R, 4). One fused RoIAlign +
@@ -125,7 +145,10 @@ class TwoStageNet(nn.Module):
     def __call__(self, images, rois, roi_valid):
         """Init-time path touching every submodule."""
         feats = self.features(images)
-        rpn_outs = self.rpn_out(feats)
+        if self.bridge:
+            rpn_outs, feats = self.rpn_bridge_out(feats)
+        else:
+            rpn_outs = self.rpn_out(feats)
         cls, reg = self.roi_out(feats, rois, roi_valid)
         if self.mask_head is not None:
             self.mask_out(feats, rois, roi_valid)
@@ -185,11 +208,22 @@ class TwoStageDetector:
 
     # ---------- shared forward pieces ----------
     def _rpn_flat(self, variables, feats):
-        outs = self.net.apply(variables, feats, method=TwoStageNet.rpn_out)
-        cls_l, reg_l, iou_l = outs[0], outs[1], outs[2]
+        """Returns flat rpn outputs + the feature set the RoI head consumes
+        (== ``feats`` except in ProbTwoStage bridge mode)."""
+        if getattr(self.net, "bridge", False):
+            outs, roi_feats = self.net.apply(
+                variables, feats, method=TwoStageNet.rpn_bridge_out
+            )
+            cls_l, reg_l, iou_l = outs
+        else:
+            cls_l, reg_l, iou_l = self.net.apply(
+                variables, feats, method=TwoStageNet.rpn_out
+            )
+            roi_feats = feats
         cls = flatten_levels(cls_l, 1)[..., 0]  # (B, A)
         reg = flatten_levels(reg_l, 4)  # (B, A, 4)
         iou = flatten_levels(iou_l, 1)[..., 0] if iou_l is not None else None
+        self._roi_feats = roi_feats
         return cls, reg, iou
 
     def _proposals(self, cls, reg, iou, anchors, nla, img_shapes, pcfg: ProposalCfg):
@@ -266,8 +300,9 @@ class TwoStageDetector:
             batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
         )
 
+        roi_feats = getattr(self, "_roi_feats", feats)
         cls_s, reg_s = self.net.apply(
-            variables, feats, sample.boxes, sample.valid,
+            variables, roi_feats, sample.boxes, sample.valid,
             method=TwoStageNet.roi_out,
         )
         flat = RoISample(*[
@@ -281,7 +316,7 @@ class TwoStageDetector:
             from ..roi_heads.mask_head import mask_loss, resample_mask_targets
 
             mask_logits = self.net.apply(
-                variables, feats, sample.boxes, sample.valid & sample.is_pos,
+                variables, roi_feats, sample.boxes, sample.valid & sample.is_pos,
                 method=TwoStageNet.mask_out,
             )
             targets = jax.vmap(
@@ -320,8 +355,10 @@ class TwoStageDetector:
             cls, reg, iou, anchors, num_level_anchors,
             batch["img_shape"], self.test_proposal_cfg,
         )
+        roi_feats = getattr(self, "_roi_feats", feats)
         cls_s, reg_s = self.net.apply(
-            variables, feats, prop_boxes, prop_valid, method=TwoStageNet.roi_out,
+            variables, roi_feats, prop_boxes, prop_valid,
+            method=TwoStageNet.roi_out,
         )
         r = prop_boxes.shape[1]
         cls_s = cls_s.reshape(b, r, -1)
@@ -348,7 +385,8 @@ class TwoStageDetector:
             if rescale:
                 det_boxes = det_boxes * batch["scale_factor"][:, None, :]
             mask_logits = self.net.apply(
-                variables, feats, det_boxes, valid, method=TwoStageNet.mask_out,
+                variables, roi_feats, det_boxes, valid,
+                method=TwoStageNet.mask_out,
             )
             m = mask_logits.shape[1]
             c = mask_logits.shape[-1]
