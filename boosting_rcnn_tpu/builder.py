@@ -430,6 +430,8 @@ def build_detector(
     t = model_cfg["type"]
     if t == "FCOS":
         return build_fcos(model_cfg, dtype=dtype)
+    if t == "GFL":
+        return build_gfl(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -564,6 +566,49 @@ def build_fcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
+def build_gfl(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.dense_heads.gfl_head import GFLCfg, GFLConvs
+    from .models.detectors.single_stage import (
+        GFLDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    ag = build_anchor_generator(head["anchor_generator"])
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=GFLConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            num_levels=len(ag.strides),
+            reg_max=head.get("reg_max", 16),
+            dtype=dtype,
+        ),
+    )
+    hc = GFLCfg(
+        num_classes=num_classes,
+        strides=tuple(s[0] for s in ag.strides),
+        reg_max=head.get("reg_max", 16),
+        loss_cls_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 2.0),
+        loss_dfl_weight=head.get("loss_dfl", {}).get("loss_weight", 0.25),
+    )
+    return GFLDetector(
+        net, ag, hc,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
     )

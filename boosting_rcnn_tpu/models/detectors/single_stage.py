@@ -197,3 +197,80 @@ class FCOSDetector:
             nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, ctr, batch["img_shape"], batch["scale_factor"])
+
+
+class GFLDetector:
+    """GFL single-stage detector (ATSS assignment + QFL/DFL losses)."""
+
+    def __init__(self, net: SingleStageNet, anchor_generator, head_cfg,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.anchor_generator = anchor_generator
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s[1]), math.ceil(canvas_hw[1] / s[0]))
+            for s in self.anchor_generator.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        fs = self.featmap_sizes(canvas_hw)
+        flat = self.anchor_generator.flat_anchors(fs)
+        per = self.anchor_generator.grid_anchors(fs)
+        nla = [a.shape[0] for a in per]
+        strides = np.concatenate(
+            [
+                np.full(n, self.anchor_generator.strides[i][0], np.float32)
+                for i, n in enumerate(nla)
+            ]
+        )
+        return (jnp.asarray(flat), jnp.asarray(strides)), tuple(nla)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, _ = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4 * (self.head_cfg.reg_max + 1))
+        return cls, reg
+
+    def loss(self, variables, rng, batch, pack, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.gfl_head import gfl_loss
+
+        anchors, strides = pack
+        cls, reg = self._flat_outs(variables, batch["images"])
+        b = cls.shape[0]
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        return gfl_loss(
+            self.head_cfg, cls, reg, anchors, strides, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            num_level_anchors, axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_anchors, rescale=True):
+        from ..dense_heads.gfl_head import gfl_get_bboxes
+
+        anchors, strides = pack
+        cls, reg = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: gfl_get_bboxes(
+            self.head_cfg, c_, r_, anchors, strides, num_level_anchors,
+            shp, sf, rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])

@@ -61,6 +61,7 @@ CONFIGS = [
     "configs/cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py",
     "configs/boosting_rcnn/boosting_rcnn_r50_fpn_1x_coco.py",
     "configs/fcos/fcos_r50_fpn_1x_coco.py",
+    "configs/gfl/gfl_r50_fpn_1x_coco.py",
 ]
 
 
