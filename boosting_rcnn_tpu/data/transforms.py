@@ -247,3 +247,59 @@ def mixup(
     boxes = np.concatenate([boxes1, boxes2]).astype(np.float32)
     labels = np.concatenate([labels1, labels2])
     return out.clip(0, 255).astype(np.uint8), boxes, labels
+
+
+# --- corruption benchmark transforms (reference tools/analysis_tools/
+# test_robustness.py uses imagecorruptions; a self-contained subset) ---
+
+
+def corrupt(img: np.ndarray, corruption: str, severity: int = 1,
+            rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Apply a named corruption at severity 1..5 (subset of the benchmark:
+    gaussian_noise, shot_noise, impulse_noise, defocus_blur, motion_blur,
+    brightness, contrast, pixelate, jpeg_compression)."""
+    rng = rng or np.random.RandomState(0)
+    x = img.astype(np.float32) / 255.0
+    s = severity
+    if corruption == "gaussian_noise":
+        c = [0.04, 0.06, 0.08, 0.09, 0.10][s - 1]
+        x = x + rng.normal(size=x.shape) * c
+    elif corruption == "shot_noise":
+        c = [500, 250, 100, 75, 50][s - 1]
+        x = rng.poisson(x * c) / c
+    elif corruption == "impulse_noise":
+        c = [0.01, 0.02, 0.03, 0.05, 0.07][s - 1]
+        m = rng.rand(*x.shape[:2]) < c
+        x[m] = rng.rand(int(m.sum()), 3)
+    elif corruption == "defocus_blur" and cv2 is not None:
+        c = [3, 4, 6, 8, 10][s - 1]
+        x = cv2.blur(x, (c, c))
+    elif corruption == "motion_blur" and cv2 is not None:
+        c = [10, 15, 15, 15, 20][s - 1]
+        k = np.zeros((c, c), np.float32)
+        k[c // 2] = 1.0 / c
+        x = cv2.filter2D(x, -1, k)
+    elif corruption == "brightness":
+        c = [0.1, 0.2, 0.3, 0.4, 0.5][s - 1]
+        x = x + c
+    elif corruption == "contrast":
+        c = [0.4, 0.3, 0.2, 0.1, 0.05][s - 1]
+        x = (x - x.mean()) * c + x.mean()
+    elif corruption == "pixelate" and cv2 is not None:
+        c = [0.6, 0.5, 0.4, 0.3, 0.25][s - 1]
+        h, w = x.shape[:2]
+        small = cv2.resize(x, (max(int(w * c), 1), max(int(h * c), 1)),
+                           interpolation=cv2.INTER_AREA)
+        x = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+    elif corruption == "jpeg_compression" and cv2 is not None:
+        c = [80, 65, 58, 50, 40][s - 1]
+        ok, enc = cv2.imencode(".jpg", (x * 255).clip(0, 255).astype(np.uint8),
+                               [int(cv2.IMWRITE_JPEG_QUALITY), c])
+        x = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(np.float32) / 255.0
+    return (x.clip(0, 1) * 255).astype(np.uint8)
+
+
+CORRUPTIONS = (
+    "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+    "motion_blur", "brightness", "contrast", "pixelate", "jpeg_compression",
+)
