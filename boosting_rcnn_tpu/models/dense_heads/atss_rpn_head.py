@@ -388,7 +388,7 @@ def atss_rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        top_s, top_i = jax.lax.approx_max_k(s, k, recall_target=0.98)
+        top_s, top_i = jax.lax.top_k(s, k)
         sel_scores.append(top_s)
         sel_boxes.append(bp[top_i])
         sel_anchors.append(an[top_i])

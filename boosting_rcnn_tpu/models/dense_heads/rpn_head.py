@@ -141,7 +141,7 @@ def rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        ts, ti = jax.lax.approx_max_k(s, k, recall_target=0.98)
+        ts, ti = jax.lax.top_k(s, k)
         sel_s.append(ts)
         sel_b.append(bp[ti])
         sel_a.append(an[ti])
