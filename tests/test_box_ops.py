@@ -101,3 +101,37 @@ def test_wh_ratio_clip():
     max_ratio = abs(np.log(16 / 1000))
     w = out[2] - out[0]
     np.testing.assert_allclose(w, 10 * np.exp(max_ratio), rtol=1e-5)
+
+
+def test_tblr_roundtrip(rng):
+    from boosting_rcnn_tpu.ops.coders import bboxes2tblr, tblr2bboxes
+
+    priors = rng.rand(10, 4).astype(np.float32) * 50
+    priors[:, 2:] += priors[:, :2] + 5
+    gts = rng.rand(10, 4).astype(np.float32) * 50
+    gts[:, 2:] += gts[:, :2] + 5
+    enc = bboxes2tblr(priors, gts)
+    back = np.asarray(tblr2bboxes(priors, np.asarray(enc)))
+    np.testing.assert_allclose(back, gts, rtol=1e-4, atol=1e-4)
+
+
+def test_distance_roundtrip(rng):
+    from boosting_rcnn_tpu.ops.coders import bbox2distance, distance2bbox
+
+    pts = rng.rand(8, 2).astype(np.float32) * 100
+    boxes = np.stack(
+        [pts[:, 0] - 10, pts[:, 1] - 5, pts[:, 0] + 8, pts[:, 1] + 12], -1
+    ).astype(np.float32)
+    d = bbox2distance(pts, boxes)
+    back = np.asarray(distance2bbox(pts, np.asarray(d)))
+    np.testing.assert_allclose(back, boxes, rtol=1e-5, atol=1e-5)
+
+
+def test_yolo_roundtrip(rng):
+    from boosting_rcnn_tpu.ops.coders import yolo_decode, yolo_encode
+
+    anchors = np.array([[0, 0, 32, 32], [16, 16, 80, 48]], np.float32)
+    gts = np.array([[2, 4, 30, 28], [20, 10, 70, 50]], np.float32)
+    enc = yolo_encode(anchors, gts, stride=16.0)
+    back = np.asarray(yolo_decode(anchors, np.asarray(enc), stride=16.0))
+    np.testing.assert_allclose(back, gts, rtol=1e-3, atol=1e-2)
