@@ -33,6 +33,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    mode = os.environ.get("BENCH_MODE", "infer")  # 'infer' | 'train'
     warmup = 5
     canvas = (800, 1344)
 
@@ -47,6 +48,52 @@ def main():
     images = jnp.asarray(rs.rand(batch, *canvas, 3), jnp.float32)
     img_shape = jnp.asarray([[canvas[0], canvas[1] - 11]] * batch, jnp.float32)
     scale_factor = jnp.ones((batch, 4), jnp.float32)
+
+    if mode == "train":
+        from boosting_rcnn_tpu.data.loader import FakeDetLoader
+        from boosting_rcnn_tpu.engine.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+            step_lr_schedule,
+        )
+
+        tx = make_optimizer(
+            step_lr_schedule(0.005, 1000), grad_clip_norm=35.0,
+            params=variables["params"], frozen_stages=1,
+        )
+        state = create_train_state(variables, tx)
+        loader = FakeDetLoader(
+            batch_size=batch, canvas=canvas, num_classes=4, num_batches=1
+        )
+        tb = next(loader.epoch_iter(0))
+        tb.pop("ori_shape")
+        tb = {k: jnp.asarray(v_) for k, v_ in tb.items()}
+        tstep = jax.jit(make_train_step(det, anchors, nla))
+        rng = jax.random.PRNGKey(0)
+        state, m = tstep(state, tb, rng)
+        jax.block_until_ready(m)
+        for _ in range(warmup - 1):
+            state, m = tstep(state, tb, rng)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = tstep(state, tb, rng)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        img_per_s = batch * iters / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "boosting_rcnn_r50_pafpn_train_images_per_sec_800x1344_bs%d"
+                    % batch,
+                    "value": round(img_per_s, 2),
+                    "unit": "img/s",
+                    "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+                }
+            )
+        )
+        return
 
     @jax.jit
     def run(v, im, shp, sf):
