@@ -183,3 +183,70 @@ def atss_assign(
     else:
         labels = jnp.full((n,), -1, dtype=jnp.int32)
     return AssignResult(assigned, max_overlaps, labels)
+
+
+def hungarian_assign(
+    cls_logits: jnp.ndarray,  # (Q, C) predicted class logits
+    pred_boxes: jnp.ndarray,  # (Q, 4) xyxy, absolute coords
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_labels: jnp.ndarray,  # (G,)
+    gt_mask: jnp.ndarray,  # (G,)
+    img_shape: jnp.ndarray,  # (2,) H, W for normalised L1 cost
+    cls_weight: float = 1.0,
+    bbox_weight: float = 5.0,
+    iou_weight: float = 2.0,
+) -> AssignResult:
+    """Hungarian (bipartite) assignment for set-prediction heads (reference
+    ``mmdet/core/bbox/assigners/hungarian_assigner.py`` + match costs
+    ``core/bbox/match_costs``: ClsSoftmaxCost, BBoxL1Cost on normalised
+    cxcywh, IoUCost with GIoU).
+
+    Fixed shapes: padded gt rows get a prohibitive cost so the solver never
+    prefers them, and their matches are dropped from the result.
+    """
+    gt_mask = jnp.asarray(gt_mask)
+    gt_labels = jnp.asarray(gt_labels)
+    q = cls_logits.shape[0]
+    g = gt_bboxes.shape[0]
+    # classification cost: -softmax prob of the gt class
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    cls_cost = -probs[:, gt_labels]  # (Q, G)
+    # L1 cost on normalised cxcywh
+    h = img_shape[0]
+    w = img_shape[1]
+    norm = jnp.stack([w, h, w, h]).astype(jnp.float32)
+
+    def to_cxcywh(b):
+        return jnp.stack(
+            [
+                (b[..., 0] + b[..., 2]) / 2,
+                (b[..., 1] + b[..., 3]) / 2,
+                b[..., 2] - b[..., 0],
+                b[..., 3] - b[..., 1],
+            ],
+            axis=-1,
+        )
+
+    pn = to_cxcywh(pred_boxes) / norm
+    gn = to_cxcywh(gt_bboxes) / norm
+    bbox_cost = jnp.sum(jnp.abs(pn[:, None] - gn[None, :]), axis=-1)
+    iou_cost = -bbox_overlaps(pred_boxes, gt_bboxes, mode="giou")
+    cost = (
+        cls_weight * cls_cost + bbox_weight * bbox_cost + iou_weight * iou_cost
+    )
+    BIG_COST = 1e6
+    cost = jnp.where(gt_mask[None, :], cost, BIG_COST)
+
+    from optax import assignment as _assignment
+
+    rows, cols = _assignment.hungarian_algorithm(cost)
+    # rows[i] matched to cols[i]; build per-query assignment
+    assigned = jnp.zeros((q,), jnp.int32)
+    valid_match = gt_mask[cols]
+    assigned = assigned.at[rows].set(
+        jnp.where(valid_match, cols + 1, 0).astype(jnp.int32)
+    )
+    safe = jnp.clip(assigned - 1, 0, g - 1)
+    labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(jnp.int32)
+    max_ov = jnp.zeros((q,), jnp.float32)
+    return AssignResult(assigned, max_ov, labels)
