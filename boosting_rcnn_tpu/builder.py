@@ -432,6 +432,10 @@ def build_detector(
         return build_fcos(model_cfg, dtype=dtype)
     if t == "GFL":
         return build_gfl(model_cfg, dtype=dtype)
+    if t == "SingleStageSSD" or t == "SSD":
+        return build_ssd(model_cfg, dtype=dtype)
+    if t == "YOLOV3":
+        return build_yolo(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -609,6 +613,114 @@ def build_gfl(model_cfg: Dict[str, Any], dtype=jnp.float32):
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
+def build_ssd(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.vgg import SSDVGG
+    from .models.dense_heads.ssd_head import (
+        SSDCfg,
+        SSDConvs,
+        ssd_anchor_generator,
+    )
+    from .models.detectors.single_stage import (
+        SingleStageNet,
+        SSDDetector,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    agc = head.get("anchor_generator", {})
+    input_size = agc.get("input_size", 300)
+    gens = ssd_anchor_generator(
+        input_size=input_size,
+        strides=tuple(agc.get("strides", (8, 16, 32, 64, 100, 300))),
+        ratios=tuple(tuple(r) for r in agc.get("ratios",
+                     ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)))),
+        basesize_ratio_range=tuple(agc.get("basesize_ratio_range", (0.15, 0.9))),
+    )
+    num_anchors = tuple(len(g.base_anchors[0]) for g in gens)
+
+    class _Identity:
+        def __call__(self, x):
+            return x
+
+    import flax.linen as fnn
+
+    class IdentityNeck(fnn.Module):
+        def __call__(self, x):
+            return x
+
+    net = SingleStageNet(
+        backbone=SSDVGG(dtype=dtype),
+        neck=IdentityNeck(),
+        head=SSDConvs(num_classes=num_classes, num_anchors=num_anchors, dtype=dtype),
+    )
+    coder = head.get("bbox_coder", {})
+    assigner = (model_cfg.get("train_cfg") or {}).get("assigner", {})
+    hc = SSDCfg(
+        num_classes=num_classes,
+        target_means=tuple(coder.get("target_means", (0.0,) * 4)),
+        target_stds=tuple(coder.get("target_stds", (0.1, 0.1, 0.2, 0.2))),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        neg_pos_ratio=(model_cfg.get("train_cfg") or {}).get("neg_pos_ratio", 3),
+    )
+    return SSDDetector(
+        net, gens, hc, input_size=input_size,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.02),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.45),
+            max_per_img=test_cfg.get("max_per_img", 200),
+        ),
+    )
+
+
+def build_yolo(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    import flax.linen as fnn
+
+    from .models.backbones.darknet import Darknet
+    from .models.dense_heads.yolo_head import (
+        YOLOCfg,
+        YOLOV3HeadConvs,
+        YOLOV3Neck,
+    )
+    from .models.detectors.single_stage import (
+        SingleStageNet,
+        SSTestCfg,
+        YOLOV3Detector,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+
+    class YOLONet(fnn.Module):
+        backbone: fnn.Module
+        neck: fnn.Module
+        head: fnn.Module
+
+        def __call__(self, images):
+            return self.head(self.neck(self.backbone(images)))
+
+    net = YOLONet(
+        backbone=Darknet(dtype=dtype),
+        neck=YOLOV3Neck(dtype=dtype),
+        head=YOLOV3HeadConvs(num_classes=num_classes, dtype=dtype),
+    )
+    hc = YOLOCfg(num_classes=num_classes)
+    return YOLOV3Detector(
+        net, hc,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.45),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
     )

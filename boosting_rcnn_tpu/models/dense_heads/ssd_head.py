@@ -1,0 +1,193 @@
+"""SSD head (spec: reference ``mmdet/models/dense_heads/ssd_head.py``):
+per-level 3x3 convs to (A*(C+1)) softmax class logits and (A*4) deltas;
+MaxIoU(0.5/0.5/min 0.2 in mmdet's ssd300 config) assignment over all
+anchors; CE cls loss with 3:1 hard-negative mining; SmoothL1 box loss.
+
+SSD anchor generation (reference ``SSDAnchorGenerator``): per-level
+min/max sizes from ``basesize_ratio_range``; scales [1, sqrt(max/min)] at
+ratio 1 plus each extra ratio r and 1/r.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops import box_ops, losses as L
+from ...ops.anchors import AnchorGenerator
+from ...ops.assigners import max_iou_assign
+from ...ops.nms import multiclass_nms_padded
+
+
+def ssd_anchor_generator(
+    input_size: int = 300,
+    strides: Sequence[int] = (8, 16, 32, 64, 100, 300),
+    ratios: Sequence[Sequence[float]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
+    basesize_ratio_range: Tuple[float, float] = (0.15, 0.9),
+) -> List[AnchorGenerator]:
+    """Per-level anchor generators with SSD's size progression."""
+    min_ratio, max_ratio = basesize_ratio_range
+    min_ratio, max_ratio = int(min_ratio * 100), int(max_ratio * 100)
+    step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
+    min_sizes, max_sizes = [], []
+    for ratio in range(min_ratio, max_ratio + 1, step):
+        min_sizes.append(int(input_size * ratio / 100))
+        max_sizes.append(int(input_size * (ratio + step) / 100))
+    if basesize_ratio_range[0] == 0.15:  # SSD300 COCO convention
+        min_sizes.insert(0, int(input_size * 7 / 100))
+        max_sizes.insert(0, int(input_size * 15 / 100))
+    else:
+        min_sizes.insert(0, int(input_size * 10 / 100))
+        max_sizes.insert(0, int(input_size * 20 / 100))
+
+    gens = []
+    for lvl, stride in enumerate(strides):
+        scales = [1.0, float(np.sqrt(max_sizes[lvl] / min_sizes[lvl]))]
+        lvl_ratios = [1.0]
+        for r in ratios[lvl]:
+            lvl_ratios += [1.0 / r, r]
+        # reference keeps scale[1] (the sqrt step) only for ratio 1
+        gen = AnchorGenerator(
+            strides=[stride],
+            ratios=lvl_ratios,
+            scales=scales,
+            base_sizes=[min_sizes[lvl]],
+            scale_major=False,
+            center_offset=0.5,
+        )
+        # prune: ratio-1 keeps both scales; other ratios keep scale 1 only
+        base = gen.base_anchors[0]
+        keep = [0, len(lvl_ratios)]  # (scale0, ratio0), (scale1, ratio0)
+        for ri in range(1, len(lvl_ratios)):
+            keep.append(ri)  # scale0 with ratio ri
+        gen.base_anchors[0] = base[np.array(keep)]
+        gens.append(gen)
+    return gens
+
+
+class SSDConvs(nn.Module):
+    num_classes: int = 80
+    num_anchors: Tuple[int, ...] = (4, 6, 6, 6, 4, 4)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        cls_out, reg_out = [], []
+        for lvl, x in enumerate(feats):
+            a = self.num_anchors[lvl]
+            cls_out.append(
+                nn.Conv(a * (self.num_classes + 1), (3, 3),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"cls_conv_{lvl}")(x)
+            )
+            reg_out.append(
+                nn.Conv(a * 4, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"reg_conv_{lvl}")(x).astype(
+                    jnp.float32
+                )
+            )
+        return cls_out, reg_out, None
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDCfg:
+    num_classes: int = 80
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.0
+    neg_pos_ratio: int = 3
+    smooth_l1_beta: float = 1.0
+
+
+def ssd_loss(
+    cfg: SSDCfg,
+    cls_logits: jnp.ndarray,  # (B, A, C+1)
+    bbox_preds: jnp.ndarray,  # (B, A, 4)
+    anchors: jnp.ndarray,
+    valid: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    axis_name: Optional[str] = None,
+):
+    b, a, c1 = cls_logits.shape
+
+    def targets(v, gb, gl, gm):
+        assign = max_iou_assign(
+            anchors, v, gb, gm, gt_labels=gl,
+            pos_iou_thr=cfg.pos_iou_thr, neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou, match_low_quality=True,
+        )
+        pos = assign.gt_inds > 0
+        neg = assign.gt_inds == 0
+        g = gb.shape[0]
+        safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
+        enc = box_ops.bbox2delta(
+            anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6
+        )
+        bt = jnp.where(pos[:, None], enc, 0.0)
+        labels = jnp.where(pos, assign.labels, cfg.num_classes)
+        return pos, neg, bt, labels
+
+    pos, neg, bt, labels = jax.vmap(targets)(valid, gt_bboxes, gt_labels, gt_mask)
+    num_pos = jnp.sum(pos.astype(jnp.float32))
+    if axis_name is not None:
+        num_pos = jax.lax.pmean(num_pos, axis_name)
+    num_total = jnp.maximum(num_pos, 1.0)
+
+    ce = jax.vmap(
+        lambda lg, lb: L.cross_entropy_loss(lg, lb, reduction="none")
+    )(cls_logits.astype(jnp.float32), labels)  # (B, A)
+
+    # hard negative mining per image: keep the 3*num_pos highest-loss negs
+    def mine(ce_i, pos_i, neg_i):
+        k = jnp.minimum(
+            cfg.neg_pos_ratio * jnp.sum(pos_i.astype(jnp.int32)),
+            jnp.sum(neg_i.astype(jnp.int32)),
+        )
+        neg_ce = jnp.where(neg_i, ce_i, -jnp.inf)
+        order = jnp.argsort(-neg_ce)
+        rank = jnp.zeros_like(order).at[order].set(jnp.arange(a))
+        return neg_i & (rank < k)
+
+    hard_neg = jax.vmap(mine)(ce, pos, neg)
+    w = (pos | hard_neg).astype(jnp.float32)
+    loss_cls = jnp.sum(ce * w) / num_total
+    posf = pos.reshape(-1, 1).astype(jnp.float32)
+    loss_bbox = L.smooth_l1_loss(
+        bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
+        beta=cfg.smooth_l1_beta, avg_factor=num_total,
+    )
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+
+def ssd_get_bboxes(
+    cfg: SSDCfg,
+    cls_logits: jnp.ndarray,  # (A, C+1)
+    bbox_preds: jnp.ndarray,
+    anchors: jnp.ndarray,
+    num_level_anchors: Sequence[int],
+    img_shape: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    rescale: bool,
+    nms_pre: int = 1000,
+    score_thr: float = 0.02,
+    nms_iou_thr: float = 0.45,
+    max_per_img: int = 200,
+):
+    scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[:, : cfg.num_classes]
+    boxes = box_ops.delta2bbox(
+        anchors, bbox_preds, cfg.target_means, cfg.target_stds, max_shape=img_shape
+    )
+    if rescale:
+        boxes = boxes / scale_factor.reshape(1, 4)
+    return multiclass_nms_padded(
+        boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
+        max_per_img=max_per_img,
+    )

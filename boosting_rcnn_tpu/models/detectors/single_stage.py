@@ -274,3 +274,178 @@ class GFLDetector:
             nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
+
+
+class SSDDetector:
+    """SSD (multi-generator anchors, no neck — the VGG extras form the
+    pyramid; reference ``mmdet/models/detectors/ssd.py`` wrapper)."""
+
+    def __init__(self, net, anchor_generators, head_cfg,
+                 input_size: int = 300, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.anchor_generators = anchor_generators
+        self.head_cfg = head_cfg
+        self.input_size = input_size
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        # VGG300 pyramid: 38, 19, 10, 5, 3, 1 for 300 input
+        import math
+
+        h, w = canvas_hw
+        sizes = []
+        fh, fw = math.ceil(h / 8), math.ceil(w / 8)
+        for i in range(6):
+            sizes.append((fh, fw))
+            if i < 2:
+                fh, fw = math.ceil(fh / 2), math.ceil(fw / 2)
+            elif i < 4:
+                fh, fw = math.ceil((fh - 1) / 2), math.ceil((fw - 1) / 2)
+            else:
+                fh, fw = max(fh - 2, 1), max(fw - 2, 1)
+        return sizes
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        # derive actual featmap sizes from a real trace (robust to padding)
+        sizes = self._traced_sizes(canvas_hw)
+        per = [
+            g.grid_anchors([s])[0]
+            for g, s in zip(self.anchor_generators, sizes)
+        ]
+        nla = tuple(a.shape[0] for a in per)
+        return jnp.asarray(np.concatenate(per, 0)), nla
+
+    def _traced_sizes(self, canvas_hw):
+        import jax
+
+        shapes = jax.eval_shape(
+            lambda x: self.net.apply(None, x, method=SingleStageNet.features)
+            if False
+            else None,
+            jnp.zeros((1, *canvas_hw, 3)),
+        )
+        # fall back to an abstract forward through the backbone
+        bb = self.net.backbone
+        out = jax.eval_shape(
+            lambda v, x: bb.apply(v, x),
+            jax.eval_shape(bb.init, jax.random.PRNGKey(0),
+                           jnp.zeros((1, *canvas_hw, 3))),
+            jnp.zeros((1, *canvas_hw, 3)),
+        )
+        return [(o.shape[1], o.shape[2]) for o in out]
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, _ = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes + 1)
+        reg = flatten_levels(reg_l, 4)
+        return cls, reg
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.ssd_head import ssd_loss
+
+        cls, reg = self._flat_outs(variables, batch["images"])
+        b = cls.shape[0]
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        return ssd_loss(
+            self.head_cfg, cls, reg, anchors, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors, rescale=True):
+        from ..dense_heads.ssd_head import ssd_get_bboxes
+
+        cls, reg = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: ssd_get_bboxes(
+            self.head_cfg, c_, r_, anchors, num_level_anchors, shp, sf,
+            rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
+
+
+class YOLOV3Detector:
+    """YOLOv3 (reference ``mmdet/models/detectors/yolo.py``)."""
+
+    def __init__(self, net, head_cfg, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+        from ..dense_heads.yolo_head import yolo_anchor_generators
+
+        self.generators = yolo_anchor_generators()
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        fs = self.featmap_sizes(canvas_hw)
+        per = [g.grid_anchors([s])[0] for g, s in zip(self.generators, fs)]
+        nla = tuple(a.shape[0] for a in per)
+        strides = np.concatenate(
+            [np.full(n, self.head_cfg.strides[i], np.float32)
+             for i, n in enumerate(nla)]
+        )
+        return (jnp.asarray(np.concatenate(per, 0)), jnp.asarray(strides)), nla
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        preds = self.net.apply(variables, images)
+        return flatten_levels(preds, 5 + self.head_cfg.num_classes)
+
+    def loss(self, variables, rng, batch, pack, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.yolo_head import yolo_loss
+
+        anchors, strides = pack
+        preds = self._flat(variables, batch["images"])
+        b = preds.shape[0]
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        return yolo_loss(
+            self.head_cfg, preds, anchors, strides, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_anchors, rescale=True):
+        from ..dense_heads.yolo_head import yolo_get_bboxes
+
+        anchors, strides = pack
+        preds = self._flat(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda p_, shp, sf: yolo_get_bboxes(
+            self.head_cfg, p_, anchors, strides, shp, sf, rescale,
+            score_thr=tc.score_thr, nms_iou_thr=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(preds, batch["img_shape"], batch["scale_factor"])

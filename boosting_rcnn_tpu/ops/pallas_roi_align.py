@@ -36,11 +36,13 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _kernel(out_size: int, s: int, win: int, win_w: int,
+def _kernel(out_size: int, win: int, win_w: int,
             row0_ref, x0_ref, wy_ref, wx_ref, stacked_ref, out_ref):
+    """wy/wx carry the 2x2 bin pooling pre-folded: (R, out, win[_w]).
+    Output layout (R, out, C, out) = (y, C, x); the cheap final transpose
+    to (R, out, out, C) happens in XLA outside the kernel."""
     r = out_ref.shape[0]
-    c = out_ref.shape[-1]
-    os_ = out_size * s
+    c = out_ref.shape[2]
 
     def body(scratch, sems):
         def get_dma(slot, i):
@@ -61,23 +63,21 @@ def _kernel(out_size: int, s: int, win: int, win_w: int,
 
             get_dma(slot, i).wait()
             window = scratch[slot]  # (win, win_w, C)
-            wy = wy_ref[i]  # (os_, win)
-            wx = wx_ref[i]  # (os_, win_w)
-            # rows: (os_, win) @ (win, win_w*C)
+            wy = wy_ref[i]  # (out, win)
+            wx = wx_ref[i]  # (out, win_w)
+            # rows: (out, win) @ (win, win_w*C) -> (out, win_w, C)
             t = jax.lax.dot_general(
                 wy, window.reshape(win, win_w * c),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(os_, win_w, c)
-            # cols: contract win_w between t (os_, win_w, C) and wx (os_, win_w)
+            ).reshape(out_size, win_w, c)
+            # cols: contract win_w -> (out_y, C, out_x)
             sampled = jax.lax.dot_general(
-                wx, t,
+                t, wx,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (os_, os_, C) with axes (x_samples, y_samples, C)
-            sampled = sampled.transpose(1, 0, 2)  # (y, x, C)
-            pooled = sampled.reshape(out_size, s, out_size, s, c).mean(axis=(1, 3))
-            out_ref[i] = pooled.astype(out_ref.dtype)
+            )
+            out_ref[i] = sampled.astype(out_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, r, loop, 0)
@@ -102,24 +102,29 @@ def pallas_window_roi_align(
     assert _HAS_PALLAS, "pallas unavailable"
     r = row0.shape[0]
     c = stacked.shape[-1]
+    # fold 2x2 bin pooling into the interpolation matrices
+    pool = jnp.repeat(jnp.eye(out_size, dtype=wy.dtype), s, axis=1) / s
+    wy = jnp.einsum("ok,rkw->row", pool, wy)
+    wx = jnp.einsum("ok,rkw->row", pool, wx)
     win = wy.shape[-1]
     win_w = wx.shape[-1]
-    kern = functools.partial(_kernel, out_size, s, win, win_w)
-    return pl.pallas_call(
+    kern = functools.partial(_kernel, out_size, win, win_w)
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((r, out_size, out_size, c), stacked.dtype),
+        out_shape=jax.ShapeDtypeStruct((r, out_size, c, out_size), stacked.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0 drive the DMAs
             grid=(),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # wy (small)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
-                pl.BlockSpec(memory_space=pltpu.ANY),  # stacked stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(row0, x0, wy, wx, stacked)
+    return out.transpose(0, 1, 3, 2)  # (R, out, out, C)
 
 
 def multilevel_roi_align_pallas(

@@ -125,3 +125,26 @@ def test_all_configs_load_and_build():
         assert "model" in cfg.to_dict(), path
         det = build_detector(cfg.model.to_dict())
         assert det is not None, path
+
+
+def test_ssd_forward():
+    """SSD300 end-to-end (multi-generator anchors; 8732-anchor canonical
+    layout)."""
+    cfg = load_config(os.path.join(REPO, "configs/ssd/ssd300_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["bbox_head"]["num_classes"] = 4
+    det = build_detector(mc)
+    canvas = (300, 300)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    assert anchors.shape[0] == 8732  # canonical SSD300 anchor count
+    loader = FakeDetLoader(batch_size=2, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
