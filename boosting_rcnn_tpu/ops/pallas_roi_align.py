@@ -18,6 +18,16 @@ and produces ``(R, out, out, C)`` pooled features.
 Grid: one program; RoIs processed in a ``fori_loop`` with two DMA slots so
 roi i+1's window streams in while roi i computes (double-buffering pattern
 from the Pallas guide).
+
+STATUS: numerically validated against the XLA fast path (interpret mode,
+tests/test_roi_align.py).  On this environment's *remote* Mosaic compiler
+the kernel hits a toolchain crash (HTTP 500 / tpu_compile_helper exit 1 —
+an infra failure, not a lowering diagnostic; a minimal kernel with the same
+scalar-prefetch + fori_loop + dynamic-DMA structure but no in-kernel
+dot_general compiles and runs correctly).  The production RoI path therefore
+uses ``multilevel_roi_align_fast`` (separable-matmul XLA form, 2.2 ms / 512
+RoIs measured); this kernel is the drop-in upgrade once the toolchain
+accepts in-kernel matmuls.
 """
 from __future__ import annotations
 
@@ -39,10 +49,10 @@ except Exception:  # pragma: no cover
 def _kernel(out_size: int, win: int, win_w: int,
             row0_ref, x0_ref, wy_ref, wx_ref, stacked_ref, out_ref):
     """wy/wx carry the 2x2 bin pooling pre-folded: (R, out, win[_w]).
-    Output layout (R, out, C, out) = (y, C, x); the cheap final transpose
-    to (R, out, out, C) happens in XLA outside the kernel."""
+    Output layout (R, out_x, out_y, C) keeps C on the 128-lane axis; the
+    cheap x/y transpose to (R, out_y, out_x, C) happens in XLA outside."""
     r = out_ref.shape[0]
-    c = out_ref.shape[2]
+    c = out_ref.shape[-1]
 
     def body(scratch, sems):
         def get_dma(slot, i):
@@ -71,9 +81,9 @@ def _kernel(out_size: int, win: int, win_w: int,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(out_size, win_w, c)
-            # cols: contract win_w -> (out_y, C, out_x)
+            # cols: contract win_w -> (out_x, out_y, C); C stays on lanes
             sampled = jax.lax.dot_general(
-                t, wx,
+                wx, t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -111,7 +121,7 @@ def pallas_window_roi_align(
     kern = functools.partial(_kernel, out_size, win, win_w)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((r, out_size, c, out_size), stacked.dtype),
+        out_shape=jax.ShapeDtypeStruct((r, out_size, out_size, c), stacked.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0 drive the DMAs
             grid=(),
@@ -124,7 +134,7 @@ def pallas_window_roi_align(
         ),
         interpret=interpret,
     )(row0, x0, wy, wx, stacked)
-    return out.transpose(0, 1, 3, 2)  # (R, out, out, C)
+    return out.transpose(0, 2, 1, 3)  # (R, out_y, out_x, C)
 
 
 def multilevel_roi_align_pallas(

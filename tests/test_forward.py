@@ -148,3 +148,23 @@ def test_ssd_forward():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_yolov3_forward():
+    mc = dict(
+        type="YOLOV3",
+        backbone=dict(type="Darknet", depth=53),
+        bbox_head=dict(num_classes=4),
+        test_cfg=dict(score_thr=0.05, nms=dict(iou_threshold=0.45),
+                      max_per_img=100),
+    )
+    det = build_detector(mc)
+    canvas = (128, 160)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    pack, nla = det.anchors_for(canvas)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, pack, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()

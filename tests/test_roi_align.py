@@ -132,3 +132,34 @@ def test_fast_invalid_rois_zeroed(rng):
         ra.multilevel_roi_align_fast(feats, rois, np.zeros(1, bool), [8])
     )
     assert (out == 0).all()
+
+
+def test_pallas_kernel_matches_fast(rng):
+    """Fused Pallas RoIAlign (interpret mode) == separable-matmul fast path."""
+    from boosting_rcnn_tpu.ops.pallas_roi_align import multilevel_roi_align_pallas
+
+    c = 8
+    feats = [
+        rng.rand(64, 80, c).astype(np.float32),
+        rng.rand(32, 40, c).astype(np.float32),
+        rng.rand(16, 20, c).astype(np.float32),
+        rng.rand(8, 10, c).astype(np.float32),
+        rng.rand(4, 5, c).astype(np.float32),
+    ]
+    strides = [8, 16, 32, 64, 128]
+    n = 12
+    ar = rng.rand(n) * 2.0 + 0.5
+    sc = rng.rand(n) * 250 + 12
+    w = sc * np.sqrt(ar)
+    h = sc / np.sqrt(ar)
+    x1 = rng.rand(n) * np.clip(640 - w, 1, None)
+    y1 = rng.rand(n) * np.clip(512 - h, 1, None)
+    rois = np.stack(
+        [x1, y1, np.minimum(x1 + w, 639), np.minimum(y1 + h, 511)], -1
+    ).astype(np.float32)
+    valid = np.ones(n, bool)
+    fast = np.asarray(ra.multilevel_roi_align_fast(feats, rois, valid, strides))
+    pal = np.asarray(
+        multilevel_roi_align_pallas(feats, rois, valid, strides, interpret=True)
+    )
+    np.testing.assert_allclose(pal, fast, rtol=1e-5, atol=1e-5)
