@@ -436,6 +436,8 @@ def build_detector(
         return build_ssd(model_cfg, dtype=dtype)
     if t == "YOLOV3":
         return build_yolo(model_cfg, dtype=dtype)
+    if t == "DETR":
+        return build_detr(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -723,4 +725,31 @@ def build_yolo(model_cfg: Dict[str, Any], dtype=jnp.float32):
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.45),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
+    )
+
+
+def build_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.detectors.detr import DETRCfg, DETRDetector, DETRNet
+
+    head = model_cfg.get("bbox_head", {})
+    num_classes = head.get("num_classes", 80)
+    net = DETRNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        num_classes=num_classes,
+        num_queries=head.get("num_query", 100),
+        dim=head.get("embed_dims", 256),
+        enc_layers=head.get("enc_layers", 6),
+        dec_layers=head.get("dec_layers", 6),
+        dtype=dtype,
+    )
+    cfg = DETRCfg(
+        num_classes=num_classes,
+        num_queries=head.get("num_query", 100),
+        cls_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 5.0),
+        iou_weight=head.get("loss_iou", {}).get("loss_weight", 2.0),
+    )
+    return DETRDetector(
+        net, cfg,
+        max_per_img=(model_cfg.get("test_cfg") or {}).get("max_per_img", 100),
     )

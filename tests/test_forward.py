@@ -168,3 +168,21 @@ def test_yolov3_forward():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, pack, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_detr_forward():
+    mc = dict(
+        type="DETR",
+        backbone=dict(type="ResNet", depth=18, base_channels=8, out_indices=(3,)),
+        bbox_head=dict(num_classes=4, num_query=20, embed_dims=32,
+                       enc_layers=2, dec_layers=2),
+        test_cfg=dict(max_per_img=20),
+    )
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, None, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(dets)).all()
