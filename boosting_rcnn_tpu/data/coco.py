@@ -48,12 +48,25 @@ TRASHCAN_MATERIAL_CLASSES = (
     "trash_rubber", "trash_wood",
 )
 
+CITYSCAPES_CLASSES = (
+    "person", "rider", "car", "truck", "bus", "train", "motorcycle", "bicycle",
+)
+WIDERFACE_CLASSES = ("face",)
+DEEPFASHION_CLASSES = (
+    "top", "skirt", "leggings", "dress", "outer", "pants", "bag",
+    "neckwear", "headwear", "eyeglass", "belt", "footwear", "hair",
+    "skin", "face",
+)
+
 DATASET_CLASSES = {
     "CocoDataset": COCO_CLASSES,
     "UTDACDataset": UTDAC_CLASSES,
     "BrackishDataset": BRACKISH_CLASSES,
     "TrashCanInstanceDataset": TRASHCAN_INSTANCE_CLASSES,
     "TrashCanMaterialDataset": TRASHCAN_MATERIAL_CLASSES,
+    "CityscapesDataset": CITYSCAPES_CLASSES,
+    "WIDERFaceDataset": WIDERFACE_CLASSES,
+    "DeepFashionDataset": DEEPFASHION_CLASSES,
 }
 
 
