@@ -61,7 +61,12 @@ def preprocess(
     h0, w0 = img.shape[:2]
     sc = (max(scale), short_side_override) if short_side_override else scale
     nw, nh, f = rescale_size(w0, h0, sc)
-    nw, nh = min(nw, canvas[1]), min(nh, canvas[0])
+    if nh > canvas[0] or nw > canvas[1]:
+        # cap the scale factor so the resized image fits the canvas while
+        # preserving aspect ratio (portrait image on a landscape canvas)
+        f = min(f * canvas[0] / max(nh, 1), f * canvas[1] / max(nw, 1), f)
+        nw, nh = int(w0 * f + 0.5), int(h0 * f + 0.5)
+        nw, nh = min(nw, canvas[1]), min(nh, canvas[0])
 
     # Native fused path (C++ resize+flip+normalize+pad); cv2 fallback.
     out = None

@@ -437,15 +437,24 @@ def aug_predict(
     # (canvas flip moves content), so its rpn proposals live in flipped
     # coords; unflip maps them back to the original frame.
     outs = []
+    canvas_shape = jnp.broadcast_to(
+        jnp.asarray([float(images.shape[1]), float(images.shape[2])]), (b, 2)
+    )
     for feats, is_flip in ((feats1, False), (feats2, True)):
         cls, reg, iou = det._rpn_flat(variables, feats)
+        # flipped view: content is right-aligned on the canvas, so clip to
+        # the canvas and re-clip to the valid region after unflipping
+        clip_shape = canvas_shape if is_flip else batch["img_shape"]
         pb, ps, pv = det._proposals(
             cls, reg, iou, anchors, num_level_anchors,
-            batch["img_shape"], det.test_proposal_cfg,
+            clip_shape, det.test_proposal_cfg,
         )
         if is_flip:
             canvas_w = float(images.shape[2])
             pb = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(pb)
+            from ...ops.box_ops import clip_boxes
+
+            pb = jax.vmap(clip_boxes)(pb, batch["img_shape"])
         outs.append((pb, ps, pv))
 
     # merge proposals across views (reference merge_aug_proposals: concat +
