@@ -177,6 +177,12 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
     means, stds = _coder_params(cfg.get("bbox_coder", {}))
     assigner = (train_cfg or {}).get("assigner", {})
     if t == "ATSSRPNHead":
+        if cfg.get("last_conv") == "dcn":
+            raise NotImplementedError(
+                "deformable last_conv is not implemented on TPU yet "
+                "(no shipping Boosting R-CNN config uses it); "
+                "use last_conv='norm' or 'aspp'"
+            )
         module = ATSSRPNConvs(
             num_anchors=num_anchors,
             feat_channels=cfg.get("feat_channels", 256),
