@@ -52,9 +52,14 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         ).value
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
-        return y.astype(self.dtype)
+        # fold stats into per-channel scale/shift in f32, then apply in the
+        # computation dtype so the elementwise op fuses into the conv
+        # epilogue instead of forcing f32 round-trips over full activations
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(x.dtype)
+        shift = (bias - mean * jax.lax.rsqrt(var + self.epsilon) * scale).astype(
+            x.dtype
+        )
+        return (x * inv + shift).astype(self.dtype)
 
 
 class BatchNorm(nn.Module):
