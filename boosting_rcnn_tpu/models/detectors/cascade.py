@@ -213,5 +213,6 @@ class CascadeDetector(TwoStageDetector):
             lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
                 hc_last, ro, sc, bp, shp, sf, rescale,
                 tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
+                nms_type=tc.nms_type,
             )
         )(rois, probs, reg_s, prop_valid, batch["img_shape"], batch["scale_factor"])
