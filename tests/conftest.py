@@ -4,8 +4,11 @@ strategy, SURVEY.md §4)."""
 import os
 
 # Force CPU: the container env pins JAX_PLATFORMS=axon (remote TPU relay),
-# which serializes python processes and is wrong for unit tests.
+# which serializes python processes and is wrong for unit tests.  Also drop
+# the remote-compile routing so CPU compiles stay local.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -186,3 +186,53 @@ def test_detr_forward():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch)
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_prob_cascade_forward():
+    """ProbCascadeRoIHead (the ensemble-config path): boost cascade train +
+    prior-fused stage-averaged inference."""
+    cfg = load_config(
+        os.path.join(REPO, "configs/ensemble/prob_cascade_rcnn_r50_pafpn_1x_utdac.py")
+    )
+    mc = shrink(cfg.model.to_dict())
+    det = build_detector(mc)
+    assert det.cascade_cfg.prob and det.cascade_cfg.boost
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert any(k.startswith("s2.") for k in losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_swin_mask_rcnn_forward():
+    """Swin-T + Mask R-CNN (the BASELINE Swin config family), shrunk."""
+    cfg = load_config(
+        os.path.join(REPO, "configs/swin/mask_rcnn_swin_t_fpn_1x_coco.py")
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(embed_dims=8, depths=[1, 1, 1, 1],
+                          num_heads=[1, 2, 4, 8])
+    mc["neck"]["in_channels"] = [8, 16, 32, 64]
+    mc["neck"]["out_channels"] = 32
+    mc["rpn_head"]["feat_channels"] = 32
+    mc["roi_head"]["bbox_head"].update(fc_out_channels=32, num_classes=4)
+    mc["roi_head"]["mask_head"].update(num_classes=4, conv_out_channels=16)
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=100, max_per_img=48)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 24
+    mc["test_cfg"]["rpn"].update(nms_pre=64, max_per_img=24)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    loader = FakeDetLoader(batch_size=2, canvas=CANVAS, num_classes=4,
+                           max_gt=5, num_batches=1, with_masks=True)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
