@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -152,6 +153,10 @@ class ResNet(nn.Module):
             x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
             x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            # frozen stem: skip its backward entirely (the reference's
+            # requires_grad=False freezing also computes no grads there)
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         planes = self.base_channels
@@ -178,6 +183,8 @@ class ResNet(nn.Module):
                         base_channels=self.base_channels,
                         name=name,
                     )(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2
