@@ -81,6 +81,13 @@ def main():
     cfg = load_config(args.config)
     if args.cfg_options:
         cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    # plugin modules (reference ``custom_imports`` + ``tools/train.py:94-96``)
+    ci = cfg.get("custom_imports")
+    if ci:
+        import importlib
+
+        for mod in ci.get("imports", []):
+            importlib.import_module(mod)
 
     work_dir = args.work_dir or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
