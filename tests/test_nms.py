@@ -92,3 +92,39 @@ def test_multiclass_nms(rng):
         np.testing.assert_allclose(
             np.sort(got[:, 4]), np.sort(scores[m, cls][exp]), rtol=1e-6
         )
+
+
+def test_soft_nms_gaussian(rng):
+    from boosting_rcnn_tpu.ops.nms import soft_nms_padded
+
+    n = 30
+    boxes = rng.rand(n, 4).astype(np.float32) * 60
+    boxes[:, 2:] = boxes[:, :2] + 10 + rng.rand(n, 2).astype(np.float32) * 30
+    scores = rng.rand(n).astype(np.float32)
+
+    def ref(k, sigma=0.5):
+        s = scores.copy()
+        out = []
+        for _ in range(k):
+            i = int(np.argmax(s))
+            if s[i] <= 1e-3:
+                break
+            out.append((i, s[i]))
+            ious = np_iou(boxes[i : i + 1], boxes)[0]
+            s = s * np.exp(-(ious**2) / sigma)
+            s[i] = -1e30
+        return out
+
+    exp = ref(15)
+    _, os_, ov, oi = soft_nms_padded(
+        boxes, scores, 15, method="gaussian", sigma=0.5
+    )
+    got = [
+        (int(i), float(v))
+        for i, v, valid in zip(np.asarray(oi), np.asarray(os_), np.asarray(ov))
+        if valid
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    np.testing.assert_allclose(
+        [g[1] for g in got], [e[1] for e in exp], rtol=1e-4
+    )
