@@ -444,6 +444,10 @@ def build_detector(
         return build_yolo(model_cfg, dtype=dtype)
     if t == "DETR":
         return build_detr(model_cfg, dtype=dtype)
+    if t == "CenterNet":
+        return build_centernet(model_cfg, dtype=dtype)
+    if t == "SparseRCNN":
+        return build_sparse_rcnn(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -758,4 +762,87 @@ def build_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
     return DETRDetector(
         net, cfg,
         max_per_img=(model_cfg.get("test_cfg") or {}).get("max_per_img", 100),
+    )
+
+
+def build_centernet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.dense_heads.centernet_head import (
+        CenterNetCfg,
+        CenterNetConvs,
+        CTResNetNeck,
+    )
+    from .models.detectors.single_stage import (
+        CenterNetDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg.get("bbox_head", {})
+    neck_cfg = model_cfg.get("neck", {})
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    channels = tuple(neck_cfg.get("num_deconv_filters", (256, 128, 64)))
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=CTResNetNeck(channels=channels, dtype=dtype),
+        head=CenterNetConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channel", channels[-1]),
+            dtype=dtype,
+        ),
+    )
+    hc = CenterNetCfg(
+        num_classes=num_classes,
+        loss_heatmap_weight=head.get("loss_center_heatmap", {}).get("loss_weight", 1.0),
+        loss_wh_weight=head.get("loss_wh", {}).get("loss_weight", 0.1),
+        loss_offset_weight=head.get("loss_offset", {}).get("loss_weight", 1.0),
+    )
+    return CenterNetDetector(
+        net, hc,
+        test_cfg=SSTestCfg(max_per_img=test_cfg.get("topk", 100)),
+    )
+
+
+def build_sparse_rcnn(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.detectors.sparse_rcnn import (
+        SparseRCNNCfg,
+        SparseRCNNDetector,
+        SparseRCNNNet,
+    )
+
+    roi = model_cfg.get("roi_head", {})
+    rpn = model_cfg.get("rpn_head", {})
+    heads = roi.get("bbox_head", [{}])
+    head0 = heads[0] if isinstance(heads, list) else heads
+    num_classes = head0.get("num_classes", 80)
+    num_stages = roi.get("num_stages", 6)
+    num_proposals = rpn.get("num_proposals", 100)
+    extractor = roi.get("bbox_roi_extractor", {})
+    net = SparseRCNNNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        num_classes=num_classes,
+        num_proposals=num_proposals,
+        num_stages=num_stages,
+        dim=roi.get("proposal_feature_channel", 256),
+        roi_strides=tuple(extractor.get("featmap_strides", (4, 8, 16, 32))),
+        target_stds=tuple(head0.get("bbox_coder", {}).get(
+            "target_stds", (0.5, 0.5, 1.0, 1.0))),
+        dtype=dtype,
+    )
+    loss_cls = head0.get("loss_cls", {})
+    cfg = SparseRCNNCfg(
+        num_classes=num_classes,
+        num_proposals=num_proposals,
+        num_stages=num_stages,
+        cls_weight=loss_cls.get("loss_weight", 2.0),
+        bbox_weight=head0.get("loss_bbox", {}).get("loss_weight", 5.0),
+        iou_weight=head0.get("loss_iou", {}).get("loss_weight", 2.0),
+        focal_alpha=loss_cls.get("alpha", 0.25),
+        focal_gamma=loss_cls.get("gamma", 2.0),
+    )
+    test_cfg = model_cfg.get("test_cfg") or {}
+    rcnn_test = test_cfg.get("rcnn") or {}
+    return SparseRCNNDetector(
+        net, cfg, max_per_img=rcnn_test.get("max_per_img", num_proposals)
     )

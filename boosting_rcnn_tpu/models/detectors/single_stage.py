@@ -449,3 +449,47 @@ class YOLOV3Detector:
             max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(preds, batch["img_shape"], batch["scale_factor"])
+
+
+class CenterNetDetector:
+    """Anchor-free, NMS-free center-point detector (reference
+    ``mmdet/models/detectors/centernet.py``)."""
+
+    def __init__(self, net, head_cfg, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        s = self.head_cfg.stride
+        return [(canvas_hw[0] // s, canvas_hw[1] // s)]
+
+    def anchors_for(self, canvas_hw):
+        # point-based: no anchors; keep the (pack, counts) API shape
+        h, w = self.featmap_sizes(canvas_hw)[0]
+        return jnp.zeros((0,)), (h * w,)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.centernet_head import centernet_loss
+
+        heat, wh, off = self.net.apply(variables, batch["images"])
+        return centernet_loss(
+            self.head_cfg, heat, wh, off,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ..dense_heads.centernet_head import centernet_decode
+
+        heat, wh, off = self.net.apply(variables, batch["images"])
+        fn = lambda h_, w_, o_, shp, sf: centernet_decode(
+            self.head_cfg, h_, w_, o_, shp, sf, rescale,
+            topk=self.test_cfg.max_per_img,
+        )
+        return jax.vmap(fn)(heat, wh, off, batch["img_shape"], batch["scale_factor"])

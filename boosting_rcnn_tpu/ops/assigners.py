@@ -195,6 +195,9 @@ def hungarian_assign(
     cls_weight: float = 1.0,
     bbox_weight: float = 5.0,
     iou_weight: float = 2.0,
+    cls_cost_type: str = "softmax",
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
 ) -> AssignResult:
     """Hungarian (bipartite) assignment for set-prediction heads (reference
     ``mmdet/core/bbox/assigners/hungarian_assigner.py`` + match costs
@@ -208,9 +211,18 @@ def hungarian_assign(
     gt_labels = jnp.asarray(gt_labels)
     q = cls_logits.shape[0]
     g = gt_bboxes.shape[0]
-    # classification cost: -softmax prob of the gt class
-    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
-    cls_cost = -probs[:, gt_labels]  # (Q, G)
+    if cls_cost_type == "focal":
+        # FocalLossCost (reference ``core/bbox/match_costs/match_cost.py``):
+        # pos_cost - neg_cost of the gt class under sigmoid focal weighting
+        p = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        eps = 1e-8
+        neg = -jnp.log(1 - p + eps) * (1 - focal_alpha) * p**focal_gamma
+        pos = -jnp.log(p + eps) * focal_alpha * (1 - p) ** focal_gamma
+        cls_cost = (pos - neg)[:, gt_labels]  # (Q, G)
+    else:
+        # classification cost: -softmax prob of the gt class
+        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+        cls_cost = -probs[:, gt_labels]  # (Q, G)
     # L1 cost on normalised cxcywh
     h = img_shape[0]
     w = img_shape[1]

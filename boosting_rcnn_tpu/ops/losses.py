@@ -398,3 +398,26 @@ def seesaw_loss(
     logp = jax.nn.log_softmax(shifted, axis=-1)
     loss = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def gaussian_focal_loss(
+    pred,
+    gaussian_target,
+    weight=None,
+    alpha: float = 2.0,
+    gamma: float = 4.0,
+    reduction: str = "mean",
+    avg_factor=None,
+):
+    """CornerNet/CenterNet modified focal loss on gaussian heatmaps
+    (reference ``mmdet/models/losses/gaussian_focal_loss.py``): positives are
+    exact-1 pixels; elsewhere the penalty is down-weighted by
+    ``(1 - target)^gamma``."""
+    eps = 1e-12
+    pos_w = (gaussian_target == 1.0).astype(pred.dtype)
+    neg_w = (1 - gaussian_target) ** gamma
+    loss = -(
+        jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
+        + jnp.log(1 - pred + eps) * pred**alpha * neg_w * (1 - pos_w)
+    )
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)

@@ -236,3 +236,87 @@ def test_swin_mask_rcnn_forward():
     assert "loss_mask" in losses
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_centernet_forward():
+    """CenterNet: gaussian-heatmap loss + local-max NMS-free decode."""
+    cfg = load_config(os.path.join(REPO, "configs/centernet/centernet_resnet18_140e_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(base_channels=8)
+    mc["neck"]["num_deconv_filters"] = (16, 16, 16)
+    mc["bbox_head"].update(num_classes=4, feat_channel=16)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    pack, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert set(losses) == {"loss_center_heatmap", "loss_wh", "loss_offset"}
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    assert dets.shape[1:] == (100, 5)
+    assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_centernet_targets_and_decode_roundtrip():
+    """A perfect heatmap/wh/offset prediction decodes back to the gt box."""
+    from boosting_rcnn_tpu.models.dense_heads.centernet_head import (
+        CenterNetCfg,
+        centernet_decode,
+        centernet_targets,
+    )
+
+    cfg = CenterNetCfg(num_classes=3)
+    h, w = 32, 40
+    gt = jnp.asarray([[12.0, 8.0, 52.0, 36.0], [0, 0, 0, 0]])
+    labels = jnp.asarray([2, 0])
+    mask = jnp.asarray([True, False])
+    heat, (ix, iy, bw, bh, ox, oy) = centernet_targets(cfg, (h, w), gt, labels, mask)
+    assert heat.shape == (h, w, 3)
+    # center pixel of the class channel is exactly 1, other channels empty
+    assert float(heat[int(iy[0]), int(ix[0]), 2]) == 1.0
+    assert float(heat[..., 0].max()) == 0.0 and float(heat[..., 1].max()) == 0.0
+    # build a perfect prediction and decode
+    logits = jnp.log(jnp.clip(heat, 1e-6, 1 - 1e-6) / (1 - jnp.clip(heat, 1e-6, 1 - 1e-6)))
+    wh = jnp.zeros((h, w, 2)).at[int(iy[0]), int(ix[0])].set(jnp.asarray([bw[0], bh[0]]))
+    off = jnp.zeros((h, w, 2)).at[int(iy[0]), int(ix[0])].set(jnp.asarray([ox[0], oy[0]]))
+    dets, cls, valid = centernet_decode(
+        cfg, logits, wh, off,
+        img_shape=jnp.asarray([h * 4, w * 4]),
+        scale_factor=jnp.ones(4), rescale=True, topk=5,
+    )
+    np.testing.assert_allclose(np.asarray(dets[0, :4]), np.asarray(gt[0]), atol=1e-3)
+    assert int(cls[0]) == 2
+    assert float(dets[0, 4]) > 0.9
+
+
+def test_sparse_rcnn_forward():
+    """Sparse R-CNN: learnable proposals + 6 DII stages, Hungarian-matched
+    losses per stage, NMS-free top-k decode."""
+    cfg = load_config(os.path.join(REPO, "configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"]["in_channels"] = [8, 16, 32, 64]
+    mc["neck"]["out_channels"] = 16
+    mc["roi_head"].update(num_stages=2, proposal_feature_channel=16)
+    mc["rpn_head"].update(num_proposals=20, proposal_feature_channel=16)
+    for h in mc["roi_head"]["bbox_head"]:
+        h.update(num_classes=4, in_channels=16, feedforward_channels=32)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS, batch_size=2)
+    pack, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    assert len(losses) == 2 * 3  # 2 stages x (cls, bbox, iou)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    assert dets.shape == (2, 80, 5)  # k clamped to P*C
+    assert np.isfinite(np.asarray(dets)).all()
+    # losses must flow to the learned proposals
+    grads = jax.grad(
+        lambda v: sum(jax.tree_util.tree_leaves(
+            det.loss(v, jax.random.PRNGKey(1), batch, pack, nlp)))
+    )(variables)
+    g = grads["params"]["init_proposal_features"]
+    assert float(jnp.abs(g).max()) > 0

@@ -38,13 +38,38 @@ def parse_args():
 
 
 def shrink_model(mc):
-    mc["backbone"].update(depth=18, base_channels=8)
-    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
-    mc["rpn_head"].update(feat_channels=32, stacked_convs=2)
-    mc["roi_head"]["bbox_head"]["fc_out_channels"] = 64
-    mc["train_cfg"]["rpn_proposal"].update(nms_pre=200, max_per_img=64)
-    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 32
-    mc["test_cfg"]["rpn"].update(nms_pre=100, max_per_img=32)
+    if mc["backbone"].get("type") in (None, "ResNet", "ResNeXt", "Res2Net"):
+        mc["backbone"].update(type="ResNet", depth=18, base_channels=8)
+    if mc.get("neck", {}).get("type") == "CTResNetNeck":  # CenterNet
+        mc["neck"]["num_deconv_filters"] = (16, 16, 16)
+        mc["bbox_head"].update(feat_channel=16)
+        return mc
+    if "neck" in mc:
+        mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    if mc.get("type") == "SparseRCNN":
+        mc["rpn_head"].update(num_proposals=20, proposal_feature_channel=16)
+        mc["roi_head"].update(num_stages=2, proposal_feature_channel=16)
+        mc["neck"]["out_channels"] = 16
+        for h in mc["roi_head"]["bbox_head"]:
+            h.update(in_channels=16, feedforward_channels=32)
+        return mc
+    if "rpn_head" in mc:
+        mc["rpn_head"].update(feat_channels=32, stacked_convs=2)
+    elif "bbox_head" in mc:
+        mc["bbox_head"].update(feat_channels=32)
+        if "stacked_convs" in mc["bbox_head"]:
+            mc["bbox_head"]["stacked_convs"] = 2
+    if "roi_head" in mc:
+        bh = mc["roi_head"]["bbox_head"]
+        for h in bh if isinstance(bh, list) else [bh]:
+            h["fc_out_channels"] = 64
+        mc["train_cfg"]["rpn_proposal"].update(nms_pre=200, max_per_img=64)
+        rcnn = mc["train_cfg"]["rcnn"]
+        for rc in rcnn if isinstance(rcnn, list) else [rcnn]:
+            rc["sampler"]["num"] = 32
+        mc["test_cfg"]["rpn"].update(nms_pre=100, max_per_img=32)
+    elif "nms_pre" in (mc.get("test_cfg") or {}):
+        mc["test_cfg"]["nms_pre"] = 100
     return mc
 
 
@@ -112,7 +137,11 @@ def main():
         canvas = (128, 160)
     batch_per_host = data_cfg.get("samples_per_gpu", 2) * jax.local_device_count()
 
-    num_classes = mc["roi_head"]["bbox_head"]["num_classes"]
+    if "roi_head" in mc:
+        bh = mc["roi_head"]["bbox_head"]
+        num_classes = (bh[0] if isinstance(bh, list) else bh)["num_classes"]
+    else:
+        num_classes = mc["bbox_head"]["num_classes"]
     if args.fake_data:
         loader = FakeDetLoader(
             batch_size=batch_per_host,
