@@ -20,6 +20,7 @@ def main():
     p.add_argument("--corruptions", nargs="*", default=None)
     p.add_argument("--severities", type=int, nargs="*", default=[1, 3, 5])
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--out", default=None, help="dump the results table (json)")
     args = p.parse_args()
 
     import jax
@@ -88,6 +89,9 @@ def main():
     out = {"clean_mAP": clean, "mPC": mpc, "rPC": mpc / max(clean, 1e-9),
            "per_corruption": results_table}
     print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
