@@ -448,6 +448,8 @@ def build_detector(
         return build_centernet(model_cfg, dtype=dtype)
     if t == "SparseRCNN":
         return build_sparse_rcnn(model_cfg, dtype=dtype)
+    if t == "YOLOX":
+        return build_yolox(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -845,4 +847,64 @@ def build_sparse_rcnn(model_cfg: Dict[str, Any], dtype=jnp.float32):
     rcnn_test = test_cfg.get("rcnn") or {}
     return SparseRCNNDetector(
         net, cfg, max_per_img=rcnn_test.get("max_per_img", num_proposals)
+    )
+
+
+@BACKBONES.register("CSPDarknet")
+def build_csp_darknet(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.csp_darknet import CSPDarknet
+
+    return CSPDarknet(
+        deepen_factor=cfg.get("deepen_factor", 0.33),
+        widen_factor=cfg.get("widen_factor", 0.5),
+        out_indices=tuple(cfg.get("out_indices", (2, 3, 4))),
+        dtype=dtype,
+    )
+
+
+def build_yolox(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.csp_darknet import YOLOXPAFPN
+    from .models.dense_heads.yolox_head import YOLOXCfg, YOLOXHeadConvs
+    from .models.detectors.single_stage import (
+        SingleStageNet,
+        SSTestCfg,
+        YOLOXDetector,
+    )
+
+    head = model_cfg["bbox_head"]
+    neck = model_cfg.get("neck", {})
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    strides = tuple(head.get("strides", (8, 16, 32)))
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=YOLOXPAFPN(
+            out_channels=neck.get("out_channels", 128),
+            num_csp_blocks=neck.get("num_csp_blocks", 1),
+            dtype=dtype,
+        ),
+        head=YOLOXHeadConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 128),
+            stacked_convs=head.get("stacked_convs", 2),
+            num_levels=len(strides),
+            dtype=dtype,
+        ),
+    )
+    assigner = (model_cfg.get("train_cfg") or {}).get("assigner", {})
+    hc = YOLOXCfg(
+        num_classes=num_classes,
+        strides=strides,
+        center_radius=assigner.get("center_radius", 2.5),
+        loss_cls_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 5.0),
+        loss_obj_weight=head.get("loss_obj", {}).get("loss_weight", 1.0),
+    )
+    return YOLOXDetector(
+        net, hc,
+        test_cfg=SSTestCfg(
+            score_thr=test_cfg.get("score_thr", 0.01),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.65),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
     )

@@ -493,3 +493,65 @@ class CenterNetDetector:
             topk=self.test_cfg.max_per_img,
         )
         return jax.vmap(fn)(heat, wh, off, batch["img_shape"], batch["scale_factor"])
+
+
+class YOLOXDetector:
+    """YOLOX (reference ``mmdet/models/detectors/yolox.py``): anchor-free
+    decoupled head + SimOTA assignment, NMS decode."""
+
+    def __init__(self, net, head_cfg, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.yolox_head import yolox_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pts = yolox_points(fs, self.head_cfg.strides)
+        nlp = tuple(h * w for h, w in fs)
+        return jnp.asarray(pts), nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, obj_l = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        obj = flatten_levels(obj_l, 1)[..., 0]
+        return cls, reg, obj
+
+    def loss(self, variables, rng, batch, priors, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.yolox_head import yolox_loss
+
+        cls, reg, obj = self._flat_outs(variables, batch["images"])
+        return yolox_loss(
+            self.head_cfg, cls, reg, obj, priors,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, priors, num_level_points, rescale=True):
+        from ..dense_heads.yolox_head import yolox_get_bboxes
+
+        cls, reg, obj = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, o_, shp, sf: yolox_get_bboxes(
+            self.head_cfg, c_, r_, o_, priors, shp, sf, rescale,
+            score_thr=tc.score_thr, nms_iou_thr=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, obj, batch["img_shape"], batch["scale_factor"])

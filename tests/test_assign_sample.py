@@ -141,3 +141,88 @@ def test_pseudo_sampler():
     np.testing.assert_array_equal(np.asarray(res.is_pos), [False, False, True, True])
     np.testing.assert_array_equal(np.asarray(res.valid), [False, True, True, True])
     np.testing.assert_array_equal(np.asarray(res.gt_inds), [0, 0, 1, 0])
+
+
+def test_sim_ota_matches_reference_algorithm(rng):
+    """Fixed-shape SimOTA == the reference's sequential dynamic-k algorithm
+    (``sim_ota_assigner.py:125-255``) re-implemented in numpy."""
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.dense_heads.yolox_head import (
+        YOLOXCfg,
+        sim_ota_assign,
+    )
+    from tests.test_box_ops import np_iou
+
+    cfg = YOLOXCfg(num_classes=3)
+    n, g, c = 120, 4, 3
+    priors = np.zeros((n, 4), np.float32)
+    priors[:, 0] = (np.arange(n) % 12) * 8
+    priors[:, 1] = (np.arange(n) // 12) * 8
+    priors[:, 2:] = 8
+    decoded = rng.rand(n, 4).astype(np.float32) * 60
+    decoded[:, 2:] = decoded[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 30
+    gts = np.array(
+        [[4, 4, 40, 48], [30, 20, 90, 70], [0, 0, 96, 80], [0, 0, 0, 0]],
+        np.float32,
+    )
+    labels = np.array([0, 2, 1, 0])
+    mask = np.array([True, True, True, False])
+    scores = rng.rand(n, c).astype(np.float32) * 0.9 + 0.05
+
+    # --- numpy reference ---
+    cx = priors[:, 0] + 4
+    cy = priors[:, 1] + 4
+    in_gt = np.stack(
+        [(cx > b[0]) & (cy > b[1]) & (cx < b[2]) & (cy < b[3]) for b in gts], 1
+    )
+    gcx, gcy = (gts[:, 0] + gts[:, 2]) / 2, (gts[:, 1] + gts[:, 3]) / 2
+    rr = 2.5 * 8
+    in_ct = np.stack(
+        [
+            (cx > gcx[j] - rr) & (cy > gcy[j] - rr)
+            & (cx < gcx[j] + rr) & (cy < gcy[j] + rr)
+            for j in range(g)
+        ],
+        1,
+    )
+    in_gt &= mask[None]
+    in_ct &= mask[None]
+    cand = in_gt & in_ct
+    ious = np_iou(decoded, gts)
+    iou_cost = -np.log(ious + 1e-7)
+    p = np.sqrt(scores)
+    cls_cost = np.zeros((n, g), np.float32)
+    for j in range(g):
+        onehot = np.eye(c)[labels[j]]
+        bce = -(onehot * np.log(p) + (1 - onehot) * np.log(1 - p)).sum(-1)
+        cls_cost[:, j] = bce
+    cost = cls_cost + 3.0 * iou_cost + 1e8 * (~cand)
+    matching = np.zeros((n, g))
+    for j in range(g):
+        if not mask[j]:
+            continue
+        cand_ious = np.where(cand[:, j] | in_gt[:, j] | in_ct[:, j], ious[:, j], 0)
+        k = int(np.clip(np.sort(cand_ious)[-10:].sum(), 1, 10))
+        order = np.argsort(cost[:, j], kind="stable")[:k]
+        order = order[cost[order, j] < 1e8 / 2]  # finite-cost picks only
+        matching[order, j] = 1
+    multi = matching.sum(1) > 1
+    for i in np.where(multi)[0]:
+        best = np.argmin(cost[i])
+        matching[i] = 0
+        matching[i, best] = 1
+    exp_pos = matching.sum(1) > 0
+    exp_g = matching.argmax(1)
+
+    pos, best_g, matched_iou = jax.jit(
+        lambda s, d: sim_ota_assign(cfg, s, jnp.asarray(priors), d,
+                                    jnp.asarray(gts), jnp.asarray(labels),
+                                    jnp.asarray(mask))
+    )(scores, decoded)
+    np.testing.assert_array_equal(np.asarray(pos), exp_pos)
+    np.testing.assert_array_equal(np.asarray(best_g)[exp_pos], exp_g[exp_pos])
+    np.testing.assert_allclose(
+        np.asarray(matched_iou)[exp_pos],
+        ious[np.arange(n), exp_g][exp_pos], rtol=1e-5,
+    )

@@ -320,3 +320,23 @@ def test_sparse_rcnn_forward():
     )(variables)
     g = grads["params"]["init_proposal_features"]
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_yolox_forward():
+    """YOLOX: CSPDarknet + PAFPN + decoupled head, SimOTA-assigned losses."""
+    cfg = load_config(os.path.join(REPO, "configs/yolox/yolox_s_8x8_300e_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(widen_factor=0.125, deepen_factor=0.33)
+    mc["neck"].update(out_channels=32)
+    mc["bbox_head"].update(num_classes=4, feat_channels=32)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    priors, nlp = det.anchors_for(CANVAS)
+    assert priors.shape[0] == sum(nlp)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, priors, nlp)
+    assert set(losses) == {"loss_cls", "loss_bbox", "loss_obj"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, priors, nlp)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()

@@ -40,6 +40,11 @@ def parse_args():
 def shrink_model(mc):
     if mc["backbone"].get("type") in (None, "ResNet", "ResNeXt", "Res2Net"):
         mc["backbone"].update(type="ResNet", depth=18, base_channels=8)
+    if mc.get("type") == "YOLOX":
+        mc["backbone"].update(widen_factor=0.125)
+        mc["neck"].update(out_channels=32)
+        mc["bbox_head"].update(feat_channels=32)
+        return mc
     if mc.get("neck", {}).get("type") == "CTResNetNeck":  # CenterNet
         mc["neck"]["num_deconv_filters"] = (16, 16, 16)
         mc["bbox_head"].update(feat_channel=16)
