@@ -102,12 +102,25 @@ class TwoStageNet(nn.Module):
             fused.append(y)
         return (cls_l, reg_l, iou_l), tuple(fused)
 
-    def roi_out(self, feats, rois, roi_valid):
+    def _roi_align_fn(self, inference: bool):
+        """Inference on TPU uses the fused Pallas kernel (1.7x the XLA
+        separable-matmul path, no HBM window tensor); training keeps the XLA
+        path, whose autodiff provides the backward."""
+        from ...ops.pallas_roi_align import pallas_roi_available
+
+        if inference and pallas_roi_available():
+            from ...ops.pallas_roi_align import multilevel_roi_align_pallas
+
+            return multilevel_roi_align_pallas
+        return multilevel_roi_align_fast
+
+    def roi_out(self, feats, rois, roi_valid, inference: bool = False):
         """feats: L x (B, H, W, C); rois: (B, R, 4). One fused RoIAlign +
         head over the flattened (B*R) axis."""
         b, r, _ = rois.shape
+        align = self._roi_align_fn(inference)
         pooled = jax.vmap(
-            lambda fl, rb, vb: multilevel_roi_align_fast(
+            lambda fl, rb, vb: align(
                 fl,
                 rb,
                 vb,
@@ -122,11 +135,12 @@ class TwoStageNet(nn.Module):
         cls, reg = self.bbox_head(pooled)
         return cls, reg
 
-    def mask_out(self, feats, rois, roi_valid):
+    def mask_out(self, feats, rois, roi_valid, inference: bool = False):
         """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
         b, r, _ = rois.shape
+        align = self._roi_align_fn(inference)
         pooled = jax.vmap(
-            lambda fl, rb, vb: multilevel_roi_align_fast(
+            lambda fl, rb, vb: align(
                 fl,
                 rb,
                 vb,
@@ -357,7 +371,7 @@ class TwoStageDetector:
         )
         roi_feats = getattr(self, "_roi_feats", feats)
         cls_s, reg_s = self.net.apply(
-            variables, roi_feats, prop_boxes, prop_valid,
+            variables, roi_feats, prop_boxes, prop_valid, inference=True,
             method=TwoStageNet.roi_out,
         )
         r = prop_boxes.shape[1]
@@ -385,7 +399,7 @@ class TwoStageDetector:
             if rescale:
                 det_boxes = det_boxes * batch["scale_factor"][:, None, :]
             mask_logits = self.net.apply(
-                variables, roi_feats, det_boxes, valid,
+                variables, roi_feats, det_boxes, valid, inference=True,
                 method=TwoStageNet.mask_out,
             )
             m = mask_logits.shape[1]

@@ -19,15 +19,15 @@ Grid: one program; RoIs processed in a ``fori_loop`` with two DMA slots so
 roi i+1's window streams in while roi i computes (double-buffering pattern
 from the Pallas guide).
 
-STATUS: numerically validated against the XLA fast path (interpret mode,
-tests/test_roi_align.py).  On this environment's *remote* Mosaic compiler
-the kernel hits a toolchain crash (HTTP 500 / tpu_compile_helper exit 1 —
-an infra failure, not a lowering diagnostic; a minimal kernel with the same
-scalar-prefetch + fori_loop + dynamic-DMA structure but no in-kernel
-dot_general compiles and runs correctly).  The production RoI path therefore
-uses ``multilevel_roi_align_fast`` (separable-matmul XLA form, 2.2 ms / 512
-RoIs measured); this kernel is the drop-in upgrade once the toolchain
-accepts in-kernel matmuls.
+Alignment note: Mosaic requires the dynamic column (sublane) offset of the
+window DMA to be *provably* divisible by the sublane tiling (8 for f32, 16
+for bf16) — "Failed to prove that a tile index in dimension 1 is divisible
+by the tiling (8)" otherwise.  The kernel therefore receives ``x0 // ALIGN``
+as its prefetch scalar and multiplies by ALIGN inside, the DMA window is one
+align-unit wider, and the column-interpolation matrix is shifted by
+``x0 % ALIGN`` host-side so the sampled cells (and all boundary clamps) stay
+bitwise-identical to ``multilevel_roi_align_fast``.  Row offsets need no
+alignment (dimension 0 of the memref is untiled).
 """
 from __future__ import annotations
 
@@ -46,18 +46,22 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _kernel(out_size: int, win: int, win_w: int,
-            row0_ref, x0_ref, wy_ref, wx_ref, stacked_ref, out_ref):
+def _kernel(out_size: int, win: int, win_w: int, align: int,
+            row0_ref, x0a_ref, wy_ref, wx_ref, stacked_ref, out_ref):
     """wy/wx carry the 2x2 bin pooling pre-folded: (R, out, win[_w]).
     Output layout (R, out_x, out_y, C) keeps C on the 128-lane axis; the
-    cheap x/y transpose to (R, out_y, out_x, C) happens in XLA outside."""
+    cheap x/y transpose to (R, out_y, out_x, C) happens in XLA outside.
+    ``x0a_ref`` holds the window column origin divided by ``align`` so the
+    in-kernel offset ``x0a * align`` is provably sublane-aligned."""
     r = out_ref.shape[0]
     c = out_ref.shape[-1]
 
     def body(scratch, sems):
         def get_dma(slot, i):
             return pltpu.make_async_copy(
-                stacked_ref.at[pl.ds(row0_ref[i], win), pl.ds(x0_ref[i], win_w), :],
+                stacked_ref.at[
+                    pl.ds(row0_ref[i], win), pl.ds(x0a_ref[i] * align, win_w), :
+                ],
                 scratch.at[slot],
                 sems.at[slot],
             )
@@ -99,10 +103,15 @@ def _kernel(out_size: int, win: int, win_w: int,
     )
 
 
+def _sublane_align(dtype) -> int:
+    """Sublane tiling: 8 rows for 4-byte types, 16 for 2-byte (bf16)."""
+    return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+
+
 def pallas_window_roi_align(
-    stacked: jnp.ndarray,  # (sumH + win, maxW, C)
+    stacked: jnp.ndarray,  # (sumH + win, maxW + align, C)
     row0: jnp.ndarray,  # (R,) int32
-    x0: jnp.ndarray,  # (R,) int32
+    x0: jnp.ndarray,  # (R,) int32  unaligned window column origin
     wy: jnp.ndarray,  # (R, out*s, win)
     wx: jnp.ndarray,  # (R, out*s, win_w)
     out_size: int = 7,
@@ -118,12 +127,23 @@ def pallas_window_roi_align(
     wx = jnp.einsum("ok,rkw->row", pool, wx)
     win = wy.shape[-1]
     win_w = wx.shape[-1]
-    kern = functools.partial(_kernel, out_size, win, win_w)
+    # Mosaic alignment: DMA column origin must be provably divisible by the
+    # sublane tiling.  Align the origin down, widen the window by one align
+    # unit, and shift the interp-matrix columns by the residue host-side so
+    # the referenced feature cells are unchanged.
+    align = _sublane_align(stacked.dtype)
+    x0a = x0 // align
+    shift = (x0 - x0a * align).astype(jnp.int32)  # [0, align)
+    win_w_dma = win_w + align
+    cols = shift[:, None, None] + jnp.arange(win_w)[None, None, :]
+    onehot = jax.nn.one_hot(cols, win_w_dma, dtype=wx.dtype)  # (R, 1, w, W)
+    wx = jnp.einsum("row,rwW->roW", wx, onehot[:, 0])
+    kern = functools.partial(_kernel, out_size, win, win_w_dma, align)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((r, out_size, out_size, c), stacked.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # row0, x0 drive the DMAs
+            num_scalar_prefetch=2,  # row0, x0//align drive the DMAs
             grid=(),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # wy (small)
@@ -133,7 +153,7 @@ def pallas_window_roi_align(
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(row0, x0, wy, wx, stacked)
+    )(row0, x0a, wy, wx, stacked)
     return out.transpose(0, 2, 1, 3)  # (R, out_y, out_x, C)
 
 
@@ -161,12 +181,17 @@ def multilevel_roi_align_pallas(
     max_w = max(f.shape[1] for f in feats[:nl])
     win_w = min(win, max_w)
     rows, row_off, acc = [], [], 0
+    # pad one extra sublane-align unit of columns so the aligned, widened
+    # window DMA never reads out of bounds
+    from jax.numpy import dtype as _jdt  # noqa: F401
+
+    pad_w = max_w + _sublane_align(feats[0].dtype)
     for f in feats[:nl]:
         h, w, _ = f.shape
-        rows.append(jnp.pad(f, ((0, 0), (0, max_w - w), (0, 0))))
+        rows.append(jnp.pad(f, ((0, 0), (0, pad_w - w), (0, 0))))
         row_off.append(acc)
         acc += h
-    rows.append(jnp.zeros((win, max_w, c), feats[0].dtype))
+    rows.append(jnp.zeros((win, pad_w, c), feats[0].dtype))
     stacked = jnp.concatenate(rows, axis=0)
     row_off = jnp.asarray(row_off, jnp.int32)
     hs = jnp.asarray([f.shape[0] for f in feats[:nl]], jnp.int32)
@@ -191,3 +216,16 @@ def multilevel_roi_align_pallas(
         out_size=out_size, s=s, interpret=interpret,
     )
     return pooled * roi_valid[:, None, None, None].astype(pooled.dtype)
+
+
+def pallas_roi_available() -> bool:
+    """Use the fused kernel: pallas importable, TPU backend, not disabled by
+    ``BRT_NO_PALLAS_ROI`` (escape hatch)."""
+    import os
+
+    if not _HAS_PALLAS or os.environ.get("BRT_NO_PALLAS_ROI"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
