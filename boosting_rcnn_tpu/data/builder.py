@@ -29,6 +29,15 @@ def build_dataset(cfg: Dict[str, Any], test_mode: bool = False):
             classes=cfg.get("classes"),
             test_mode=test_mode,
         )
+    if t in ("LVISDataset", "LVISV05Dataset", "LVISV1Dataset"):
+        from .lvis import LvisDataset
+
+        return LvisDataset(
+            ann_file=cfg["ann_file"],
+            img_prefix=cfg.get("img_prefix", ""),
+            classes=cfg.get("classes"),
+            test_mode=test_mode,
+        )
     # CocoDataset + the underwater dataset aliases (UTDAC/Brackish/TrashCan)
     classes = cfg.get("classes")
     if classes is None and t in DATASET_CLASSES and t != "CocoDataset":

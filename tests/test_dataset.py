@@ -113,3 +113,61 @@ def test_filter_empty_gt(tmp_path):
     p.write_text(json.dumps(anns))
     assert len(CocoDataset(str(p))) == 1  # train mode filters empty
     assert len(CocoDataset(str(p), test_mode=True)) == 2
+
+
+def test_lvis_dataset_federated_eval(tmp_path):
+    """LVIS parsing (coco_url file names, neg_category_ids) + federated AP:
+    a category's AP is only computed over verified images."""
+    import json
+
+    import numpy as np
+
+    from boosting_rcnn_tpu.data.lvis import LvisDataset
+
+    ann = {
+        "images": [
+            # img 1: has cat1 gt, cat2 unverified
+            {"id": 1, "width": 100, "height": 100,
+             "coco_url": "http://images.cocodataset.org/train2017/a.jpg",
+             "neg_category_ids": []},
+            # img 2: has cat2 gt, cat1 verified-negative
+            {"id": 2, "width": 100, "height": 100,
+             "coco_url": "http://images.cocodataset.org/train2017/b.jpg",
+             "neg_category_ids": [1]},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+            {"id": 2, "image_id": 2, "category_id": 2,
+             "bbox": [30, 30, 20, 20], "area": 400, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "cat1"}, {"id": 2, "name": "cat2"}],
+    }
+    p = tmp_path / "lvis.json"
+    p.write_text(json.dumps(ann))
+    ds = LvisDataset(str(p), test_mode=True, filter_empty_gt=False)
+    assert ds.data_infos[0]["filename"] == "train2017/a.jpg"
+    assert len(ds) == 2
+
+    perfect1 = np.array([[10, 10, 30, 30, 0.9]], np.float32)
+    perfect2 = np.array([[30, 30, 50, 50, 0.9]], np.float32)
+    empty = np.zeros((0, 5), np.float32)
+    # image 1: perfect cat1 det + a false-positive cat2 det.  Because img 1
+    # is UNVERIFIED for cat2 (no gt, not in neg_category_ids), federated
+    # eval must ignore that false positive.
+    fp2 = np.array([[0, 0, 9, 9, 0.99]], np.float32)
+    results = [[perfect1, fp2], [empty, perfect2]]
+    m = ds.evaluate(results)
+    assert m["bbox_mAP"] > 0.99, m
+    # sanity: a false positive on a VERIFIED image does hurt
+    fp1_on_img2 = np.array([[0, 0, 9, 9, 0.99]], np.float32)
+    results_bad = [[perfect1, fp2], [fp1_on_img2, perfect2]]
+    m_bad = ds.evaluate(results_bad)
+    assert m_bad["bbox_mAP"] < m["bbox_mAP"], (m_bad, m)
+    # engine-format results ((dets, labels) per image) give the same score
+    eng = [
+        (np.concatenate([perfect1, fp2]), np.array([0, 1])),
+        (np.concatenate([empty, perfect2]), np.array([1])),
+    ]
+    m_eng = ds.evaluate(eng)
+    assert abs(m_eng["bbox_mAP"] - m["bbox_mAP"]) < 1e-9
