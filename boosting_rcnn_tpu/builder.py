@@ -450,6 +450,8 @@ def build_detector(
         return build_sparse_rcnn(model_cfg, dtype=dtype)
     if t == "YOLOX":
         return build_yolox(model_cfg, dtype=dtype)
+    if t == "FOVEA" or t == "FoveaBox":
+        return build_fovea(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -905,6 +907,56 @@ def build_yolox(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             score_thr=test_cfg.get("score_thr", 0.01),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.65),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
+def build_fovea(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.dense_heads.fovea_head import FoveaCfg
+    from .models.dense_heads.retina_head import RetinaConvs
+    from .models.detectors.single_stage import (
+        FoveaDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    strides = tuple(head.get("strides", (8, 16, 32, 64, 128)))
+    loss_cls = head.get("loss_cls", {})
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=RetinaConvs(
+            num_classes=num_classes,
+            num_anchors=1,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            dtype=dtype,
+        ),
+    )
+    hc = FoveaCfg(
+        num_classes=num_classes,
+        strides=strides,
+        base_edge_list=tuple(head.get("base_edge_list", (16, 32, 64, 128, 256))),
+        scale_ranges=tuple(tuple(r) for r in head.get(
+            "scale_ranges",
+            ((1, 64), (32, 128), (64, 256), (128, 512), (256, 2048)))),
+        sigma=head.get("sigma", 0.4),
+        focal_gamma=loss_cls.get("gamma", 1.5),
+        focal_alpha=loss_cls.get("alpha", 0.4),
+        loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.0),
+        smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.11),
+    )
+    return FoveaDetector(
+        net, hc,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
     )

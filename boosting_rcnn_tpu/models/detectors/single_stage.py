@@ -555,3 +555,79 @@ class YOLOXDetector:
             max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, obj, batch["img_shape"], batch["scale_factor"])
+
+
+class FoveaDetector:
+    """FoveaBox (reference ``mmdet/models/detectors/fovea.py``): anchor-free
+    per-level scale assignment with fovea-region positives."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        from ..dense_heads.fovea_head import fovea_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pack = fovea_points(
+            fs, self.head_cfg.strides, self.head_cfg.base_edge_list,
+            self.head_cfg.scale_ranges,
+        )
+        widths = np.concatenate(
+            [np.full(h * w, w, np.float32) for h, w in fs]
+        )
+        heights = np.concatenate(
+            [np.full(h * w, h, np.float32) for h, w in fs]
+        )
+        nlp = tuple(h * w for h, w in fs)
+        return (
+            tuple(jnp.asarray(a) for a in pack),
+            jnp.asarray(widths),
+            jnp.asarray(heights),
+        ), nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        cls_l, reg_l, _ = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        return cls, reg
+
+    def loss(self, variables, rng, batch, geom, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.fovea_head import fovea_loss
+
+        pack, widths, heights = geom
+        cls, reg = self._flat_outs(variables, batch["images"])
+        return fovea_loss(
+            self.head_cfg, cls, reg, pack, widths, heights,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, geom, num_level_points, rescale=True):
+        from ..dense_heads.fovea_head import fovea_get_bboxes
+
+        pack = geom[0]
+        cls, reg = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: fovea_get_bboxes(
+            self.head_cfg, c_, r_, pack, shp, sf, rescale,
+            score_thr=tc.score_thr, nms_iou_thr=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])

@@ -340,3 +340,62 @@ def test_yolox_forward():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, priors, nlp)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_fovea_forward():
+    """FoveaBox: scale-range level assignment + fovea-region positives."""
+    cfg = load_config(os.path.join(REPO, "configs/foveabox/fovea_r50_fpn_4x4_1x_coco.py"))
+    mc = shrink(cfg.model.to_dict())
+    mc["bbox_head"]["num_classes"] = 4
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    geom, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, geom, nlp)
+    assert set(losses) == {"loss_cls", "loss_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, geom, nlp)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_fovea_targets_geometry():
+    """A gt stamps its fovea region on exactly the scale-matched level and
+    the smallest gt wins overlaps."""
+    from boosting_rcnn_tpu.models.dense_heads.fovea_head import (
+        FoveaCfg,
+        fovea_points,
+        fovea_targets,
+    )
+
+    cfg = FoveaCfg(num_classes=3, strides=(8, 16), base_edge_list=(16, 32),
+                   scale_ranges=((1, 64), (32, 2048)))
+    fs = [(16, 20), (8, 10)]
+    pack = [jnp.asarray(a) for a in fovea_points(
+        fs, cfg.strides, cfg.base_edge_list, cfg.scale_ranges)]
+    widths = jnp.concatenate([jnp.full(h * w, w) for h, w in fs]).astype(jnp.float32)
+    heights = jnp.concatenate([jnp.full(h * w, h) for h, w in fs]).astype(jnp.float32)
+    # big gt (sqrt area 96 -> level 1 only) and small one inside it
+    # (sqrt area 32 -> both levels; wins overlap on level 1? no: level 0
+    # range (1, 64) and level 1 (32, 2048) both contain 32)
+    gts = jnp.asarray([[0.0, 0.0, 96.0, 96.0], [32.0, 32.0, 64.0, 64.0]])
+    labels_in = jnp.asarray([1, 2])
+    mask = jnp.asarray([True, True])
+    labels, bbox_t, pos = fovea_targets(
+        cfg, pack, widths, heights, gts, labels_in, mask)
+    n0 = 16 * 20
+    lab0 = np.asarray(labels[:n0]).reshape(16, 20)
+    lab1 = np.asarray(labels[n0:]).reshape(8, 10)
+    # level 0: only the small gt hits (sqrt 96 > 64); its center cell
+    # (48/8=6) carries label 2
+    assert lab0[6, 6] == 2
+    assert not (lab0 == 1).any()
+    # level 1: big gt fovea stamped; the small gt's sigma-shrunk fovea is
+    # empty at stride 16 (ceil(2.1) > floor(2.9)) so the big gt keeps its
+    # cells — same as the reference's empty-slice stamping
+    assert lab1[3, 3] == 1
+    assert (lab1 == 1).sum() > 0
+    assert not (lab1 == 2).any()
+    # box targets at a positive are finite log-ratios in [log(1/16), log 16]
+    t = np.asarray(bbox_t)[np.asarray(pos)]
+    assert np.isfinite(t).all() and (np.abs(t) <= np.log(16.0) + 1e-6).all()
