@@ -49,8 +49,8 @@ class YOLOXHeadConvs(nn.Module):
     def __call__(self, feats):
         cls_out, reg_out, obj_out = [], [], []
         for lvl, x in enumerate(feats):
-            x = CBS(self.feat_channels, 1, dtype=self.dtype,
-                    name=f"l{lvl}_reduce")(x)
+            # separate stacked towers straight off the neck features
+            # (reference builds independent cls/reg conv stacks per level)
             c, r = x, x
             for i in range(self.stacked_convs):
                 c = CBS(self.feat_channels, 3, dtype=self.dtype,
