@@ -452,6 +452,8 @@ def build_detector(
         return build_yolox(model_cfg, dtype=dtype)
     if t == "FOVEA" or t == "FoveaBox":
         return build_fovea(model_cfg, dtype=dtype)
+    if t == "RPN":
+        return build_rpn_detector(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}
@@ -959,4 +961,34 @@ def build_fovea(model_cfg: Dict[str, Any], dtype=jnp.float32):
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
+    )
+
+
+def build_rpn_detector(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.detectors.two_stage import RPNDetector, TwoStageNet
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+        model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+    )
+    net = TwoStageNet(
+        backbone=backbone, neck=neck, rpn=rpn_module, bbox_head=None,
+    )
+    rpn_test = test_cfg.get("rpn", test_cfg)
+    return RPNDetector(
+        net, ag,
+        rpn_cfg=rpn_cfg,
+        roi_cfg=ProbRoICfg(),
+        bbox_cfg=BBoxHeadCfg(num_classes=1),
+        train_proposal_cfg=ProposalCfg(),
+        test_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_test.get("nms_pre", 1000),
+            max_per_img=rpn_test.get("max_per_img", 1000),
+            nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+            min_bbox_size=rpn_test.get("min_bbox_size", 0),
+        ),
+        rpn_type=rpn_type,
     )

@@ -185,6 +185,19 @@ class CocoDataset:
             for d in self.data_infos
         ]
         out = {}
+        if "proposal" in metrics or "proposal_fast" in metrics:
+            from ..core.evaluation.recall import eval_recalls
+
+            gt_boxes = [d["bboxes"] for d in self.data_infos]
+            props = []
+            for r in results:
+                dets = r[0] if isinstance(r, tuple) else np.concatenate(
+                    [np.asarray(x).reshape(-1, 5) for x in r], 0)
+                props.append(np.asarray(dets).reshape(-1, 5))
+            recalls = eval_recalls(gt_boxes, props)
+            ar = recalls.mean(axis=1)
+            for i, n in enumerate((100, 300, 1000)):
+                out[f"AR@{n}"] = float(ar[i])
         if "bbox" in metrics:
             ev = CocoStyleEval(gts, results, num_classes=len(self.CLASSES))
             stats = ev.summarize()

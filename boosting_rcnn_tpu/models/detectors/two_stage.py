@@ -68,7 +68,7 @@ class TwoStageNet(nn.Module):
     backbone: nn.Module
     neck: nn.Module
     rpn: nn.Module
-    bbox_head: nn.Module
+    bbox_head: Optional[nn.Module]
     mask_head: Optional[nn.Module] = None
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
@@ -163,6 +163,8 @@ class TwoStageNet(nn.Module):
             rpn_outs, feats = self.rpn_bridge_out(feats)
         else:
             rpn_outs = self.rpn_out(feats)
+        if self.bbox_head is None:  # RPN-only detector
+            return rpn_outs, None, None
         cls, reg = self.roi_out(feats, rois, roi_valid)
         if self.mask_head is not None:
             self.mask_out(feats, rois, roi_valid)
@@ -512,3 +514,48 @@ def aug_predict(
             nms_type=tc.nms_type,
         )
     )(pb, fused, reg_ref, pv, batch["img_shape"], batch["scale_factor"])
+
+
+class RPNDetector(TwoStageDetector):
+    """RPN-only detector (reference ``mmdet/models/detectors/rpn.py``):
+    trains just the RPN and emits its proposals as class-agnostic
+    detections, evaluated with proposal recall (AR@N)."""
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        images = batch["images"]
+        b = images.shape[0]
+        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        cls, reg, iou = self._rpn_flat(variables, feats)
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        if self.rpn_type == "atss_rpn":
+            return atss_rpn_loss(
+                self.rpn_cfg, cls, reg, iou, anchors, valid,
+                batch["gt_bboxes"], batch["gt_mask"],
+                num_level_anchors, axis_name=axis_name,
+            )
+        return rpn_loss(
+            self.rpn_cfg, cls, reg, anchors, valid,
+            batch["gt_bboxes"], batch["gt_mask"], rng=rng,
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        feats = self.net.apply(
+            variables, batch["images"], method=TwoStageNet.features
+        )
+        cls, reg, iou = self._rpn_flat(variables, feats)
+        boxes, scores, valid = self._proposals(
+            cls, reg, iou, anchors, num_level_anchors,
+            batch["img_shape"], self.test_proposal_cfg,
+        )
+        if rescale:
+            boxes = boxes / batch["scale_factor"][:, None, :]
+        dets = jnp.concatenate([boxes, scores[..., None]], -1)
+        labels = jnp.zeros(dets.shape[:2], jnp.int32)
+        return dets, labels, valid

@@ -106,3 +106,20 @@ def test_area_ranges():
     s = CocoStyleEval(gts, results, num_classes=1).summarize()
     assert s["APs"] == 1.0
     assert np.isnan(s["APl"])
+
+
+def test_eval_recalls_proposal_metric():
+    """eval_recalls: perfect proposals give AR 1; junk gives 0; the
+    CocoDataset 'proposal_fast' metric wires through."""
+    import numpy as np
+
+    from boosting_rcnn_tpu.core.evaluation.recall import eval_recalls
+
+    gts = [np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)]
+    perfect = [np.array([[10, 10, 50, 50, 0.9], [60, 60, 90, 90, 0.8]], np.float32)]
+    r = eval_recalls(gts, perfect, proposal_nums=(1, 100))
+    assert r[1].mean() == 1.0        # both gts recalled with 100 proposals
+    assert 0.4 < r[0].mean() <= 0.5  # top-1 proposal recalls only one gt
+    junk = [np.array([[0, 0, 5, 5, 0.9]], np.float32)]
+    r2 = eval_recalls(gts, junk)
+    assert r2.max() == 0.0

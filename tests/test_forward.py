@@ -399,3 +399,25 @@ def test_fovea_targets_geometry():
     # box targets at a positive are finite log-ratios in [log(1/16), log 16]
     t = np.asarray(bbox_t)[np.asarray(pos)]
     assert np.isfinite(t).all() and (np.abs(t) <= np.log(16.0) + 1e-6).all()
+
+
+def test_rpn_only_forward():
+    """RPN-only detector: rpn losses only, proposals as detections."""
+    cfg = load_config(os.path.join(REPO, "configs/rpn/rpn_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["rpn_head"].update(feat_channels=32)
+    mc["test_cfg"]["rpn"].update(nms_pre=64, max_per_img=32)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert dets.shape[1:] == (32, 5)
+    assert (np.asarray(labels) == 0).all()
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()

@@ -145,8 +145,10 @@ def main():
     if "roi_head" in mc:
         bh = mc["roi_head"]["bbox_head"]
         num_classes = (bh[0] if isinstance(bh, list) else bh)["num_classes"]
-    else:
+    elif "bbox_head" in mc:
         num_classes = mc["bbox_head"]["num_classes"]
+    else:
+        num_classes = 1  # RPN-only: class-agnostic proposals
     if args.fake_data:
         loader = FakeDetLoader(
             batch_size=batch_per_host,
