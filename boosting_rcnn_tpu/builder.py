@@ -460,7 +460,8 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
-    if t in ("FasterRCNN", "MaskRCNN", "ProbTwoStage", "TwoStageDetector"):
+    if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
+             "TwoStageDetector"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)
         rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
@@ -469,6 +470,7 @@ def build_detector(
         roi = model_cfg["roi_head"]
         bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
         mask_module = None
+        mask_iou_module = None
         if roi.get("mask_head"):
             from .models.roi_heads.mask_head import FCNMaskHead
 
@@ -479,6 +481,19 @@ def build_detector(
                 conv_channels=mh.get("conv_out_channels", 256),
                 dtype=dtype,
             )
+            if roi.get("mask_iou_head") or t == "MaskScoringRCNN":
+                from .models.roi_heads.mask_head import MaskIoUHead
+
+                mih = roi.get("mask_iou_head") or {}
+                mask_iou_module = MaskIoUHead(
+                    num_classes=mih.get("num_classes",
+                                        mh.get("num_classes",
+                                               bbox_cfg.num_classes)),
+                    num_convs=mih.get("num_convs", 4),
+                    conv_channels=mih.get("conv_out_channels", 256),
+                    fc_channels=mih.get("fc_out_channels", 1024),
+                    dtype=dtype,
+                )
         extractor = roi.get("bbox_roi_extractor", {})
         strides = tuple(extractor.get("featmap_strides", (8, 16, 32, 64, 128)))
         roi_layer = extractor.get("roi_layer", {})
@@ -489,6 +504,7 @@ def build_detector(
             rpn=rpn_module,
             bbox_head=bbox_module,
             mask_head=mask_module,
+            mask_iou_head=mask_iou_module,
             bridge=(t == "ProbTwoStage")
             or model_cfg["rpn_head"].get("bridge", False),
             roi_strides=strides,

@@ -124,7 +124,7 @@ class CocoStyleEval:
                 dets, labels = res[0], res[1]
                 m = labels == ki
                 db = dets[m, :4]
-                ds = dets[m, 4]
+                ds = self._det_scores(res)[m]
                 order = np.argsort(-ds, kind="stable")[: self.max_dets]
                 gm = gt["labels"] == ki
                 gb = gt["bboxes"][gm]
@@ -208,11 +208,19 @@ class CocoStyleEval:
         }
 
 
+    def _det_scores(self, res):
+        return res[0][:, 4]
+
+
 class SegmCocoStyleEval(CocoStyleEval):
     """Mask-AP variant: det masks are box-relative 28x28 probability crops
     (``results[i] = (dets, labels, mask_crops)``); gt masks come from COCO
     segmentations rasterised on demand.  Area ranges use box areas (minor
     deviation from COCOeval's segmentation areas, recorded here)."""
+
+    def _det_scores(self, res):
+        # Mask Scoring R-CNN supplies per-det mask scores as res[3]
+        return res[3] if len(res) > 3 else res[0][:, 4]
 
     def compute_iou(self, det_boxes, gt_boxes, gt_ig, img_idx, cls, det_sel):
         from ...data.mask_utils import crop_mask_iou, polygons_to_bitmap

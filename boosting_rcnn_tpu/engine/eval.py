@@ -40,9 +40,14 @@ def run_eval(
         out = predict(variables, jb)
         dets, labels, valid = map(np.asarray, out[:3])
         masks = np.asarray(out[3]) if len(out) > 3 else None
+        mask_scores = np.asarray(out[4]) if len(out) > 4 else None
         for i in range(dets.shape[0]):
             m = valid[i]
-            if masks is not None:
+            if mask_scores is not None:
+                results.append(
+                    (dets[i][m], labels[i][m], masks[i][m], mask_scores[i][m])
+                )
+            elif masks is not None:
                 results.append((dets[i][m], labels[i][m], masks[i][m]))
             else:
                 results.append((dets[i][m], labels[i][m]))

@@ -70,6 +70,7 @@ class TwoStageNet(nn.Module):
     rpn: nn.Module
     bbox_head: Optional[nn.Module]
     mask_head: Optional[nn.Module] = None
+    mask_iou_head: Optional[nn.Module] = None
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
@@ -135,7 +136,8 @@ class TwoStageNet(nn.Module):
         cls, reg = self.bbox_head(pooled)
         return cls, reg
 
-    def mask_out(self, feats, rois, roi_valid, inference: bool = False):
+    def mask_out(self, feats, rois, roi_valid, inference: bool = False,
+                 return_pooled: bool = False):
         """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
         b, r, _ = rois.shape
         align = self._roi_align_fn(inference)
@@ -154,7 +156,14 @@ class TwoStageNet(nn.Module):
         pooled = pooled.reshape(
             b * r, self.mask_roi_out_size, self.mask_roi_out_size, -1
         )
-        return self.mask_head(pooled)
+        logits = self.mask_head(pooled)
+        if return_pooled:
+            return logits, pooled
+        return logits
+
+    def mask_iou_out(self, pooled, mask_pred):
+        """Mask-IoU predictions (Mask Scoring R-CNN)."""
+        return self.mask_iou_head(pooled, mask_pred)
 
     def __call__(self, images, rois, roi_valid):
         """Init-time path touching every submodule."""
@@ -167,7 +176,13 @@ class TwoStageNet(nn.Module):
             return rpn_outs, None, None
         cls, reg = self.roi_out(feats, rois, roi_valid)
         if self.mask_head is not None:
-            self.mask_out(feats, rois, roi_valid)
+            mask_logits, pooled = self.mask_out(
+                feats, rois, roi_valid, return_pooled=True
+            )
+            if self.mask_iou_head is not None:
+                self.mask_iou_out(
+                    pooled, jnp.zeros(pooled.shape[:1] + (28, 28), pooled.dtype)
+                )
         return rpn_outs, cls, reg
 
 
@@ -331,22 +346,64 @@ class TwoStageDetector:
         if self.net.mask_head is not None and "gt_mask_crops" in batch:
             from ..roi_heads.mask_head import mask_loss, resample_mask_targets
 
-            mask_logits = self.net.apply(
+            with_iou = self.net.mask_iou_head is not None
+            mask_out_res = self.net.apply(
                 variables, roi_feats, sample.boxes, sample.valid & sample.is_pos,
+                return_pooled=with_iou,
                 method=TwoStageNet.mask_out,
             )
+            mask_logits = mask_out_res[0] if with_iou else mask_out_res
             targets = jax.vmap(
                 lambda crops, gb, rb, gi: resample_mask_targets(crops, gb, rb, gi)
             )(
                 batch["gt_mask_crops"], batch["gt_bboxes"],
                 sample.boxes, sample.gt_idx,
             )
+            pos_labels = jnp.where(flat.is_pos, flat.matched_label, 0)
+            pos_w = flat.is_pos & flat.valid
             losses["loss_mask"] = mask_loss(
                 mask_logits,
                 targets.reshape((-1,) + targets.shape[2:]),
-                jnp.where(flat.is_pos, flat.matched_label, 0),
-                flat.is_pos & flat.valid,
+                pos_labels,
+                pos_w,
             )
+            if with_iou:
+                from ..roi_heads.mask_head import mask_iou_targets
+
+                pooled = mask_out_res[1]
+                m = mask_logits.shape[1]
+                safe = jnp.clip(pos_labels, 0, mask_logits.shape[-1] - 1)
+                pred = jax.nn.sigmoid(jnp.take_along_axis(
+                    mask_logits,
+                    safe[:, None, None, None].repeat(m, 1).repeat(m, 2),
+                    axis=-1,
+                )[..., 0])  # (B*R, 28, 28)
+                iou_pred = self.net.apply(
+                    variables, pooled, pred, method=TwoStageNet.mask_iou_out
+                )
+                iou_pred_pos = jnp.take_along_axis(
+                    iou_pred, safe[:, None], axis=-1
+                )[:, 0]
+                flat_boxes = sample.boxes.reshape(-1, 4)
+                gidx = sample.gt_idx.reshape(-1)
+                bidx = jnp.repeat(
+                    jnp.arange(b), sample.boxes.shape[1]
+                )
+                crop_fracs = batch["gt_mask_crops"].astype(jnp.float32).mean(
+                    (-1, -2)
+                )[bidx, gidx]
+                gt_b = batch["gt_bboxes"][bidx, gidx]
+                tgt = mask_iou_targets(
+                    pred, targets.reshape((-1,) + targets.shape[2:]),
+                    crop_fracs, flat_boxes, gt_b,
+                )
+                w = (pos_w & (tgt > 0)).astype(jnp.float32)
+                from ...ops import losses as _L
+
+                losses["loss_mask_iou"] = 0.5 * _L.mse_loss(
+                    iou_pred_pos, tgt, weight=w,
+                    avg_factor=jnp.maximum(w.sum(), 1.0),
+                )
         return losses
 
     # ---------- inference ----------
@@ -400,10 +457,12 @@ class TwoStageDetector:
             det_boxes = dets[..., :4]
             if rescale:
                 det_boxes = det_boxes * batch["scale_factor"][:, None, :]
-            mask_logits = self.net.apply(
+            with_iou = self.net.mask_iou_head is not None
+            mask_out_res = self.net.apply(
                 variables, roi_feats, det_boxes, valid, inference=True,
-                method=TwoStageNet.mask_out,
+                return_pooled=with_iou, method=TwoStageNet.mask_out,
             )
+            mask_logits = mask_out_res[0] if with_iou else mask_out_res
             m = mask_logits.shape[1]
             c = mask_logits.shape[-1]
             mask_logits = mask_logits.reshape(b, -1, m, m, c)
@@ -414,6 +473,19 @@ class TwoStageDetector:
                 axis=-1,
             )[..., 0]
             masks = jax.nn.sigmoid(sel.astype(jnp.float32))  # (B, D, 28, 28)
+            if with_iou:
+                # Mask Scoring: segm confidence = cls score * predicted IoU
+                pooled = mask_out_res[1]
+                iou_pred = self.net.apply(
+                    variables, pooled, masks.reshape(-1, m, m),
+                    method=TwoStageNet.mask_iou_out,
+                )
+                iou_sel = jnp.take_along_axis(
+                    iou_pred.reshape(b, -1, c), jnp.clip(labels, 0, c - 1)[..., None],
+                    axis=-1,
+                )[..., 0]
+                mask_scores = dets[..., 4] * jnp.clip(iou_sel, 0.0, 1.0)
+                return dets, labels, valid, masks, mask_scores
             return dets, labels, valid, masks
         return dets, labels, valid
 

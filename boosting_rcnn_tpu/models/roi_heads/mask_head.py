@@ -112,3 +112,66 @@ def mask_loss(
     posf = pos_mask.astype(jnp.float32)
     num = jnp.maximum(jnp.sum(posf), 1.0)
     return jnp.sum(elem * posf[:, None, None]) / (num * m * m) * loss_weight
+
+
+class MaskIoUHead(nn.Module):
+    """Mask-IoU head (Mask Scoring R-CNN; reference
+    ``mmdet/models/roi_heads/mask_heads/maskiou_head.py``): predicts the IoU
+    between each predicted mask and its gt, from the 14x14 RoI features
+    concatenated with the 2x2-max-pooled mask prediction."""
+
+    num_classes: int = 80
+    num_convs: int = 4
+    conv_channels: int = 256
+    fc_channels: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled, mask_pred):
+        """pooled: (R, 14, 14, C); mask_pred: (R, 28, 28) sigmoid probs of
+        the target class.  Returns (R, num_classes) IoU predictions."""
+        mp = nn.max_pool(mask_pred[..., None], (2, 2), (2, 2))  # (R,14,14,1)
+        x = jnp.concatenate([pooled, mp.astype(pooled.dtype)], -1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.Conv(
+                self.conv_channels, (3, 3), (stride, stride),
+                padding=[(1, 1), (1, 1)], dtype=self.dtype, name=f"conv_{i}",
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        for i in range(2):
+            x = nn.relu(nn.Dense(self.fc_channels, dtype=self.dtype,
+                                 name=f"fc_{i}")(x))
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="fc_mask_iou")(x).astype(jnp.float32)
+
+
+def mask_iou_targets(
+    mask_pred: jnp.ndarray,  # (R, 28, 28) sigmoid probs of the gt class
+    mask_targets: jnp.ndarray,  # (R, 28, 28) binary in-proposal gt masks
+    crop_fracs: jnp.ndarray,  # (R,) fraction of the gt box covered by mask
+    roi_boxes: jnp.ndarray,  # (R, 4)
+    gt_boxes: jnp.ndarray,  # (R, 4) matched gt boxes
+    thr: float = 0.5,
+) -> jnp.ndarray:
+    """IoU of the binarised prediction with the FULL gt instance
+    (reference ``maskiou_head.py:get_targets``): the target grid only sees
+    the in-proposal part, so the full gt area is recovered from the
+    box-relative crop occupancy (``crop_fracs * gt_box_area``) converted to
+    proposal-grid cells."""
+    binary = (mask_pred > thr).astype(jnp.float32)
+    pred_area = binary.sum((-1, -2))
+    overlap = (binary * mask_targets).sum((-1, -2))
+    cells = mask_pred.shape[-1] * mask_pred.shape[-2]
+    roi_area = jnp.maximum(
+        (roi_boxes[:, 2] - roi_boxes[:, 0]) * (roi_boxes[:, 3] - roi_boxes[:, 1]),
+        1e-3,
+    )
+    gt_area = jnp.maximum(
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
+        1e-3,
+    )
+    px_per_cell = roi_area / cells
+    gt_full_cells = crop_fracs * gt_area / px_per_cell
+    return overlap / jnp.maximum(pred_area + gt_full_cells - overlap, 1e-7)

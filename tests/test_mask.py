@@ -96,3 +96,73 @@ def test_mask_rcnn_forward():
     dets, labels, valid, masks = out
     assert masks.shape[-2:] == (28, 28)
     assert np.asarray(masks).min() >= 0 and np.asarray(masks).max() <= 1
+
+
+def test_mask_iou_targets_golden():
+    """Perfect prediction of a gt fully inside the proposal -> IoU target 1;
+    half-covered gt -> ~area ratio."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.models.roi_heads.mask_head import mask_iou_targets
+
+    m = 28
+    # gt box == roi box, mask fills the whole box, pred == target
+    full = jnp.ones((1, m, m))
+    t = mask_iou_targets(
+        full * 0.9, full, crop_fracs=jnp.asarray([1.0]),
+        roi_boxes=jnp.asarray([[0.0, 0, 56, 56]]),
+        gt_boxes=jnp.asarray([[0.0, 0, 56, 56]]),
+    )
+    np.testing.assert_allclose(np.asarray(t), [1.0], atol=1e-5)
+    # proposal covers only the left half of the gt box: in-proposal target
+    # is full, but the full instance is twice as big -> IoU 0.5
+    t2 = mask_iou_targets(
+        full * 0.9, full, crop_fracs=jnp.asarray([1.0]),
+        roi_boxes=jnp.asarray([[0.0, 0, 28, 56]]),
+        gt_boxes=jnp.asarray([[0.0, 0, 56, 56]]),
+    )
+    np.testing.assert_allclose(np.asarray(t2), [0.5], atol=1e-2)
+
+
+def test_mask_scoring_rcnn_forward():
+    """MS R-CNN end-to-end: loss has loss_mask_iou; predict returns mask
+    scores that differ from cls scores."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+    from tests.test_forward import CANVAS, REPO, shrink
+
+    cfg = load_config(os.path.join(REPO, "configs/ms_rcnn/ms_rcnn_r50_fpn_1x_coco.py"))
+    mc = shrink(cfg.model.to_dict())
+    mc["roi_head"]["bbox_head"]["num_classes"] = 4
+    mc["roi_head"]["mask_head"]["num_classes"] = 4
+    mc["roi_head"]["mask_iou_head"].update(num_classes=4, conv_out_channels=16,
+                                           fc_out_channels=32)
+    mc["roi_head"]["mask_head"]["conv_out_channels"] = 16
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    loader = FakeDetLoader(batch_size=2, canvas=CANVAS, num_classes=4,
+                           num_batches=1, with_masks=True)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_mask_iou" in losses and "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    out = det.predict(variables, batch, anchors, nla)
+    assert len(out) == 5
+    dets, labels, valid, masks, mask_scores = out
+    assert mask_scores.shape == dets.shape[:2]
+    ms = np.asarray(mask_scores)[np.asarray(valid)]
+    cs = np.asarray(dets)[np.asarray(valid)][:, 4]
+    assert (ms <= cs + 1e-6).all()  # iou in [0, 1] only shrinks confidence

@@ -156,6 +156,7 @@ def main():
             num_classes=num_classes,
             num_batches=args.iters or 10,
             seed=args.seed,
+            with_masks=bool(mc.get("roi_head", {}).get("mask_head")),
         )
         steps_per_epoch = len(loader)
         val_ds = None
