@@ -59,6 +59,7 @@ _LOSS_BOX_TYPES = {
     "CIoULoss": "ciou",
     "L1Loss": "l1",
     "SmoothL1Loss": "smooth_l1",
+    "BalancedL1Loss": "balanced_l1",
 }
 
 
@@ -131,6 +132,19 @@ def build_backbone(cfg: Dict[str, Any], dtype=jnp.float32):
 
 def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
     cfg = copy.deepcopy(cfg)
+    if isinstance(cfg, (list, tuple)):  # stacked necks, e.g. [FPN, BFP]
+        from .models.necks.fpn import BFP, FPNWithBFP
+
+        assert len(cfg) == 2 and cfg[1].get("type") == "BFP", cfg
+        bfp_cfg = cfg[1]
+        return FPNWithBFP(
+            fpn=build_neck(cfg[0], dtype=dtype),
+            bfp=BFP(
+                refine_level=bfp_cfg.get("refine_level", 2),
+                refine_type=bfp_cfg.get("refine_type", "non_local"),
+                dtype=dtype,
+            ),
+        )
     t = cfg.pop("type")
     common = dict(
         in_channels=cfg.get("in_channels"),

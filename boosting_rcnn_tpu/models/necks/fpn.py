@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -164,3 +165,78 @@ class ChannelMapper(nn.Module):
             )(x)
             for i, x in enumerate(inputs)
         )
+
+
+class BFP(nn.Module):
+    """Balanced Feature Pyramid (Libra R-CNN; reference
+    ``mmdet/models/necks/bfp.py``): resize every level to the refine level,
+    average, refine (conv or embedded-gaussian non-local), and scatter the
+    residual back to each level.  Wraps an existing pyramid's outputs."""
+
+    refine_level: int = 2
+    refine_type: str = "non_local"  # None | 'conv' | 'non_local'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        n = len(feats)
+        th, tw = feats[self.refine_level].shape[1:3]
+
+        def to_ref(x):
+            h, w = x.shape[1:3]
+            if (h, w) == (th, tw):
+                return x
+            if h > th:  # downsample via adaptive max-pool (floor ratio)
+                kh, kw = max(h // th, 1), max(w // tw, 1)
+                return nn.max_pool(x, (kh, kw), (kh, kw))[:, :th, :tw]
+            ry, rx = -(-th // h), -(-tw // w)
+            up = jnp.repeat(jnp.repeat(x, ry, axis=1), rx, axis=2)
+            return up[:, :th, :tw]
+
+        gathered = sum(to_ref(f) for f in feats) / n
+        c = gathered.shape[-1]
+        if self.refine_type == "conv":
+            refined = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)],
+                              dtype=self.dtype, name="refine")(gathered)
+        elif self.refine_type == "non_local":
+            # embedded-gaussian non-local block (reference mmcv NonLocal2d)
+            g = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="nl_g")(gathered)
+            theta = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="nl_theta")(gathered)
+            phi = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="nl_phi")(gathered)
+            b = gathered.shape[0]
+            tq = theta.reshape(b, th * tw, c // 2)
+            pk = phi.reshape(b, th * tw, c // 2)
+            gv = g.reshape(b, th * tw, c // 2)
+            attn = jax.nn.softmax(
+                jnp.einsum("bqc,bkc->bqk", tq, pk).astype(jnp.float32), -1
+            ).astype(gathered.dtype)
+            y = jnp.einsum("bqk,bkc->bqc", attn, gv).reshape(b, th, tw, c // 2)
+            y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros, name="nl_out")(y)
+            refined = gathered + y
+        else:
+            refined = gathered
+
+        outs = []
+        for i, f in enumerate(feats):
+            h, w = f.shape[1:3]
+            if (h, w) == (th, tw):
+                r = refined
+            elif h < th:
+                kh, kw = max(th // h, 1), max(tw // w, 1)
+                r = nn.max_pool(refined, (kh, kw), (kh, kw))[:, :h, :w]
+            else:
+                ry, rx = -(-h // th), -(-w // tw)
+                r = jnp.repeat(jnp.repeat(refined, ry, axis=1), rx, axis=2)[:, :h, :w]
+            outs.append(f + r)
+        return tuple(outs)
+
+
+class FPNWithBFP(nn.Module):
+    """FPN followed by a BFP refinement (Libra R-CNN neck stack)."""
+
+    fpn: nn.Module
+    bfp: nn.Module
+
+    def __call__(self, feats):
+        return self.bfp(self.fpn(feats))

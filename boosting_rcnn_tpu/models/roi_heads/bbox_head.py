@@ -141,6 +141,9 @@ def bbox_head_loss(
     else:
         if cfg.loss_bbox_type == "l1":
             elem = jnp.abs(pred4 - bbox_t)
+        elif cfg.loss_bbox_type == "balanced_l1":
+            elem = L.balanced_l1_loss(pred4, bbox_t, beta=cfg.smooth_l1_beta,
+                                      reduction="none")
         else:
             d = jnp.abs(pred4 - bbox_t)
             b = cfg.smooth_l1_beta

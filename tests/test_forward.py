@@ -421,3 +421,25 @@ def test_rpn_only_forward():
     assert dets.shape[1:] == (32, 5)
     assert (np.asarray(labels) == 0).all()
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_libra_rcnn_forward():
+    """Libra R-CNN: FPN + BFP (non-local refine) + balanced L1 bbox loss."""
+    cfg = load_config(os.path.join(REPO, "configs/libra_rcnn/libra_faster_rcnn_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"][0].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["rpn_head"].update(feat_channels=32)
+    mc["roi_head"]["bbox_head"].update(num_classes=4, fc_out_channels=32)
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=100, max_per_img=48)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 24
+    mc["test_cfg"]["rpn"].update(nms_pre=64, max_per_img=24)
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()

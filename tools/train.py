@@ -45,6 +45,19 @@ def shrink_model(mc):
         mc["neck"].update(out_channels=32)
         mc["bbox_head"].update(feat_channels=32)
         return mc
+    if isinstance(mc.get("neck"), list):  # stacked necks (e.g. FPN + BFP)
+        mc["neck"][0].update(in_channels=[8, 16, 32, 64], out_channels=32)
+        if "rpn_head" in mc:
+            mc["rpn_head"].update(feat_channels=32)
+        bh = mc["roi_head"]["bbox_head"]
+        for h in bh if isinstance(bh, list) else [bh]:
+            h["fc_out_channels"] = 64
+        mc["train_cfg"]["rpn_proposal"].update(nms_pre=200, max_per_img=64)
+        rcnn = mc["train_cfg"]["rcnn"]
+        for rc in rcnn if isinstance(rcnn, list) else [rcnn]:
+            rc.setdefault("sampler", {})["num"] = 32
+        mc["test_cfg"]["rpn"].update(nms_pre=100, max_per_img=32)
+        return mc
     if mc.get("neck", {}).get("type") == "CTResNetNeck":  # CenterNet
         mc["neck"]["num_deconv_filters"] = (16, 16, 16)
         mc["bbox_head"].update(feat_channel=16)
