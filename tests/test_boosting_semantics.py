@@ -120,3 +120,66 @@ def test_fused_rpn_score():
     np.testing.assert_allclose(
         got_sorted, np.sort(expected)[::-1], rtol=1e-5
     )
+
+
+def test_dynamic_rcnn_state_update_and_sampling():
+    """DynamicRCNN statistics (reference ``dynamic_roi_head.py``): the
+    working IoU threshold rises toward the 75th-percentile positive IoU
+    (floored at the initial value), beta falls toward the 10th-percentile
+    regression error (capped at the initial value), and the traced
+    threshold flows into sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.models.roi_heads.prob_roi_head import (
+        ProbRoICfg,
+        RoISample,
+        dynamic_rcnn_init,
+        dynamic_rcnn_update,
+        sample_rois_dynamic,
+    )
+
+    r = 8
+    sample = RoISample(
+        boxes=jnp.zeros((r, 4)),
+        is_pos=jnp.asarray([True] * 4 + [False] * 4),
+        valid=jnp.ones((r,), bool),
+        prior=jnp.ones((r,)),
+        iou=jnp.asarray([0.9, 0.8, 0.7, 0.6] + [0.0] * 4),
+        matched_gt=jnp.zeros((r, 4)),
+        matched_label=jnp.zeros((r,), jnp.int32),
+        gt_idx=jnp.zeros((r,), jnp.int32),
+    )
+    err = jnp.full((r, 4), 0.02)
+    s0 = dynamic_rcnn_init()
+    s1 = dynamic_rcnn_update(s0, sample, err, ema=1.0)
+    # 75th percentile of [0.9, .8, .7, .6] = 0.825 > initial 0.4
+    np.testing.assert_allclose(float(s1.iou_thr), 0.825, atol=1e-3)
+    # 10th-percentile error 0.02 < initial beta 1.0
+    np.testing.assert_allclose(float(s1.beta), 0.02, atol=1e-6)
+    # floor/cap: a worthless batch cannot drag below/above the initial values
+    bad = sample._replace(iou=jnp.asarray([0.1] * 4 + [0.0] * 4))
+    s2 = dynamic_rcnn_update(s0, bad, jnp.full((r, 4), 9.0), ema=1.0)
+    np.testing.assert_allclose(float(s2.iou_thr), 0.4, atol=1e-6)
+    np.testing.assert_allclose(float(s2.beta), 1.0, atol=1e-6)
+
+    # traced threshold changes who counts as positive
+    cfg = ProbRoICfg(num_samples=8, pos_fraction=0.5, add_gt_as_proposals=False)
+    props = jnp.asarray([[0.0, 0, 50, 50], [0, 0, 30, 50], [60, 60, 90, 90]])
+    scores = jnp.ones((3,))
+    pvalid = jnp.ones((3,), bool)
+    gts = jnp.asarray([[0.0, 0, 50, 50]])
+    gmask = jnp.asarray([True])
+    glab = jnp.asarray([1])
+
+    def n_pos(thr):
+        s = sample_rois_dynamic(
+            cfg, jax.random.PRNGKey(0), props, scores, pvalid,
+            gts, gmask, glab, jnp.asarray(thr),
+        )
+        return int(jnp.sum(s.is_pos & s.valid))
+
+    # prop2 has IoU 0.6 with the gt: positive at thr 0.5, not at thr 0.7
+    assert n_pos(0.5) == 2
+    assert n_pos(0.7) == 1
