@@ -69,6 +69,8 @@ class RoISample(NamedTuple):
     matched_gt: jnp.ndarray  # (R, 4)
     matched_label: jnp.ndarray  # (R,)
     gt_idx: jnp.ndarray  # (R,) 0-based matched gt index (pos slots)
+    cand_idx: jnp.ndarray  # (R,) index into the gt-prepended candidate list
+    is_gt: jnp.ndarray  # (R,) slot is a gt-added proposal
 
 
 def sample_rois(
@@ -143,7 +145,66 @@ def sample_rois(
     return RoISample(
         boxes, res.is_pos, res.valid, jax.lax.stop_gradient(prior),
         jax.lax.stop_gradient(iou), matched_gt, matched_label, safe_gt,
+        res.inds.astype(jnp.int32), is_gt,
     )
+
+
+def sample_rois_boost(
+    cfg: ProbRoICfg,
+    rng: jax.Array,
+    proposals: jnp.ndarray,  # (P, 4)
+    prop_cls_scores: jnp.ndarray,  # (P, C) multi-class RPN scores (cols 4:)
+    prop_valid: jnp.ndarray,  # (P,)
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_mask: jnp.ndarray,  # (G,)
+    gt_labels: jnp.ndarray,  # (G,)
+) -> RoISample:
+    """BoostRoIHead sampling (reference ``prob_roi_head.py:286-334``):
+    multi-class priors taken from proposal columns ``4:``.
+
+    Per sampled RoI the reference builds a (C+1) prior row — class columns =
+    the proposal's per-class scores, appended column = 0 for positives and
+    ``max_c score_c`` for negatives, all-zero rows for gt-added proposals —
+    which the boosting loss consumes at the target label.  Documented
+    deviation: the reference's own train path crashes on a (R, C+1) x (R,)
+    broadcast in ``norm_loss`` (no shipping config exercises it); this
+    implementation realises the intended label-indexed semantics directly:
+    pos -> score at the matched gt label, neg -> max over class scores,
+    gt-added -> 0.
+    """
+    g = gt_bboxes.shape[0]
+    c = prop_cls_scores.shape[1]
+    scalar = jnp.max(prop_cls_scores, axis=1)  # only ranks sampling keys
+    base = sample_rois(
+        cfg, rng, proposals, scalar, prop_valid, gt_bboxes, gt_mask, gt_labels
+    )
+    # Gather each sampled slot's (C,) score row from the gt-prepended
+    # candidate list (``base.cand_idx`` indexes that list), then extract the
+    # multi-class prior.
+    cand_rows = jnp.concatenate(
+        [jnp.zeros((g, c), prop_cls_scores.dtype), prop_cls_scores], axis=0
+    ) if cfg.add_gt_as_proposals else prop_cls_scores
+    rows = cand_rows[base.cand_idx]  # (R, C)
+    safe_lab = jnp.clip(base.matched_label, 0, c - 1)
+    pos_prior = jnp.take_along_axis(rows, safe_lab[:, None], axis=1)[:, 0]
+    neg_prior = jnp.max(rows, axis=1)
+    prior = jnp.where(
+        base.is_gt, 0.0, jnp.where(base.is_pos, pos_prior, neg_prior)
+    )
+    prior = jnp.where(base.valid, prior, 0.0)
+    return base._replace(prior=jax.lax.stop_gradient(prior))
+
+
+def boost_fuse_scores(
+    cls_score: jnp.ndarray, prior_cls: jnp.ndarray
+) -> jnp.ndarray:
+    """BoostRoIHead test fusion (reference ``prob_roi_head.py:369-398``):
+    multi-class proposal prior (R, C) gets an all-ones bg column appended,
+    then ``sqrt(softmax(cls) * prior)`` elementwise."""
+    p = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+    ones = jnp.ones((prior_cls.shape[0], 1), p.dtype)
+    prior = jnp.concatenate([prior_cls.astype(p.dtype), ones], axis=1)
+    return jnp.sqrt(jnp.maximum(p * prior, 0.0))
 
 
 def norm_loss(loss: jnp.ndarray, weights: jnp.ndarray, avg_factor) -> jnp.ndarray:
@@ -176,13 +237,16 @@ def prob_roi_loss(
         head_cfg, cls_score, bbox_pred, sample.boxes,
         labels, label_w, bbox_t, bbox_w, reduction_override="none",
     )
-    r_total = cls_score.shape[0]
     validf = sample.valid.astype(jnp.float32)
+    # The reference averages over the *actual* number of sampled rois
+    # (``avg_factor=num_samples`` at ``prob_roi_head.py:137-154``); with
+    # fixed 512-slot padding that is the valid count, not the slot count —
+    # using the slot count silently down-scales the loss when
+    # proposals + gt < 512 per image (small scenes, early training).
+    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
 
     if not cfg.boost:
-        loss_cls = jnp.sum(raw["loss_cls"] * validf) / jnp.maximum(
-            jnp.sum(validf), 1.0
-        )
+        loss_cls = jnp.sum(raw["loss_cls"] * validf) / n_valid
     else:
         if cfg.quality:
             probs = jax.lax.stop_gradient(jax.nn.softmax(cls_score, axis=-1))
@@ -196,14 +260,14 @@ def prob_roi_loss(
         if cfg.alpha != 0:
             lw = lw * cfg.alpha
         lw = lw * validf
-        loss_cls = norm_loss(raw["loss_cls"] * validf, lw, float(r_total))
+        loss_cls = norm_loss(raw["loss_cls"] * validf, lw, n_valid)
 
     if cfg.reg_norm == "mean":
         loss_bbox = jnp.sum(raw["loss_bbox"]) / (
             jnp.maximum(jnp.sum(sample.is_pos.astype(jnp.float32)), 1.0) * 4.0
         )
     else:  # 'bbox_num': sum over pos elements / #sampled rois (``:144-147``)
-        loss_bbox = jnp.sum(raw["loss_bbox"]) / float(r_total)
+        loss_bbox = jnp.sum(raw["loss_bbox"]) / n_valid
     return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
 
 
@@ -233,24 +297,55 @@ def dynamic_rcnn_init(initial_iou: float = 0.4, initial_beta: float = 1.0):
     return DynamicRCNNState(jnp.asarray(initial_iou), jnp.asarray(initial_beta))
 
 
+def dynamic_rcnn_batch_stats(
+    max_overlaps: jnp.ndarray,  # (B, P) per-image assigner max IoU, ALL proposals
+    prop_valid: jnp.ndarray,  # (B, P)
+    bbox_targets: jnp.ndarray,  # (R_total, 4) encoded regression targets
+    pos_valid: jnp.ndarray,  # (R_total,) positive & valid sample mask
+    iou_topk: int = 75,
+    beta_topk: int = 10,
+):
+    """The reference Dynamic R-CNN KI/KE statistics (``dynamic_roi_head.py``):
+
+    * IoU statistic: per image, the ``iou_topk``-th largest ``max_overlaps``
+      over all proposals, then mean over images.
+    * beta statistic: the k-th *smallest* ``mean(|dx, dy|)`` of the encoded
+      regression targets over positives, with ``k = min(beta_topk * B,
+      num_pos)`` (torch ``kthvalue`` semantics).
+
+    Returns ``(batch_iou, batch_beta)``; ``batch_beta`` is NaN when the batch
+    has no positives (the reference simply skips the history append then).
+    """
+    b, p = max_overlaps.shape
+    masked = jnp.where(prop_valid, max_overlaps, -1.0)
+    k = min(iou_topk, p)
+    per_img = jax.lax.top_k(masked, k)[0][:, -1]  # (B,)
+    batch_iou = jnp.mean(per_img)
+
+    mean_xy = jnp.mean(jnp.abs(bbox_targets[:, :2]), axis=-1)
+    num_pos = jnp.sum(pos_valid.astype(jnp.int32))
+    kb_cap = min(beta_topk * b, mean_xy.shape[0])
+    vals = jnp.sort(jnp.where(pos_valid, mean_xy, jnp.inf))
+    kb = jnp.clip(jnp.minimum(kb_cap, num_pos), 1, mean_xy.shape[0])
+    batch_beta = jnp.where(num_pos > 0, vals[kb - 1], jnp.nan)
+    return batch_iou, batch_beta
+
+
 def dynamic_rcnn_update(
     state: DynamicRCNNState,
-    sample: RoISample,
-    reg_error: jnp.ndarray,  # (R_total, 4) |pred - target| on positives
+    batch_iou: jnp.ndarray,
+    batch_beta: jnp.ndarray,
     initial_iou: float = 0.4,
     initial_beta: float = 1.0,
     ema: float = 0.05,
-    kappa_iou_percentile: float = 75.0,
-    kappa_beta_percentile: float = 10.0,
 ) -> DynamicRCNNState:
-    """Track the kth-percentile positive IoU and regression error and move
-    the working threshold/beta toward them (DynamicRCNN's KI/KE statistics)."""
-    posf = (sample.is_pos & sample.valid).astype(jnp.float32)
-    pos_iou = jnp.where(posf > 0, sample.iou, jnp.nan)
-    batch_iou = jnp.nanpercentile(pos_iou, kappa_iou_percentile)
+    """Move the working threshold/beta toward the batch statistics.
+
+    Documented deviation: the reference replays an ``update_iter_interval``
+    history (mean for IoU, median for beta) host-side; inside a jitted step
+    that becomes an EMA with the same floor/cap semantics
+    (``new_iou = max(initial, ·)``, ``new_beta = min(initial, ·)``)."""
     batch_iou = jnp.where(jnp.isnan(batch_iou), state.iou_thr, batch_iou)
-    err = jnp.where(posf[:, None] > 0, reg_error, jnp.nan)
-    batch_beta = jnp.nanpercentile(err, kappa_beta_percentile)
     batch_beta = jnp.where(jnp.isnan(batch_beta), state.beta, batch_beta)
     new_iou = jnp.maximum(initial_iou, (1 - ema) * state.iou_thr + ema * batch_iou)
     new_beta = jnp.minimum(initial_beta, (1 - ema) * state.beta + ema * batch_beta)

@@ -154,11 +154,14 @@ def atss_assign(
         start += na
     is_cand = is_cand & box_valid[None, :]
 
-    # Adaptive threshold = mean + std of candidate IoUs per gt.
+    # Adaptive threshold = mean + std of candidate IoUs per gt.  torch
+    # ``.std()`` in the reference ATSSAssigner is unbiased (n-1).
     cnt = jnp.maximum(jnp.sum(is_cand, axis=1), 1)
     cand_iou = jnp.where(is_cand, overlaps, 0.0)
     mean = jnp.sum(cand_iou, axis=1) / cnt
-    var = jnp.sum(jnp.where(is_cand, (overlaps - mean[:, None]) ** 2, 0.0), axis=1) / cnt
+    var = jnp.sum(
+        jnp.where(is_cand, (overlaps - mean[:, None]) ** 2, 0.0), axis=1
+    ) / jnp.maximum(cnt - 1, 1)
     thr = mean + jnp.sqrt(var)  # (G,)
 
     # Center-inside-gt test (reference requires all 4 margins > 0.01).

@@ -321,6 +321,11 @@ def ghm_c_loss(
     The EMA-of-bin-counts (momentum) variant needs mutable state; the
     stateless density estimate is used here (momentum=0 semantics).
     """
+    if momentum != 0.0:
+        raise NotImplementedError(
+            "ghm_c_loss: momentum>0 (EMA bin counts) needs mutable state and "
+            "is not implemented; use momentum=0 (stateless density)."
+        )
     target = target.astype(pred.dtype)
     g = jnp.abs(jax.nn.sigmoid(pred) - target)
     valid = label_weight > 0

@@ -58,7 +58,9 @@ def random_sample(
     self-assignment before calling this.
     """
     n = assign.gt_inds.shape[0]
-    num_expected_pos = int(round(num * pos_fraction))
+    # truncation, not rounding — reference BaseSampler.sample() computes
+    # ``int(self.num * self.pos_fraction)``
+    num_expected_pos = int(num * pos_fraction)
 
     pos_mask = (assign.gt_inds > 0) & cand_valid
     neg_mask = (assign.gt_inds == 0) & cand_valid
@@ -126,7 +128,9 @@ def ohem_sample(
     random keys.  The caller computes ``cand_loss`` with a preliminary head
     forward (same two-pass structure as the reference)."""
     n = assign.gt_inds.shape[0]
-    num_expected_pos = int(round(num * pos_fraction))
+    # truncation, not rounding — reference BaseSampler.sample() computes
+    # ``int(self.num * self.pos_fraction)``
+    num_expected_pos = int(num * pos_fraction)
     pos_mask = (assign.gt_inds > 0) & cand_valid
     neg_mask = (assign.gt_inds == 0) & cand_valid
     # rank by descending loss within each group

@@ -123,45 +123,65 @@ def test_fused_rpn_score():
 
 
 def test_dynamic_rcnn_state_update_and_sampling():
-    """DynamicRCNN statistics (reference ``dynamic_roi_head.py``): the
-    working IoU threshold rises toward the 75th-percentile positive IoU
-    (floored at the initial value), beta falls toward the 10th-percentile
-    regression error (capped at the initial value), and the traced
-    threshold flows into sampling."""
+    """DynamicRCNN statistics (reference ``dynamic_roi_head.py``): the IoU
+    statistic is the per-image ``iou_topk``-th largest assigner overlap
+    (mean over images), the beta statistic the k-th smallest mean |dx,dy| of
+    the encoded regression targets over positives (k = beta_topk*B capped at
+    num_pos); the working threshold/beta move toward them with the
+    reference's floor/cap, and the traced threshold flows into sampling."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from boosting_rcnn_tpu.models.roi_heads.prob_roi_head import (
         ProbRoICfg,
-        RoISample,
+        dynamic_rcnn_batch_stats,
         dynamic_rcnn_init,
         dynamic_rcnn_update,
         sample_rois_dynamic,
     )
 
-    r = 8
-    sample = RoISample(
-        boxes=jnp.zeros((r, 4)),
-        is_pos=jnp.asarray([True] * 4 + [False] * 4),
-        valid=jnp.ones((r,), bool),
-        prior=jnp.ones((r,)),
-        iou=jnp.asarray([0.9, 0.8, 0.7, 0.6] + [0.0] * 4),
-        matched_gt=jnp.zeros((r, 4)),
-        matched_label=jnp.zeros((r,), jnp.int32),
-        gt_idx=jnp.zeros((r,), jnp.int32),
+    # 2 images x 5 proposals; iou_topk=3 -> per-image 3rd-largest overlap
+    overlaps = jnp.asarray(
+        [[0.9, 0.8, 0.7, 0.6, 0.5], [0.95, 0.55, 0.45, 0.35, 0.99]]
     )
-    err = jnp.full((r, 4), 0.02)
+    pvalid = jnp.ones((2, 5), bool)
+    # 6 sampled slots, 4 positives; mean|dx,dy| per slot:
+    tgt = jnp.asarray(
+        [
+            [0.10, 0.30, 9.0, 9.0],  # pos: mean|xy| 0.20
+            [0.02, 0.02, 9.0, 9.0],  # pos: 0.02
+            [0.40, 0.00, 9.0, 9.0],  # pos: 0.20 -> sorted pos [0.02,0.05,0.2,0.2]
+            [0.05, 0.05, 9.0, 9.0],  # pos: 0.05
+            [9.0, 9.0, 9.0, 9.0],  # neg (ignored)
+            [9.0, 9.0, 9.0, 9.0],  # invalid (ignored)
+        ]
+    )
+    posv = jnp.asarray([True, True, True, True, False, False])
+    biou, bbeta = dynamic_rcnn_batch_stats(
+        overlaps, pvalid, tgt, posv, iou_topk=3, beta_topk=2
+    )
+    # per-image 3rd largest: 0.7 and 0.55 -> mean 0.625
+    np.testing.assert_allclose(float(biou), 0.625, atol=1e-6)
+    # k = min(beta_topk*B=4, num_pos=4) = 4 -> 4th smallest of positives = 0.2
+    np.testing.assert_allclose(float(bbeta), 0.2, atol=1e-6)
+
     s0 = dynamic_rcnn_init()
-    s1 = dynamic_rcnn_update(s0, sample, err, ema=1.0)
-    # 75th percentile of [0.9, .8, .7, .6] = 0.825 > initial 0.4
-    np.testing.assert_allclose(float(s1.iou_thr), 0.825, atol=1e-3)
-    # 10th-percentile error 0.02 < initial beta 1.0
-    np.testing.assert_allclose(float(s1.beta), 0.02, atol=1e-6)
+    s1 = dynamic_rcnn_update(s0, biou, bbeta, ema=1.0)
+    np.testing.assert_allclose(float(s1.iou_thr), 0.625, atol=1e-6)
+    np.testing.assert_allclose(float(s1.beta), 0.2, atol=1e-6)
     # floor/cap: a worthless batch cannot drag below/above the initial values
-    bad = sample._replace(iou=jnp.asarray([0.1] * 4 + [0.0] * 4))
-    s2 = dynamic_rcnn_update(s0, bad, jnp.full((r, 4), 9.0), ema=1.0)
+    s2 = dynamic_rcnn_update(
+        s0, jnp.asarray(0.1), jnp.asarray(9.0), ema=1.0
+    )
     np.testing.assert_allclose(float(s2.iou_thr), 0.4, atol=1e-6)
+    # no positives -> beta stat is NaN -> state unchanged
+    _, nanb = dynamic_rcnn_batch_stats(
+        overlaps, pvalid, tgt, jnp.zeros((6,), bool), iou_topk=3, beta_topk=2
+    )
+    assert bool(jnp.isnan(nanb))
+    s3 = dynamic_rcnn_update(s0, jnp.asarray(jnp.nan), nanb, ema=1.0)
+    np.testing.assert_allclose(float(s3.iou_thr), float(s0.iou_thr), atol=1e-6)
     np.testing.assert_allclose(float(s2.beta), 1.0, atol=1e-6)
 
     # traced threshold changes who counts as positive
@@ -183,3 +203,67 @@ def test_dynamic_rcnn_state_update_and_sampling():
     # prop2 has IoU 0.6 with the gt: positive at thr 0.5, not at thr 0.7
     assert n_pos(0.5) == 2
     assert n_pos(0.7) == 1
+
+
+def test_boost_roi_head_multiclass_prior():
+    """BoostRoIHead (reference ``prob_roi_head.py:286-334``): priors come
+    from the proposals' per-class score columns — positives take the score
+    at the matched gt label, negatives the max over classes, gt-added
+    proposals 0; at test an all-ones bg column is appended before the
+    sqrt fusion."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.models.roi_heads.prob_roi_head import (
+        ProbRoICfg,
+        boost_fuse_scores,
+        sample_rois_boost,
+    )
+
+    # 1 gt + 2 proposals: prop0 overlaps the gt (pos), prop1 is far (neg).
+    cfg = ProbRoICfg(
+        num_samples=4, pos_fraction=0.5, add_gt_as_proposals=True,
+        pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+    )
+    props = jnp.asarray(
+        [[0.0, 0, 48, 50], [60, 60, 90, 90], [62, 60, 92, 90]]
+    )
+    cls_scores = jnp.asarray(
+        [[0.7, 0.2, 0.1], [0.3, 0.8, 0.4], [0.3, 0.5, 0.8]]
+    )  # (P, C=3)
+    pvalid = jnp.ones((3,), bool)
+    gts = jnp.asarray([[0.0, 0, 50, 50]])
+    gmask = jnp.asarray([True])
+    glab = jnp.asarray([0])
+
+    s = sample_rois_boost(
+        cfg, jax.random.PRNGKey(0), props, cls_scores, pvalid,
+        gts, gmask, glab,
+    )
+    prior = np.asarray(s.prior)
+    for i in range(cfg.num_samples):
+        if not bool(s.valid[i]):
+            assert prior[i] == 0.0
+        elif bool(s.is_gt[i]):
+            assert prior[i] == 0.0  # gt-added -> zero prior
+        elif bool(s.is_pos[i]):
+            # positive matched to gt label 0 -> prop0's class-0 score
+            np.testing.assert_allclose(prior[i], 0.7, atol=1e-6)
+        else:
+            # negative -> max over that proposal's class scores (0.8 for
+            # both negative proposals here)
+            np.testing.assert_allclose(prior[i], 0.8, atol=1e-6)
+    # all three candidate roles must appear with these shapes
+    assert bool(jnp.any(s.is_gt & s.valid))
+    assert bool(jnp.any(s.is_pos & ~s.is_gt & s.valid))
+    assert bool(jnp.any(~s.is_pos & s.valid))
+
+    # test fusion: ones bg column
+    logits = jnp.asarray([[2.0, 0.0, -1.0, 0.5]])  # (R=1, C+1=4)
+    pri = jnp.asarray([[0.25, 1.0, 0.0]])
+    fused = np.asarray(boost_fuse_scores(logits, pri))
+    sm = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(
+        fused, np.sqrt(sm * np.asarray([[0.25, 1.0, 0.0, 1.0]])), atol=1e-6
+    )
