@@ -52,26 +52,36 @@ class CocoStyleEval:
         """Det-vs-gt IoU for one (image, class); override for segm."""
         return _iou(det_boxes, gt_boxes, gt_ig)
 
+    @staticmethod
+    def _box_areas(boxes: np.ndarray) -> np.ndarray:
+        if len(boxes) == 0:
+            return np.zeros(0)
+        return np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+            boxes[:, 3] - boxes[:, 1], 0
+        )
+
+    def gt_areas(self, gt_boxes, gt_ig, img_idx, cls):
+        """Per-gt areas used for the area-range ignore test (COCOeval uses
+        the annotation's segmentation area for segm; box area for bbox)."""
+        return self._box_areas(gt_boxes)
+
+    def det_areas(self, det_boxes, img_idx, cls, det_sel):
+        """Per-det areas for the area-range ignore test."""
+        return self._box_areas(det_boxes)
+
     def _evaluate_img(
-        self, det_boxes, det_scores, gt_boxes, gt_ignore_mask, area_rng, ious
+        self, det_scores, gt_ignore_mask, area_rng, ious, det_area, gt_area
     ):
         """Greedy matching for one (image, class, area-range).
 
         Returns (dt_matched (T, D), dt_ignore (T, D), num_valid_gt).
         """
         t = len(IOU_THRS)
-        d = len(det_boxes)
-        g = len(gt_boxes)
-        gt_area = (
-            np.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 0)
-            * np.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 0)
-            if g
-            else np.zeros(0)
-        )
+        d = len(det_area)
+        g = len(gt_area)
         gt_ig = gt_ignore_mask | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
         # sort gts: unignored first (COCOeval matches real gts preferentially)
         gt_order = np.argsort(gt_ig, kind="stable")
-        gt_boxes = gt_boxes[gt_order]
         gt_ig = gt_ig[gt_order]
         ious = ious[:, gt_order]
 
@@ -95,12 +105,6 @@ class CocoStyleEval:
                     dt_m[ti, di] = best_g
                     gt_m[ti, best_g] = di
 
-        det_area = (
-            np.maximum(det_boxes[:, 2] - det_boxes[:, 0], 0)
-            * np.maximum(det_boxes[:, 3] - det_boxes[:, 1], 0)
-            if d
-            else np.zeros(0)
-        )
         out_of_rng = (det_area < area_rng[0]) | (det_area > area_rng[1])
         dt_ig = np.zeros((t, d), dtype=bool)
         for ti in range(t):
@@ -136,13 +140,19 @@ class CocoStyleEval:
                 ious = self.compute_iou(
                     db[order], gb_all, gig_all, img_idx, ki, det_sel
                 )
-                per_img.append((db[order], ds[order], gb_all, gig_all, ious))
+                d_area = self.det_areas(db[order], img_idx, ki, det_sel)
+                g_area = self.gt_areas(gb_all, gig_all, img_idx, ki)
+                per_img.append(
+                    (ds[order], gig_all, ious, d_area, g_area)
+                )
 
             for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
                 tps, igs, scores = [], [], []
                 npig = 0
-                for db, ds, gb, gig, ious in per_img:
-                    tp, dig, nv = self._evaluate_img(db, ds, gb, gig, arng, ious)
+                for ds, gig, ious, d_area, g_area in per_img:
+                    tp, dig, nv = self._evaluate_img(
+                        ds, gig, arng, ious, d_area, g_area
+                    )
                     tps.append(tp)
                     igs.append(dig)
                     scores.append(ds)
@@ -215,12 +225,39 @@ class CocoStyleEval:
 class SegmCocoStyleEval(CocoStyleEval):
     """Mask-AP variant: det masks are box-relative 28x28 probability crops
     (``results[i] = (dets, labels, mask_crops)``); gt masks come from COCO
-    segmentations rasterised on demand.  Area ranges use box areas (minor
-    deviation from COCOeval's segmentation areas, recorded here)."""
+    segmentations rasterised on demand.  Area ranges use *mask* areas
+    (COCOeval semantics): gt area from the annotation's ``area`` field
+    (segmentation area), det area from the pasted binary mask's pixel
+    count."""
 
     def _det_scores(self, res):
         # Mask Scoring R-CNN supplies per-det mask scores as res[3]
         return res[3] if len(res) > 3 else res[0][:, 4]
+
+    def gt_areas(self, gt_boxes, gt_ig, img_idx, cls):
+        gt = self.gts[img_idx]
+        areas = self._box_areas(gt_boxes)
+        ann_areas = gt.get("areas")
+        if ann_areas is not None and len(ann_areas) == len(gt["labels"]):
+            seg_areas = np.asarray(ann_areas, np.float64)[gt["labels"] == cls]
+            # real (class-matched) gts come first; appended ignore regions
+            # are box-shaped, so their box area is their mask area
+            areas[: len(seg_areas)] = seg_areas
+        return areas
+
+    def det_areas(self, det_boxes, img_idx, cls, det_sel):
+        from ...data.mask_utils import paste_mask
+
+        gt = self.gts[img_idx]
+        res = self.results[img_idx]
+        h, w = int(gt["height"]), int(gt["width"])
+        return np.asarray(
+            [
+                float(paste_mask(res[2][j], det_boxes[i], h, w).sum())
+                for i, j in enumerate(det_sel)
+            ],
+            np.float64,
+        )
 
     def compute_iou(self, det_boxes, gt_boxes, gt_ig, img_idx, cls, det_sel):
         from ...data.mask_utils import crop_mask_iou, polygons_to_bitmap

@@ -107,7 +107,7 @@ class CocoDataset:
         self.data_infos: List[dict] = []
         for img_id, im in imgs.items():
             anns = anns_by_img[img_id]
-            boxes, labels, ignore, segs = [], [], [], []
+            boxes, labels, ignore, segs, areas = [], [], [], [], []
             for a in anns:
                 x, y, w, h = a["bbox"]
                 if w < 1 or h < 1 or a.get("area", w * h) <= 0:
@@ -119,6 +119,9 @@ class CocoDataset:
                     boxes.append(box)
                     labels.append(self.cat2label[a["category_id"]])
                     segs.append(a.get("segmentation"))
+                    # COCO ann area = segmentation area (COCOeval's area-
+                    # range source for segm metrics)
+                    areas.append(float(a.get("area", w * h)))
             if (
                 not test_mode
                 and filter_empty_gt
@@ -135,6 +138,7 @@ class CocoDataset:
                     labels=np.asarray(labels, np.int64),
                     bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
                     segmentations=segs,
+                    areas=np.asarray(areas, np.float64),
                 )
             )
         # aspect-ratio group flag (reference ``custom.py:164``): 1 if w/h > 1
@@ -181,6 +185,7 @@ class CocoDataset:
                 width=d["width"],
                 height=d["height"],
                 segmentations=d.get("segmentations", []),
+                areas=d.get("areas"),
             )
             for d in self.data_infos
         ]
@@ -222,5 +227,8 @@ class CocoDataset:
                 segm_mAP=stats["AP"],
                 segm_mAP_50=stats["AP50"],
                 segm_mAP_75=stats["AP75"],
+                segm_mAP_s=stats["APs"],
+                segm_mAP_m=stats["APm"],
+                segm_mAP_l=stats["APl"],
             )
         return out

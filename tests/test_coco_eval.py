@@ -123,3 +123,36 @@ def test_eval_recalls_proposal_metric():
     junk = [np.array([[0, 0, 5, 5, 0.9]], np.float32)]
     r2 = eval_recalls(gts, junk)
     assert r2.max() == 0.0
+
+
+def test_segm_area_ranges_use_mask_area():
+    """COCOeval segm semantics: area-range binning uses the *mask* area
+    (gt: annotation `area`; det: pasted-mask pixel count), not the box
+    area.  Construct a case where they disagree: a 100x100 box (large by
+    box area) whose mask fills only a 16x16 corner (small by mask area)."""
+    from boosting_rcnn_tpu.core.evaluation.coco_eval import SegmCocoStyleEval
+
+    h = w = 200
+    box = [0.0, 0.0, 100.0, 100.0]
+    # box-relative 28x28 crop: mask occupies the top-left 16% of each axis
+    crop = np.zeros((28, 28), np.float32)
+    k = int(round(28 * 0.16))
+    crop[:k, :k] = 1.0
+    mask_area = (0.16 * 100) ** 2  # 256 px -> 'small'
+    gt = dict(
+        bboxes=np.asarray([box], np.float32),
+        labels=np.asarray([0], np.int64),
+        bboxes_ignore=np.zeros((0, 4), np.float32),
+        height=h,
+        width=w,
+        segmentations=[[[0.0, 0.0, 16.0, 0.0, 16.0, 16.0, 0.0, 16.0]]],
+        areas=np.asarray([mask_area], np.float64),
+    )
+    dets = np.asarray([box + [0.9]], np.float32)
+    results = [(dets, np.asarray([0], np.int64), [crop])]
+    ev = SegmCocoStyleEval([gt], results, num_classes=1)
+    s = ev.summarize()
+    # mask-area binning: contributes to APs, not APl (box-area binning
+    # would have put it in APl)
+    assert s["APs"] > 0.0
+    assert np.isnan(s["APl"])
