@@ -74,6 +74,11 @@ def build_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
         base_channels=cfg.get("base_channels", 64),
         deep_stem=cfg.get("deep_stem", False),
         frozen_stages=cfg.get("frozen_stages", -1),
+        norm_eval=cfg.get("norm_eval", True),
+        dcn=cfg.get("dcn"),
+        stage_with_dcn=tuple(
+            cfg.get("stage_with_dcn", (False, False, False, False))
+        ),
         dtype=dtype,
     )
 
@@ -88,6 +93,10 @@ def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
         base_width=cfg.get("base_width", 4),
         base_channels=cfg.get("base_channels", 64),
         frozen_stages=cfg.get("frozen_stages", -1),
+        dcn=cfg.get("dcn"),
+        stage_with_dcn=tuple(
+            cfg.get("stage_with_dcn", (False, False, False, False))
+        ),
         dtype=dtype,
     )
 
@@ -104,6 +113,10 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
         scales=cfg.get("scales", 4),
         base_width=cfg.get("base_width", 26),
         frozen_stages=cfg.get("frozen_stages", -1),
+        dcn=cfg.get("dcn"),
+        stage_with_dcn=tuple(
+            cfg.get("stage_with_dcn", (False, False, False, False))
+        ),
         dtype=dtype,
     )
 
@@ -191,12 +204,6 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
     means, stds = _coder_params(cfg.get("bbox_coder", {}))
     assigner = (train_cfg or {}).get("assigner", {})
     if t == "ATSSRPNHead":
-        if cfg.get("last_conv") == "dcn":
-            raise NotImplementedError(
-                "deformable last_conv is not implemented on TPU yet "
-                "(no shipping Boosting R-CNN config uses it); "
-                "use last_conv='norm' or 'aspp'"
-            )
         module = ATSSRPNConvs(
             num_anchors=num_anchors,
             feat_channels=cfg.get("feat_channels", 256),
@@ -434,6 +441,123 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
         rcnn_test_cfg=RCNNTestCfg(
             score_thr=rcnn_test.get("score_thr", 0.05),
             nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+            nms_type=rcnn_test.get("nms", {}).get("type", "nms"),
+            max_per_img=rcnn_test.get("max_per_img", 100),
+            pre_nms_top_k=rcnn_test.get("pre_nms_top_k", 2048),
+        ),
+        rpn_type=rpn_type,
+        cascade_cfg=cascade_cfg,
+    )
+
+
+
+
+def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """HybridTaskCascade (reference ``detectors/htc.py`` +
+    ``roi_heads/htc_roi_head.py``): cascade bbox heads + per-stage HTC mask
+    heads with info flow + optional fused semantic branch."""
+    from .models.detectors.htc import HTCDetector, HTCNet
+    from .models.roi_heads.cascade_roi_head import CascadeCfg
+    from .models.roi_heads.mask_head import FusedSemanticHead, HTCMaskHead
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+        model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+    )
+    roi = model_cfg["roi_head"]
+    num_stages = roi.get("num_stages", 3)
+    head_cfgs_list = roi["bbox_head"]
+    if isinstance(head_cfgs_list, dict):
+        head_cfgs_list = [head_cfgs_list] * num_stages
+    modules, bbox_cfgs = [], []
+    for hcfg in head_cfgs_list:
+        m, bc = build_bbox_head(hcfg, dtype=dtype)
+        modules.append(m)
+        bbox_cfgs.append(bc)
+    mask_list = roi.get("mask_head", [])
+    if isinstance(mask_list, dict):
+        mask_list = [mask_list] * num_stages
+    mask_heads = tuple(
+        HTCMaskHead(
+            num_classes=mh.get("num_classes", bbox_cfgs[0].num_classes),
+            num_convs=mh.get("num_convs", 4),
+            conv_channels=mh.get("conv_out_channels", 256),
+            with_conv_res=mh.get("with_conv_res", True),
+            dtype=dtype,
+        )
+        for mh in mask_list
+    )
+    semantic = None
+    sem_cfg = roi.get("semantic_head")
+    if sem_cfg:
+        semantic = FusedSemanticHead(
+            num_classes=sem_cfg.get("num_classes", 183),
+            fusion_level=sem_cfg.get("fusion_level", 1),
+            num_convs=sem_cfg.get("num_convs", 4),
+            channels=sem_cfg.get("conv_out_channels", 256),
+            dtype=dtype,
+        )
+    extractor = roi.get("bbox_roi_extractor", {})
+    strides = tuple(extractor.get("featmap_strides", (4, 8, 16, 32)))
+    net = HTCNet(
+        backbone=backbone,
+        neck=neck,
+        rpn=rpn_module,
+        bbox_heads=tuple(modules),
+        mask_heads=mask_heads,
+        semantic_head=semantic,
+        roi_strides=strides,
+        roi_finest_scale=extractor.get("finest_scale", 56),
+        semantic_stride=roi.get("semantic_roi_extractor", {}).get(
+            "featmap_strides", [8]
+        )[0],
+    )
+    rcnn_cfgs = train_cfg.get("rcnn", [])
+    if isinstance(rcnn_cfgs, dict):
+        rcnn_cfgs = [rcnn_cfgs]
+    stage_pos = tuple(
+        rc.get("assigner", {}).get("pos_iou_thr", thr)
+        for rc, thr in zip(rcnn_cfgs + [{}] * 3, (0.5, 0.6, 0.7))
+    )[:num_stages]
+    sampler = (rcnn_cfgs[0] if rcnn_cfgs else {}).get("sampler", {})
+    roi_cfg = ProbRoICfg(
+        num_samples=sampler.get("num", 512),
+        pos_fraction=sampler.get("pos_fraction", 0.25),
+        add_gt_as_proposals=sampler.get("add_gt_as_proposals", True),
+    )
+    cascade_cfg = CascadeCfg(
+        num_stages=num_stages,
+        stage_loss_weights=tuple(
+            roi.get("stage_loss_weights", (1.0, 0.5, 0.25))
+        ),
+        stage_pos_iou=stage_pos,
+    )
+    rpn_prop = train_cfg.get("rpn_proposal", {})
+    rpn_test = test_cfg.get("rpn", {})
+    rcnn_test = test_cfg.get("rcnn", {})
+    return HTCDetector(
+        net,
+        ag,
+        rpn_cfg=rpn_cfg,
+        roi_cfg=roi_cfg,
+        bbox_cfg=bbox_cfgs[0],
+        train_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_prop.get("nms_pre", 2000),
+            max_per_img=rpn_prop.get("max_per_img", 1000),
+            nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        test_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_test.get("nms_pre", 1000),
+            max_per_img=rpn_test.get("max_per_img", 1000),
+            nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        rcnn_test_cfg=RCNNTestCfg(
+            score_thr=rcnn_test.get("score_thr", 0.05),
+            nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+            nms_type=rcnn_test.get("nms", {}).get("type", "nms"),
             max_per_img=rcnn_test.get("max_per_img", 100),
         ),
         rpn_type=rpn_type,
@@ -474,6 +598,8 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
+    if t in ("HybridTaskCascade", "HTC"):
+        return build_htc(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
@@ -572,7 +698,9 @@ def build_detector(
             rcnn_test_cfg=RCNNTestCfg(
                 score_thr=rcnn_test.get("score_thr", 0.05),
                 nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+                nms_type=rcnn_test.get("nms", {}).get("type", "nms"),
                 max_per_img=rcnn_test.get("max_per_img", 100),
+                pre_nms_top_k=rcnn_test.get("pre_nms_top_k", 2048),
             ),
             rpn_type=rpn_type,
         )

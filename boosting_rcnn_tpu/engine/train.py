@@ -120,6 +120,52 @@ def create_train_state(variables, tx) -> TrainState:
     )
 
 
+class _MutableNet:
+    """Shim that routes every ``net.apply`` inside a detector's ``loss``
+    through ``mutable=['batch_stats']`` and accumulates the updated running
+    statistics — this is how live (Sync)BatchNorm training threads its
+    state through the otherwise-pure step (reference SyncBN surface,
+    SURVEY.md §2.3).  Detectors whose nets hold only FrozenBatchNorm pass
+    through unchanged."""
+
+    def __init__(self, net, batch_stats):
+        self._net = net
+        self.stats = batch_stats
+
+    def apply(self, variables, *args, **kwargs):
+        if variables is None or "mutable" in kwargs:
+            return self._net.apply(variables, *args, **kwargs)
+        merged = dict(variables)
+        if self.stats:
+            merged["batch_stats"] = self.stats
+        out, upd = self._net.apply(
+            merged, *args, mutable=["batch_stats"], **kwargs
+        )
+        new = upd.get("batch_stats")
+        if new:
+            self.stats = new
+        return out
+
+    def __getattr__(self, name):
+        return getattr(self._net, name)
+
+
+def loss_with_live_bn(detector, variables, rng, batch, *args, **kwargs):
+    """Run ``detector.loss`` with live-BN statistics updates captured.
+
+    Returns ``(losses, new_batch_stats)``.  The net swap happens at trace
+    time (detectors are plain python orchestrators), so the jitted step
+    stays pure — the updated stats flow out as part of the return pytree."""
+    orig = detector.net
+    proxy = _MutableNet(orig, variables.get("batch_stats", {}))
+    detector.net = proxy
+    try:
+        losses = detector.loss(variables, rng, batch, *args, **kwargs)
+    finally:
+        detector.net = orig
+    return losses, proxy.stats
+
+
 def make_train_step(
     detector,
     anchors,
@@ -129,26 +175,30 @@ def make_train_step(
     """Build the pure train step.  Global-batch semantics: under pjit with a
     sharded batch axis, every sum/mean inside the loss is a global reduction
     — this reproduces DDP + ``reduce_mean`` numerics (SURVEY.md §2.4) with
-    compiler-scheduled collectives."""
+    compiler-scheduled collectives.  Live-BN layers (LiveBatchNorm) update
+    their running stats through the step; their batch-stat reductions are
+    global under the sharded batch axis, i.e. SyncBN."""
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            losses = detector.loss(
-                variables, rng, batch, anchors, num_level_anchors
+            losses, new_stats = loss_with_live_bn(
+                detector, variables, rng, batch, anchors, num_level_anchors
             )
             total = jnp.asarray(0.0)
             for k, v in losses.items():
                 w = (loss_weights or {}).get(k, 1.0)
                 total = total + w * jnp.sum(v)
-            return total, losses
+            return total, (losses, new_stats)
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=jax.lax.stop_gradient(new_stats)
         )
-        new_state = state.apply_gradients(grads)
         metrics = {"loss": total, **{k: jnp.sum(v) for k, v in losses.items()}}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -5,9 +5,10 @@ Spec: reference ``mmdet/models/backbones/csp_darknet.py`` (Focus stem,
 SiLU activations, P5 arch scaled by deepen/widen factors) +
 ``mmdet/models/utils/csp_layer.py`` (CSPLayer / DarknetBottleneck).
 
-Deviation: BN is the framework-wide FrozenBatchNorm (folded affine in
-compute dtype) — live cross-replica BN is a round-2 item; for fine-tuning
-from converted weights this is exact.
+BN is live (reference trains YOLOX from scratch with live BN): when the
+train step applies the net with ``mutable=['batch_stats']`` the stats are
+batch-computed and the running averages update; non-mutable applies use the
+running averages (identical to frozen-BN inference numerics).
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import FrozenBatchNorm, max_pool
+from ..layers import LiveBatchNorm, max_pool
 
 
 class CBS(nn.Module):
@@ -35,7 +36,7 @@ class CBS(nn.Module):
             padding=[(pad, pad), (pad, pad)], use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        x = LiveBatchNorm(dtype=self.dtype, name="bn")(x)
         return nn.silu(x)
 
 

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import FrozenBatchNorm
+from ..layers import LiveBatchNorm
 
 STAGE_BLOCKS = (1, 2, 8, 8, 4)
 
@@ -32,7 +32,7 @@ class ConvBNLeaky(nn.Module):
             padding=[(pad, pad), (pad, pad)], use_bias=False, dtype=self.dtype,
             name="conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        x = LiveBatchNorm(dtype=self.dtype, name="bn")(x)
         return _leaky(x)
 
 

@@ -3,13 +3,13 @@ Bottle2neck with hierarchical multi-scale 3x3 convs inside the bottleneck,
 ``scales=4``, ``base_width=26``, deep stem)."""
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import FrozenBatchNorm, max_pool
+from ..layers import DeformConv, FrozenBatchNorm, max_pool
 from .resnet import ARCH_SETTINGS
 
 
@@ -21,6 +21,7 @@ class Bottle2neck(nn.Module):
     base_width: int = 26
     base_channels: int = 64
     expansion: int = 4
+    dcn: Optional[dict] = None  # per-scale 3x3s become deformable
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -44,11 +45,19 @@ class Bottle2neck(nn.Module):
             sp = splits[i]
             if prev is not None and not stage_mode:
                 sp = sp + prev
-            sp = nn.Conv(
-                width, (3, 3), (self.stride, self.stride),
-                padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                name=f"conv2_{i}",
-            )(sp)
+            if self.dcn is not None:
+                sp = DeformConv(
+                    width, 3, self.stride,
+                    deform_groups=self.dcn.get("deform_groups", 1),
+                    modulated=self.dcn.get("type", "DCNv2") == "DCNv2",
+                    dtype=self.dtype, name=f"conv2_{i}",
+                )(sp)
+            else:
+                sp = nn.Conv(
+                    width, (3, 3), (self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name=f"conv2_{i}",
+                )(sp)
             sp = FrozenBatchNorm(dtype=self.dtype, name=f"bn2_{i}")(sp)
             sp = nn.relu(sp)
             outs.append(sp)
@@ -82,6 +91,8 @@ class Res2Net(nn.Module):
     scales: int = 4
     base_width: int = 26
     frozen_stages: int = -1
+    dcn: Optional[dict] = None
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,9 +121,12 @@ class Res2Net(nn.Module):
                     scales=self.scales,
                     base_width=self.base_width,
                     base_channels=self.base_channels,
+                    dcn=self.dcn if self.stage_with_dcn[stage] else None,
                     dtype=self.dtype,
                     name=f"layer{stage+1}_{b}",
                 )(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

@@ -16,7 +16,20 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import ConvModule, FrozenBatchNorm, max_pool
+from ..layers import (
+    ConvModule,
+    DeformConv,
+    FrozenBatchNorm,
+    LiveBatchNorm,
+    max_pool,
+)
+
+
+def _norm(live: bool, dtype, name: str):
+    """norm_eval=True (reference finetuning default) -> FrozenBatchNorm;
+    norm_eval=False (from-scratch, e.g. CenterNet) -> live BN whose stats
+    update under a mutable train-step apply."""
+    return (LiveBatchNorm if live else FrozenBatchNorm)(dtype=dtype, name=name)
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -32,6 +45,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    live_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,19 +57,19 @@ class BasicBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = _norm(self.live_bn, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="conv2",
         )(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        y = _norm(self.live_bn, self.dtype, name="bn2")(y)
         if self.downsample:
             identity = nn.Conv(
                 self.planes, (1, 1), (self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = _norm(self.live_bn, self.dtype, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -74,6 +88,8 @@ class Bottleneck(nn.Module):
     base_width: int = 4
     base_channels: int = 64
     expansion: int = 4
+    dcn: Optional[dict] = None  # dict(type='DCN'|'DCNv2', deform_groups=N)
+    live_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,25 +101,35 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         identity = x
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = _norm(self.live_bn, self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            width, (3, 3), (self.stride, self.stride),
-            padding=[(self.dilation, self.dilation)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False, dtype=self.dtype, name="conv2",
-        )(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        if self.dcn is not None:
+            # reference Bottleneck ``with_dcn``: the 3x3 conv2 becomes a
+            # deformable conv (``mmdet/models/backbones/resnet.py`` dcn arg)
+            y = DeformConv(
+                width, 3, self.stride, self.dilation,
+                deform_groups=self.dcn.get("deform_groups", 1),
+                modulated=self.dcn.get("type", "DCNv2") == "DCNv2",
+                dtype=self.dtype, name="conv2",
+            )(y)
+        else:
+            y = nn.Conv(
+                width, (3, 3), (self.stride, self.stride),
+                padding=[(self.dilation, self.dilation)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False, dtype=self.dtype, name="conv2",
+            )(y)
+        y = _norm(self.live_bn, self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
+        y = _norm(self.live_bn, self.dtype, name="bn3")(y)
         if self.downsample:
             identity = nn.Conv(
                 out_ch, (1, 1), (self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = _norm(self.live_bn, self.dtype, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -127,6 +153,9 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 4
     frozen_stages: int = -1  # consumed by the train-state param mask
+    dcn: Optional[dict] = None
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    norm_eval: bool = True  # False -> live BN (from-scratch training)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -143,14 +172,14 @@ class ResNet(nn.Module):
                     ch, (3, 3), (s, s), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name=f"stem_conv{i+1}",
                 )(x)
-                x = FrozenBatchNorm(dtype=self.dtype, name=f"stem_bn{i+1}")(x)
+                x = _norm(not self.norm_eval, self.dtype, name=f"stem_bn{i+1}")(x)
                 x = nn.relu(x)
         else:
             x = nn.Conv(
                 stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                 use_bias=False, dtype=self.dtype, name="conv1",
             )(x)
-            x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            x = _norm(not self.norm_eval, self.dtype, name="bn1")(x)
             x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=[(1, 1), (1, 1)])
         if self.frozen_stages >= 0:
@@ -160,18 +189,26 @@ class ResNet(nn.Module):
 
         outs = []
         planes = self.base_channels
+        in_ch = stem
+        expansion = 1 if block_type == "basic" else 4
         for stage, num_blocks in enumerate(stage_blocks):
             stride = self.strides[stage]
             dilation = self.dilations[stage]
             for b in range(num_blocks):
                 blk_stride = stride if b == 0 else 1
+                out_ch = planes * expansion
+                # identity shortcut needs a projection only when the shape
+                # changes (torchvision: resnet18 layer1.0 has NO downsample)
+                need_down = b == 0 and (blk_stride != 1 or in_ch != out_ch)
                 common = dict(
                     planes=planes,
                     stride=blk_stride,
                     dilation=dilation,
-                    downsample=(b == 0),
+                    downsample=need_down,
+                    live_bn=not self.norm_eval,
                     dtype=self.dtype,
                 )
+                in_ch = out_ch
                 name = f"layer{stage+1}_{b}"
                 if block_type == "basic":
                     x = BasicBlock(**common, name=name)(x)
@@ -181,6 +218,7 @@ class ResNet(nn.Module):
                         groups=self.groups,
                         base_width=self.base_width,
                         base_channels=self.base_channels,
+                        dcn=self.dcn if self.stage_with_dcn[stage] else None,
                         name=name,
                     )(x)
             if stage + 1 <= self.frozen_stages:

@@ -35,7 +35,7 @@ from flax import linen as nn
 from ...ops import box_ops, losses as L
 from ...ops.assigners import atss_assign, max_iou_assign
 from ...ops.nms import batched_nms_padded
-from ..layers import ConvModule, Scale, mish
+from ..layers import ConvModule, DeformConv, Scale, make_norm, mish
 
 EPS = 1e-12
 
@@ -74,8 +74,30 @@ class ASPPShared(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fuse")(y)
         if self.norm_cfg is not None:
-            y = nn.GroupNorm(self.norm_cfg.get("num_groups", 32), dtype=self.dtype)(y)
+            y = nn.GroupNorm(
+                self.norm_cfg.get("num_groups", 32), epsilon=1e-5,
+                dtype=self.dtype,
+            )(y)
         return mish(y)
+
+
+class DCNModule(nn.Module):
+    """Reference ``DCNModule`` (``atss_rpn_head.py:75-107``): v1 deformable
+    conv -> norm -> Mish."""
+
+    channels: int
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = DeformConv(
+            self.channels, 3, modulated=False, dtype=self.dtype, name="dcn"
+        )(x)
+        norm = make_norm(self.norm_cfg, self.dtype)
+        if norm is not None:
+            x = norm(x)
+        return mish(x)
 
 
 class ATSSRPNConvs(nn.Module):
@@ -85,7 +107,7 @@ class ATSSRPNConvs(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     num_levels: int = 5
-    last_conv: str = "norm"  # 'norm' | 'aspp'  ('dcn' deferred)
+    last_conv: str = "norm"  # 'norm' | 'aspp' | 'dcn'
     norm_groups: int = 32
     dtype: Any = jnp.float32
 
@@ -100,6 +122,18 @@ class ATSSRPNConvs(nn.Module):
             if i == self.stacked_convs - 1 and self.last_conv == "aspp":
                 tower.append(
                     ASPPShared(
+                        channels=self.feat_channels,
+                        norm_cfg={"type": "GN", "num_groups": self.norm_groups},
+                        dtype=self.dtype,
+                        name=f"rpn_conv_{i}",
+                    )
+                )
+            elif i == self.stacked_convs - 1 and self.last_conv == "dcn":
+                # reference DCNModule (atss_rpn_head.py:75-107): v1 deform
+                # conv + norm + Mish (its deform_groups arg is ignored —
+                # DeformConv2dPack is hardcoded to deform_groups=1)
+                tower.append(
+                    DCNModule(
                         channels=self.feat_channels,
                         norm_cfg={"type": "GN", "num_groups": self.norm_groups},
                         dtype=self.dtype,

@@ -17,20 +17,28 @@ from ...ops.gaussian_target import gaussian2d, gaussian_radius
 
 
 class CTResNetNeck(nn.Module):
-    """Deconv upsampling neck (reference CTResNetNeck)."""
+    """Deconv upsampling neck (reference ``CTResNetNeck``: 3x3 ConvModule
+    with BN + 4x4 deconv with BN per level; CenterNet trains from scratch,
+    so the BN is live — stats update when the train step applies with
+    ``mutable=['batch_stats']``)."""
 
     channels: Tuple[int, ...] = (256, 128, 64)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
+        from ..layers import LiveBatchNorm
+
         x = feats[-1]  # C5
         for i, ch in enumerate(self.channels):
-            x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+            x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, name=f"conv{i}")(x)
+            x = LiveBatchNorm(dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
-                                 dtype=self.dtype, name=f"deconv{i}")(x)
+                                 use_bias=False, dtype=self.dtype,
+                                 name=f"deconv{i}")(x)
+            x = LiveBatchNorm(dtype=self.dtype, name=f"deconv_bn{i}")(x)
             x = nn.relu(x)
         return (x,)
 

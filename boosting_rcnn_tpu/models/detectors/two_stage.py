@@ -59,7 +59,10 @@ class RCNNTestCfg:
     score_thr: float = 0.05
     nms_iou_thr: float = 0.7
     max_per_img: int = 100
-    nms_type: str = "nms"  # 'nms' | 'soft_nms' 
+    nms_type: str = "nms"  # 'nms' | 'soft_nms'
+    # static cap on score-passing candidates entering NMS (exact mmdet keeps
+    # all of them); raise via test_cfg for ultra-dense scenes
+    pre_nms_top_k: int = 2048
 
 
 class TwoStageNet(nn.Module):
@@ -446,7 +449,7 @@ class TwoStageDetector:
             lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
                 self.bbox_cfg, ro, sc, bp, shp, sf, rescale,
                 tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
-                nms_type=tc.nms_type,
+                nms_type=tc.nms_type, pre_nms_top_k=tc.pre_nms_top_k,
             )
         )(
             prop_boxes, fused, reg_s, prop_valid,
@@ -505,87 +508,135 @@ def aug_predict(
     num_level_anchors: Tuple[int, ...],
     rescale: bool = True,
 ):
-    """Horizontal-flip test-time augmentation (the reference's
-    ``MultiScaleFlipAug`` + ``aug_test`` path, ``two_stage.py:184`` /
-    ``test_mixins.py``): proposals from both views are merged with NMS, both
-    views score the merged proposals, scores and decoded boxes are averaged,
-    then one multiclass NMS."""
-    from ...ops.nms import nms_padded
+    """Horizontal-flip test-time augmentation — the single-scale case of
+    ``aug_predict_multi`` (reference ``MultiScaleFlipAug`` with one scale +
+    flip)."""
+    views = [
+        (batch, anchors, num_level_anchors, False),
+        (batch, anchors, num_level_anchors, True),
+    ]
+    return aug_predict_multi(detector, variables, views, rescale=rescale)
+
+
+def aug_predict_multi(
+    detector: "TwoStageDetector",
+    variables,
+    views,
+    rescale: bool = True,
+):
+    """Multi-scale + flip test-time augmentation (reference
+    ``MultiScaleFlipAug`` ``test_time_aug.py:11`` + ``merge_augs.py:8``
+    semantics on fixed shapes).
+
+    ``views``: list of ``(batch, anchors, num_level_anchors, flip)`` — one
+    entry per (scale, flip) combination.  Each batch carries its own resized
+    ``images``/``img_shape``/``scale_factor`` (fixed canvas per scale ⇒ one
+    XLA compile per scale).  Pipeline:
+
+    1. per view: RPN proposals, unflipped and mapped to ORIGINAL image
+       coordinates (``/ scale_factor``);
+    2. merge across views with NMS, keep ``max_per_img``
+       (``merge_aug_proposals``);
+    3. per view: RoI-score the merged proposals in that view's frame; decode
+       boxes back to original coordinates;
+    4. average scores and decoded boxes over views
+       (``merge_aug_bboxes``), one final multiclass NMS.
+    """
+    from ...ops.box_ops import clip_boxes, delta2bbox
+    from ...ops.nms import multiclass_nms_padded, nms_padded
 
     det = detector
-    images = batch["images"]
-    b = images.shape[0]
-    img_w = batch["img_shape"][:, 1]
+    b = views[0][0]["images"].shape[0]
 
-    flipped = images[:, :, ::-1]
-    feats1 = det.net.apply(variables, images, method=TwoStageNet.features)
-    feats2 = det.net.apply(variables, flipped, method=TwoStageNet.features)
-
-    # NOTE: the flipped view's valid region sits on the RIGHT of the canvas
-    # (canvas flip moves content), so its rpn proposals live in flipped
-    # coords; unflip maps them back to the original frame.
-    outs = []
-    canvas_shape = jnp.broadcast_to(
-        jnp.asarray([float(images.shape[1]), float(images.shape[2])]), (b, 2)
-    )
-    for feats, is_flip in ((feats1, False), (feats2, True)):
+    feats_per_view = []
+    prop_outs = []
+    for batch, anchors, nla, is_flip in views:
+        images = batch["images"]
+        imgs = images[:, :, ::-1] if is_flip else images
+        feats = det.net.apply(variables, imgs, method=TwoStageNet.features)
+        feats_per_view.append(feats)
         cls, reg, iou = det._rpn_flat(variables, feats)
-        # flipped view: content is right-aligned on the canvas, so clip to
-        # the canvas and re-clip to the valid region after unflipping
+        canvas_shape = jnp.broadcast_to(
+            jnp.asarray([float(images.shape[1]), float(images.shape[2])]),
+            (b, 2),
+        )
         clip_shape = canvas_shape if is_flip else batch["img_shape"]
         pb, ps, pv = det._proposals(
-            cls, reg, iou, anchors, num_level_anchors,
-            clip_shape, det.test_proposal_cfg,
+            cls, reg, iou, anchors, nla, clip_shape, det.test_proposal_cfg
         )
         if is_flip:
             canvas_w = float(images.shape[2])
             pb = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(pb)
-            from ...ops.box_ops import clip_boxes
-
             pb = jax.vmap(clip_boxes)(pb, batch["img_shape"])
-        outs.append((pb, ps, pv))
+        # to original-image coordinates
+        pb = pb / batch["scale_factor"][:, None, :]
+        prop_outs.append((pb, ps, pv))
 
-    # merge proposals across views (reference merge_aug_proposals: concat +
-    # NMS + keep max_per_img)
-    mb = jnp.concatenate([o[0] for o in outs], axis=1)
-    msc = jnp.concatenate([o[1] for o in outs], axis=1)
-    mv = jnp.concatenate([o[2] for o in outs], axis=1)
+    # merge proposals across views in original coords (merge_aug_proposals)
+    mb = jnp.concatenate([o[0] for o in prop_outs], axis=1)
+    msc = jnp.concatenate([o[1] for o in prop_outs], axis=1)
+    mv = jnp.concatenate([o[2] for o in prop_outs], axis=1)
     tcfg = det.test_proposal_cfg
-    pb, ps, pv, _ = jax.vmap(
+    pb0, ps, pv, _ = jax.vmap(
         lambda bx, sc, vd: nms_padded(
             bx, sc, tcfg.nms_iou_thr, tcfg.max_per_img, valid=vd
         )
     )(mb, msc, mv)
     ps = jnp.where(pv, ps, 0.0)
+    r = pb0.shape[1]
 
-    # score the merged proposals from both views
-    r = pb.shape[1]
-    canvas_w = float(images.shape[2])
     fused_sum = 0.0
-    reg_ref = None
-    for feats, is_flip in ((feats1, False), (feats2, True)):
-        rois = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(pb) if is_flip else pb
+    boxes_sum = 0.0
+    for (batch, anchors, nla, is_flip), feats in zip(views, feats_per_view):
+        images = batch["images"]
+        canvas_w = float(images.shape[2])
+        rois = pb0 * batch["scale_factor"][:, None, :]  # into view frame
+        if is_flip:
+            rois = jax.vmap(lambda bx: _hflip_boxes(bx, canvas_w))(rois)
         cls_s, reg_s = det.net.apply(
             variables, feats, rois, pv, method=TwoStageNet.roi_out
         )
         cls_s = cls_s.reshape(b, r, -1)
+        reg_s = reg_s.reshape(b, r, -1)
         if det.roi_cfg.prob:
-            fused = jax.vmap(prob_fuse_scores)(cls_s, ps)
+            fused_sum = fused_sum + jax.vmap(prob_fuse_scores)(cls_s, ps)
         else:
-            fused = jax.nn.softmax(cls_s.astype(jnp.float32), axis=-1)
-        fused_sum = fused_sum + fused
-        if not is_flip:
-            reg_ref = reg_s.reshape(b, r, -1)
-    fused = fused_sum / 2.0
+            fused_sum = fused_sum + jax.nn.softmax(
+                cls_s.astype(jnp.float32), axis=-1
+            )
+        # decode this view's boxes, recover to original coords
+        dec = jax.vmap(
+            lambda ro, bp, shp: delta2bbox(
+                ro, bp, det.bbox_cfg.target_means, det.bbox_cfg.target_stds,
+                max_shape=shp,
+            )
+        )(rois, reg_s, batch["img_shape"])  # (B, R, K*4)
+        k4 = dec.shape[-1]
+        if is_flip:
+            dec = jax.vmap(
+                lambda bx: _hflip_boxes(bx.reshape(r, -1, 4), canvas_w).reshape(
+                    r, k4
+                )
+            )(dec)
+        dec = dec.reshape(b, r, -1, 4) / batch["scale_factor"][:, None, None, :]
+        boxes_sum = boxes_sum + dec
+
+    n_views = len(views)
+    fused = fused_sum / n_views
+    boxes = boxes_sum / n_views  # (B, R, K, 4) in original coords
+    c = det.bbox_cfg.num_classes
+    if boxes.shape[2] == 1:
+        boxes = jnp.broadcast_to(boxes, (b, r, c, 4))
 
     tc = det.rcnn_test_cfg
     return jax.vmap(
-        lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
-            det.bbox_cfg, ro, sc, bp, shp, sf, rescale,
-            tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
-            nms_type=tc.nms_type,
+        lambda bx, sc, rv: multiclass_nms_padded(
+            bx, sc[:, :c],
+            score_thr=tc.score_thr, iou_threshold=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img, valid=rv, nms_type=tc.nms_type,
+            pre_nms_top_k=tc.pre_nms_top_k,
         )
-    )(pb, fused, reg_ref, pv, batch["img_shape"], batch["scale_factor"])
+    )(boxes, fused, pv)
 
 
 class RPNDetector(TwoStageDetector):

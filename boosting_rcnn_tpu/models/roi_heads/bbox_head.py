@@ -185,6 +185,7 @@ def bbox_head_decode(
     max_per_img: int,
     roi_valid: Optional[jnp.ndarray] = None,
     nms_type: str = "nms",
+    pre_nms_top_k: int = 2048,
 ):
     """Decode + multiclass NMS for one image (reference
     ``ProbConvFCBBoxHead.get_bboxes:294-330``)."""
@@ -210,4 +211,5 @@ def bbox_head_decode(
         max_per_img=max_per_img,
         valid=roi_valid,
         nms_type=nms_type,
+        pre_nms_top_k=pre_nms_top_k,
     )

@@ -116,3 +116,119 @@ def test_adamw_option():
     state = create_train_state({"params": params}, tx)
     new = state.apply_gradients({"w": jnp.ones(3)})
     assert not np.allclose(np.asarray(new.params["w"]), 1.0)
+
+
+def test_live_bn_updates_running_stats():
+    """SyncBN surface (VERDICT r1 item 4): a YOLOX train step must update
+    BatchNorm running statistics (reference trains YOLOX from scratch with
+    live BN), and inference must then consume the updated stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+    from boosting_rcnn_tpu.engine.train import (
+        make_optimizer,
+        make_train_step,
+        step_lr_schedule,
+    )
+    import os
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "configs/yolox/yolox_s_8x8_300e_coco.py")
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(deepen_factor=0.1, widen_factor=0.125)
+    mc["neck"]["out_channels"] = 16
+    mc["bbox_head"].update(feat_channels=16, num_classes=4)
+    det = build_detector(mc)
+    canvas = (64, 64)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    assert variables.get("batch_stats"), "YOLOX must carry live BN stats"
+    pack, nlp = det.anchors_for(canvas)
+
+    tx = make_optimizer(step_lr_schedule(0.01, 10), params=variables["params"])
+    state = create_train_state(variables, tx)
+    step = make_train_step(det, pack, nlp)
+
+    loader = FakeDetLoader(batch_size=2, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    old_stats = jax.tree_util.tree_leaves(state.batch_stats)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    new_stats = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert len(old_stats) == len(new_stats)
+    moved = sum(
+        float(jnp.abs(a - b).sum()) for a, b in zip(old_stats, new_stats)
+    )
+    assert moved > 0, "running statistics did not update"
+    # structure stable across steps (jit cache reuse)
+    s2, _ = jax.jit(step)(new_state, batch, jax.random.PRNGKey(2))
+    assert jax.tree_util.tree_structure(
+        s2.batch_stats
+    ) == jax.tree_util.tree_structure(state.batch_stats)
+
+    # inference consumes the updated stats without mutation
+    dets, labels, valid = det.predict(
+        {"params": s2.params, "batch_stats": s2.batch_stats},
+        batch, pack, nlp,
+    )
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_frozen_bn_models_keep_stats_constant():
+    """Boosting R-CNN (norm_eval=True) must NOT change batch_stats through
+    the live-BN-capable train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import os
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+    from boosting_rcnn_tpu.engine.train import (
+        make_optimizer,
+        make_train_step,
+        step_lr_schedule,
+    )
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(
+            REPO, "configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py"
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["rpn_head"].update(feat_channels=32, stacked_convs=1)
+    mc["roi_head"]["bbox_head"]["fc_out_channels"] = 16
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=32, max_per_img=16)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 8
+    det = build_detector(mc)
+    canvas = (64, 64)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    tx = make_optimizer(step_lr_schedule(0.01, 10), params=variables["params"])
+    state = create_train_state(variables, tx)
+    step = make_train_step(det, anchors, nla)
+    loader = FakeDetLoader(batch_size=1, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    new_state, _ = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
