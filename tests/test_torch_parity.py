@@ -133,3 +133,67 @@ def test_conversion_rules():
     assert _t_conv(w).shape == (3, 3, 4, 8)
     fc = np.random.RandomState(1).rand(6, 10).astype(np.float32)
     assert _t_fc(fc).shape == (10, 6)
+
+
+@pytest.mark.parametrize("modulated", [False, True])
+def test_dcn_bottleneck_converter_parity(modulated):
+    """DCN Bottleneck through the converter: mmcv stores the deformable
+    conv's main weight as ``conv2.weight`` (OIHW) and its offset predictor
+    as ``conv2.conv_offset.{weight,bias}``.  With the offset conv zeroed
+    (mmcv's init), DCN == plain conv, so torch's F.conv2d provides the
+    numeric oracle for the whole converted block."""
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(7)
+    planes, cin = 8, 16
+    kk = 9
+    off_ch = (3 if modulated else 2) * kk
+
+    tb = TorchBottleneck(cin, planes, stride=1)
+    for bn in (tb.bn1, tb.bn2, tb.bn3, tb.downsample[1]):
+        _randomize_bn(bn, rs)
+    tb.eval()
+
+    conv_offset_w = np.zeros((off_ch, planes, 3, 3), np.float32)
+    conv_offset_b = np.zeros((off_ch,), np.float32)
+
+    params, stats = {}, {}
+    mapping = {
+        "conv1": tb.conv1, "bn1": tb.bn1, "conv2": tb.conv2, "bn2": tb.bn2,
+        "conv3": tb.conv3, "bn3": tb.bn3,
+        "downsample_conv": tb.downsample[0], "downsample_bn": tb.downsample[1],
+    }
+    for name, mod in mapping.items():
+        for leaf, val in mod.state_dict().items():
+            _assign_conv_or_bn(params, stats, [name], leaf, val.numpy())
+    _assign_conv_or_bn(
+        params, stats, ["conv2", "conv_offset"], "weight", conv_offset_w
+    )
+    _assign_conv_or_bn(
+        params, stats, ["conv2", "conv_offset"], "bias", conv_offset_b
+    )
+
+    block = Bottleneck(
+        planes=planes, stride=1, downsample=True,
+        dcn=dict(type="DCNv2" if modulated else "DCN", deform_groups=1),
+    )
+    x_np = rs.rand(1, 12, 14, cin).astype(np.float32)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    ours = np.asarray(block.apply(variables, jnp.asarray(x_np)))
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        idt = tb.downsample(xt)
+        y = tb.relu(tb.bn1(tb.conv1(xt)))
+        y = F.conv2d(y, tb.conv2.weight, None, 1, 1)
+        if modulated:
+            y = y * 0.5  # sigmoid(0) modulation mask
+        y = tb.relu(tb.bn2(y))
+        y = tb.bn3(tb.conv3(y))
+        theirs = tb.relu(y + idt).numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+    )

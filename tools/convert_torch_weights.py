@@ -29,6 +29,20 @@ def _t_fc(w):
     return np.transpose(np.asarray(w), (1, 0))
 
 
+def _t_fc_after_pool(w, roi_feat_size: int = 7):
+    """First FC after pooled RoI features: torch flattens (C, S, S)
+    channel-major, flax flattens (S, S, C) channel-minor — permute the
+    input dimension accordingly before the (out, in) -> (in, out)
+    transpose."""
+    w = np.asarray(w)
+    out_dim, in_dim = w.shape
+    s = roi_feat_size
+    c = in_dim // (s * s)
+    assert c * s * s == in_dim, (in_dim, s)
+    w = w.reshape(out_dim, c, s, s).transpose(0, 2, 3, 1).reshape(out_dim, in_dim)
+    return np.transpose(w, (1, 0))
+
+
 def convert_torchvision_resnet(state_dict: Dict[str, Any]):
     """torchvision resnet -> (params, batch_stats) subtrees keyed by our
     module names (``layer{s}_{b}``, ``downsample_conv`` ...)."""
@@ -196,9 +210,15 @@ def convert_mmdet_checkpoint(ckpt_path: str):
         elif k.startswith("roi_head.bbox_head."):
             m = re.match(r"roi_head\.bbox_head\.shared_fcs\.(\d+)\.(weight|bias)", k)
             if m:
-                put("bbox_head", [f"shared_fc_{m.group(1)}"],
-                    "kernel" if m.group(2) == "weight" else "bias",
-                    _t_fc(v) if m.group(2) == "weight" else v)
+                idx, leaf = int(m.group(1)), m.group(2)
+                if leaf == "weight":
+                    # fc 0 consumes the flattened pooled features: fix the
+                    # CHW-flat (torch) vs HWC-flat (flax) input ordering
+                    w = _t_fc_after_pool(v) if idx == 0 else _t_fc(v)
+                else:
+                    w = v
+                put("bbox_head", [f"shared_fc_{idx}"],
+                    "kernel" if leaf == "weight" else "bias", w)
                 continue
             m = re.match(r"roi_head\.bbox_head\.(fc_cls|fc_reg)\.(weight|bias)", k)
             if m:
