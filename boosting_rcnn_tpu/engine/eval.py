@@ -58,3 +58,103 @@ def run_eval(
                 f"{len(results)/(time.time()-t0):.1f} img/s"
             )
     return results
+
+
+def run_eval_tta(
+    detector,
+    variables,
+    dataset,
+    batch_size: int,
+    scales,  # list of short sides, e.g. [600, 800, 1000]
+    long_side: int = 1333,
+    flip: bool = True,
+    log_every: int = 20,
+    logger=None,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Multi-scale + flip TTA evaluation (reference ``MultiScaleFlipAug``,
+    ``test_time_aug.py:11``).
+
+    One loader per scale (fixed canvas per scale -> static shapes), iterated
+    in lockstep over the same deterministic test order; the per-batch views
+    feed ``aug_predict_multi`` which merges proposals and averages
+    scores/boxes across views (``merge_augs.py`` semantics)."""
+    from ..data.loader import DetDataLoader
+    from ..models.detectors.two_stage import aug_predict_multi
+
+    def canvas_for(short):
+        return (int(np.ceil(short / 32)) * 32, int(np.ceil(long_side / 32)) * 32)
+
+    loaders = [
+        DetDataLoader(
+            dataset, batch_size=batch_size, canvas=canvas_for(s),
+            scale=(long_side, s), train=False,
+        )
+        for s in scales
+    ]
+    anchors_per_canvas = {}
+    predict_cache = {}
+
+    def get_predict(canvases):
+        """One compiled program per (ordered) canvas-shape tuple; the static
+        per-view anchors/level-counts/flip flags are closed over."""
+        if canvases in predict_cache:
+            return predict_cache[canvases]
+        metas = []
+        for canvas in canvases:
+            if canvas not in anchors_per_canvas:
+                anchors_per_canvas[canvas] = detector.anchors_for(canvas)
+            anchors, nla = anchors_per_canvas[canvas]
+            metas.append((anchors, nla, False))
+            if flip:
+                metas.append((anchors, nla, True))
+
+        @jax.jit
+        def predict(v, batches):
+            views = []
+            i = 0
+            for b in batches:
+                views.append((b, *metas[i]))
+                i += 1
+                if flip:
+                    views.append((b, *metas[i]))
+                    i += 1
+            return aug_predict_multi(detector, v, views, rescale=True)
+
+        predict_cache[canvases] = predict
+        return predict
+
+    results: List[Tuple[np.ndarray, np.ndarray]] = []
+    t0 = time.time()
+    n_batches = 0
+    iters = [ld.epoch_iter(0) for ld in loaders]
+    while True:
+        batches = []
+        done = False
+        for it in iters:
+            b = next(it, None)
+            if b is None:
+                done = True
+                break
+            b.pop("ori_shape", None)
+            batches.append(
+                {k: jnp.asarray(v) for k, v in b.items()
+                 if k != "gt_mask_crops"}
+            )
+        if done:
+            break
+        canvases = tuple(
+            (int(b["images"].shape[1]), int(b["images"].shape[2]))
+            for b in batches
+        )
+        predict = get_predict(canvases)
+        dets, labels, valid = map(np.asarray, predict(variables, batches))
+        for i in range(dets.shape[0]):
+            m = valid[i]
+            results.append((dets[i][m], labels[i][m]))
+        n_batches += 1
+        if logger and n_batches % log_every == 0:
+            logger.info(
+                f"tta eval batch {n_batches}, {len(results)} imgs, "
+                f"{len(results)/(time.time()-t0):.1f} img/s"
+            )
+    return results

@@ -21,6 +21,16 @@ def parse_args():
     p.add_argument("--cfg-options", nargs="*", default=[])
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--classwise", action="store_true")
+    p.add_argument(
+        "--tta", action="store_true",
+        help="multi-scale + flip test-time augmentation "
+        "(reference MultiScaleFlipAug)",
+    )
+    p.add_argument(
+        "--tta-scales", type=int, nargs="*", default=None,
+        help="short sides for TTA (default: the test pipeline scale only, "
+        "i.e. flip-only TTA)",
+    )
     return p.parse_args()
 
 
@@ -69,7 +79,18 @@ def main():
         variables = {"params": params, "batch_stats": batch_stats}
     anchors, nla = det.anchors_for(canvas)
 
-    results = run_eval(det, variables, loader, anchors, nla, logger=logger)
+    if args.tta:
+        from boosting_rcnn_tpu.engine.eval import run_eval_tta
+
+        scale = tuple(pipeline.get("scale", (1333, 800)))
+        scales = args.tta_scales or [scale[1]]
+        results = run_eval_tta(
+            det, variables, ds,
+            batch_size=data_cfg.get("samples_per_gpu", 2),
+            scales=scales, long_side=scale[0], logger=logger,
+        )
+    else:
+        results = run_eval(det, variables, loader, anchors, nla, logger=logger)
     if args.out and hasattr(ds, "results_to_coco_json"):
         with open(args.out, "w") as f:
             json.dump(ds.results_to_coco_json(results), f)
