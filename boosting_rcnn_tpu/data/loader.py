@@ -36,6 +36,8 @@ class DetDataLoader:
         prefetch: int = 4,
         mstrain_range: Optional[Tuple[int, int]] = None,
         with_masks: bool = False,
+        mosaic_prob: float = 0.0,
+        mixup_prob: float = 0.0,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -51,6 +53,8 @@ class DetDataLoader:
         self.prefetch = prefetch
         self.mstrain_range = mstrain_range
         self.with_masks = with_masks
+        self.mosaic_prob = mosaic_prob if train else 0.0
+        self.mixup_prob = mixup_prob if train else 0.0
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -70,9 +74,42 @@ class DetDataLoader:
         idx = np.concatenate(order) if order else np.zeros(0, np.int64)
         return idx
 
+    def _raw(self, i: int):
+        info = self.ds.data_infos[i]
+        return load_image(self.ds.img_path(i)), info["bboxes"], info["labels"]
+
+    def _compose_mosaic_mixup(self, i: int, rng: np.random.RandomState):
+        """YOLOX train-recipe composition (reference ``transforms.py:1948``
+        Mosaic + ``:2197`` MixUp wired by ``configs/yolox``): 4-image mosaic,
+        optionally mixed with a second image, before the fused
+        resize/flip/normalize/pad."""
+        from .transforms import mixup, mosaic
+
+        n = len(self.ds.data_infos)
+        extra = rng.randint(0, n, size=3)
+        imgs, boxes, labels = zip(
+            *[self._raw(j) for j in (i, *extra.tolist())]
+        )
+        oh = min(self.canvas) // 2 * 2
+        img, b, l = mosaic(
+            list(imgs), list(boxes), list(labels), rng, out_size=(oh, oh)
+        )
+        if rng.rand() < self.mixup_prob:
+            j = int(rng.randint(0, n))
+            img2, b2, l2 = self._raw(j)
+            img, b, l = mixup(
+                img, b, l, img2, b2, l2, rng, ratio=rng.beta(8.0, 8.0)
+            )
+        return img, b, l
+
     def _load(self, i: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         info = self.ds.data_infos[i]
-        img = load_image(self.ds.img_path(i))
+        segs = info.get("segmentations") if self.with_masks else None
+        if self.mosaic_prob > 0 and rng.rand() < self.mosaic_prob:
+            img, bboxes, labels = self._compose_mosaic_mixup(i, rng)
+            segs = None  # mosaic is a box-only recipe (YOLOX)
+        else:
+            img, bboxes, labels = self._raw(i)
         flip = rng.rand() < self.flip_prob
         canvas = self.canvas if self.ds.flags[i] == 1 else self.canvas_portrait
         short = None
@@ -80,14 +117,14 @@ class DetDataLoader:
             short = int(rng.randint(self.mstrain_range[0], self.mstrain_range[1] + 1))
         return preprocess(
             img,
-            info["bboxes"],
-            info["labels"],
+            bboxes,
+            labels,
             canvas=canvas,
             scale=self.scale,
             flip=flip,
             max_gt=self.max_gt,
             short_side_override=short,
-            segmentations=info.get("segmentations") if self.with_masks else None,
+            segmentations=segs,
         )
 
     def __len__(self):

@@ -1,10 +1,21 @@
-# YOLOX-s (reference configs/yolox values; mosaic/mixup aug pipeline is a
-# round-2 item -- standard resize/flip pipeline here).
+# YOLOX-s (reference configs/yolox/yolox_s_8x8_300e_coco.py: CSPDarknet +
+# PAFPN + decoupled head, SimOTA, mosaic + mixup train recipe, live BN).
 _base_ = [
     "../_base_/datasets/coco_detection.py",
     "../_base_/default_runtime.py",
     "../_base_/schedules/schedule_1x.py",
 ]
+
+data = dict(
+    train=dict(
+        pipeline=dict(
+            canvas=(640, 640),
+            mosaic_prob=1.0,  # reference Mosaic is unconditional
+            mixup_prob=0.5,
+            flip_prob=0.5,
+        ),
+    ),
+)
 
 model = dict(
     type="YOLOX",

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# NOTE: do NOT enable the persistent XLA compilation cache for CPU tests —
+# XLA:CPU AOT results embed host machine features and the fleet machines
+# differ (loading mismatched AOT code risks SIGILL; observed as
+# "+prefer-no-gather is not supported on the host machine").
+
 
 @pytest.fixture
 def rng():

@@ -171,3 +171,33 @@ def test_lvis_dataset_federated_eval(tmp_path):
     ]
     m_eng = ds.evaluate(eng)
     assert abs(m_eng["bbox_mAP"] - m["bbox_mAP"]) < 1e-9
+
+
+def test_loader_mosaic_mixup_wiring(fake_coco, tmp_path):
+    """YOLOX train recipe: mosaic_prob=1 routes every sample through the
+    4-image mosaic (+ mixup) composition before the fused resize/pad, and
+    the batch keeps its fixed padded shapes."""
+    import cv2
+
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+
+    ds = CocoDataset(ann_file=fake_coco, img_prefix=str(tmp_path))
+    rs = np.random.RandomState(0)
+    for info in ds.data_infos:
+        img = (rs.rand(info["height"], info["width"], 3) * 255).astype(
+            np.uint8
+        )
+        cv2.imwrite(os.path.join(str(tmp_path), info["filename"]), img)
+
+    loader = DetDataLoader(
+        ds, batch_size=2, canvas=(64, 64), scale=(64, 64), train=True,
+        max_gt=20, mosaic_prob=1.0, mixup_prob=1.0, prefetch=1,
+    )
+    batch = next(loader.epoch_iter(0))
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["gt_bboxes"].shape == (2, 20, 4)
+    # mosaic of 2-image dataset with gt on every image -> multiple gts land
+    assert batch["gt_mask"].sum() >= 2
+    # boxes stay inside the canvas
+    valid = batch["gt_bboxes"][batch["gt_mask"].astype(bool)]
+    assert (valid[:, 2:] <= 64 + 1e-3).all() and (valid >= -1e-3).all()

@@ -189,6 +189,8 @@ def main():
             with_masks=bool(mc["roi_head"].get("mask_head"))
             if "roi_head" in mc
             else False,
+            mosaic_prob=pipeline.get("mosaic_prob", 0.0),
+            mixup_prob=pipeline.get("mixup_prob", 0.0),
         )
         steps_per_epoch = max(len(loader), 1)
         val_ds = None
