@@ -47,6 +47,100 @@ class FCNMaskHead(nn.Module):
         )(x).astype(jnp.float32)
 
 
+class HTCMaskHead(nn.Module):
+    """HTC mask head (reference ``mask_heads/htc_mask_head.py``):
+    FCNMaskHead + a 1x1 ``conv_res`` that fuses the previous stage's mask
+    features (mask information flow)."""
+
+    num_classes: int = 80
+    num_convs: int = 4
+    conv_channels: int = 256
+    with_conv_res: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_feat=None, return_logits=True,
+                 return_feat=True):
+        if res_feat is not None:
+            assert self.with_conv_res
+            # reference conv_res maps conv_out -> conv_out and adds to the
+            # pooled input (equal channel counts in every shipping config);
+            # target x's channels so shrunk test sizes also compose
+            r = nn.Conv(
+                x.shape[-1], (1, 1), dtype=self.dtype, name="conv_res"
+            )(res_feat)
+            x = x + nn.relu(r)
+        for i in range(self.num_convs):
+            x = nn.Conv(
+                self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                dtype=self.dtype, name=f"conv_{i}",
+            )(x)
+            x = nn.relu(x)
+        feat = x
+        outs = []
+        if return_logits:
+            y = nn.ConvTranspose(
+                self.conv_channels, (2, 2), strides=(2, 2), dtype=self.dtype,
+                name="upsample",
+            )(x)
+            y = nn.relu(y)
+            logits = nn.Conv(
+                self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits"
+            )(y).astype(jnp.float32)
+            outs.append(logits)
+        if return_feat:
+            outs.append(feat)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+class FusedSemanticHead(nn.Module):
+    """HTC semantic branch (reference ``mask_heads/fused_semantic_head.py``):
+    per-level lateral 1x1 convs fused (resized-sum) at ``fusion_level``,
+    a conv tower, then a seg logit map and an embedding feature returned for
+    RoI fusion."""
+
+    num_classes: int = 183  # COCO-stuff
+    fusion_level: int = 1
+    num_convs: int = 4
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..layers import bilinear_resize
+
+        ref = feats[self.fusion_level]
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{self.fusion_level}")(ref)
+        for i, f in enumerate(feats):
+            if i == self.fusion_level:
+                continue
+            y = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name=f"lateral_{i}")(f)
+            x = x + bilinear_resize(y, ref.shape[-3:-1])
+        for i in range(self.num_convs):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        embedding = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                            name="conv_embedding")(x)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                      name="conv_seg")(x).astype(jnp.float32)
+        return seg, embedding
+
+
+def semantic_seg_loss(seg_logits, gt_seg, ignore_index: int = 255):
+    """Pixel CE vs the stuff map (reference FusedSemanticHead.loss)."""
+    c = seg_logits.shape[-1]
+    gt = gt_seg.astype(jnp.int32)
+    valid = (gt != ignore_index) & (gt >= 0) & (gt < c)
+    safe = jnp.clip(gt, 0, c - 1)
+    logp = jax.nn.log_softmax(seg_logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    loss = -jnp.where(valid, ll, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+
 def resample_mask_targets(
     gt_mask_crops: jnp.ndarray,  # (G, S, S) float/uint8 box-relative crops
     gt_boxes: jnp.ndarray,  # (G, 4) the boxes the crops are relative to

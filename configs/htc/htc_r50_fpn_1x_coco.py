@@ -1,0 +1,27 @@
+# Hybrid Task Cascade with the fused semantic branch (reference
+# configs/htc/htc_r50_fpn_1x_coco.py): adds FusedSemanticHead on the FPN +
+# semantic RoI fusion into both box and mask branches.  Training needs
+# COCO-stuff maps as batch['gt_semantic_seg'].
+_base_ = ["./htc_without_semantic_r50_fpn_1x_coco.py"]
+
+model = dict(
+    roi_head=dict(
+        semantic_roi_extractor=dict(
+            roi_layer=dict(type="RoIAlign", output_size=14, sampling_ratio=0),
+            out_channels=256,
+            featmap_strides=[8],
+        ),
+        semantic_head=dict(
+            type="FusedSemanticHead",
+            num_ins=5,
+            fusion_level=1,
+            num_convs=4,
+            in_channels=256,
+            conv_out_channels=256,
+            num_classes=183,
+            loss_seg=dict(
+                type="CrossEntropyLoss", ignore_index=255, loss_weight=0.2
+            ),
+        ),
+    ),
+)

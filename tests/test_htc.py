@@ -1,0 +1,129 @@
+"""HTC (reference ``detectors/htc.py`` + ``roi_heads/htc_roi_head.py``):
+forward/train smoke for both variants + a mask-info-flow golden check."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from boosting_rcnn_tpu.builder import build_detector
+from boosting_rcnn_tpu.config import load_config
+from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+CANVAS = (64, 96)
+
+
+def _tiny_htc(with_semantic: bool):
+    name = (
+        "htc_r50_fpn_1x_coco.py"
+        if with_semantic
+        else "htc_without_semantic_r50_fpn_1x_coco.py"
+    )
+    cfg = load_config(os.path.join(REPO, "configs/htc", name))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=16)
+    mc["rpn_head"].update(feat_channels=16)
+    for h in mc["roi_head"]["bbox_head"]:
+        h.update(fc_out_channels=16, num_classes=4)
+    for h in mc["roi_head"]["mask_head"]:
+        h.update(num_classes=4, conv_out_channels=8, num_convs=1)
+    if with_semantic:
+        # embedding channels must equal the FPN channels (summed into the
+        # pooled RoI features, reference uses 256 == FPN out)
+        mc["roi_head"]["semantic_head"].update(
+            num_classes=6, conv_out_channels=16, num_convs=1
+        )
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=64, max_per_img=32)
+    for rc in mc["train_cfg"]["rcnn"]:
+        rc["sampler"]["num"] = 8
+    mc["test_cfg"]["rpn"].update(nms_pre=48, max_per_img=16)
+    return build_detector(mc)
+
+
+def _batch(with_masks=True, with_semantic=False):
+    loader = FakeDetLoader(
+        batch_size=1, canvas=CANVAS, num_classes=4, num_batches=1,
+        with_masks=with_masks,
+    )
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if with_semantic:
+        h, w = CANVAS[0] // 8, CANVAS[1] // 8
+        rs = np.random.RandomState(0)
+        batch["gt_semantic_seg"] = jnp.asarray(
+            rs.randint(0, 6, size=(1, h, w)), jnp.int32
+        )
+    return batch
+
+
+@pytest.mark.parametrize("with_semantic", [False, True])
+def test_htc_forward_train_and_test(with_semantic):
+    det = _tiny_htc(with_semantic)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = _batch(with_semantic=with_semantic)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    # per-stage bbox + mask losses and (optionally) the semantic loss
+    for s in range(3):
+        assert f"s{s}.loss_cls" in losses
+        assert f"s{s}.loss_mask" in losses
+    assert ("loss_semantic_seg" in losses) == with_semantic
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    out = det.predict(variables, batch, anchors, nla)
+    dets, labels, valid, masks = out
+    dets = np.asarray(dets)
+    assert dets.shape[-1] == 5
+    assert np.isfinite(dets[np.asarray(valid)]).all()
+    m = np.asarray(masks)
+    assert m.ndim == 4  # (B, R, 28, 28)
+    assert (m >= 0).all() and (m <= 1).all()  # averaged sigmoids
+
+
+def test_htc_mask_info_flow_changes_logits():
+    """Stage-1 mask logits must depend on stage-0's mask-head feature path
+    (info flow): zeroing stage-0's conv weights changes stage-1's output."""
+    from boosting_rcnn_tpu.models.detectors.htc import HTCNet
+
+    det = _tiny_htc(False)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = _batch()
+    feats = det.net.apply(
+        variables, batch["images"], method=HTCNet.features
+    )
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    rvalid = jnp.ones((1, 1), bool)
+
+    def stage1_logits(v):
+        return det.net.apply(
+            v, feats, rois, rvalid, method=HTCNet.mask_out, stage=1
+        )
+
+    base = np.asarray(stage1_logits(variables))
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    # zero every param of mask head 0 (name contains 'mask_heads_0')
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    changed = 0
+    for path in list(flat):
+        if any("mask_heads_0" in str(p) for p in path):
+            flat[path] = jnp.zeros_like(flat[path])
+            changed += 1
+    assert changed > 0, "mask head 0 params not found"
+    v2 = {
+        "params": flax.traverse_util.unflatten_dict(flat),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    alt = np.asarray(stage1_logits(v2))
+    assert not np.allclose(base, alt), "info flow is not wired"
