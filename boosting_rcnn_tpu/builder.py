@@ -55,6 +55,8 @@ DETECTORS = Registry("detectors")
 _LOSS_BOX_TYPES = {
     "IoULoss": "iou",
     "GIoULoss": "giou",
+    "EIoULoss": "eiou",
+    "FocalEIoULoss": "focal_eiou",
     "DIoULoss": "diou",
     "CIoULoss": "ciou",
     "L1Loss": "l1",

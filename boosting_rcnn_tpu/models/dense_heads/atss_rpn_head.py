@@ -333,6 +333,8 @@ def atss_rpn_loss(
             "giou": L.giou_loss,
             "diou": L.diou_loss,
             "ciou": L.ciou_loss,
+            "eiou": L.eiou_loss,
+            "focal_eiou": L.focal_eiou_loss,
         }[cfg.loss_bbox_type]
         loss_bbox = box_loss_fn(decoded, safe_t, weight=w, avg_factor=1.0)
         if cfg.with_aug_loss:

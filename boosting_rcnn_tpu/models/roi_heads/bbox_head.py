@@ -133,7 +133,8 @@ def bbox_head_loss(
 
     if cfg.reg_decoded_bbox:
         pred_boxes = box_ops.delta2bbox(rois, pred4, cfg.target_means, cfg.target_stds)
-        box_fn = {"giou": L.giou_loss, "ciou": L.ciou_loss, "iou": L.iou_loss}[
+        box_fn = {"giou": L.giou_loss, "ciou": L.ciou_loss, "iou": L.iou_loss,
+                  "eiou": L.eiou_loss, "focal_eiou": L.focal_eiou_loss}[
             cfg.loss_bbox_type
         ]
         safe_t = jnp.where(pos[:, None], bbox_t, pred_boxes)

@@ -37,6 +37,8 @@ __all__ = [
     "giou_loss",
     "diou_loss",
     "ciou_loss",
+    "eiou_loss",
+    "focal_eiou_loss",
     "accuracy",
 ]
 
@@ -294,6 +296,58 @@ def ciou_loss(pred, target, weight=None, eps=1e-7, reduction="mean", avg_factor=
     v = factor * (jnp.arctan(tw / (th + eps)) - jnp.arctan(pw / (ph + eps))) ** 2
     alpha = jax.lax.stop_gradient(v / (1.0 - ious + v + eps))
     loss = 1.0 - ious + dist_term + alpha * v
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def _eiou_terms(pred, target, eps):
+    """Shared EIoU geometry (reference fork ``iou_loss.py:300-344``)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    ag = (target[..., 2] - target[..., 0]) * (target[..., 3] - target[..., 1])
+    union = ap + ag - overlap + eps
+    ious = jax.lax.stop_gradient(overlap / union)
+    e_lt = jnp.minimum(pred[..., :2], target[..., :2])
+    e_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    e_wh = jnp.clip(e_rb - e_lt, 0.0, None)
+    cw = e_wh[..., 0] + eps
+    ch = e_wh[..., 1] + eps
+    c2 = cw**2 + ch**2 + eps
+    rho2 = (
+        ((target[..., 0] + target[..., 2]) - (pred[..., 0] + pred[..., 2]))
+        ** 2
+        + ((target[..., 1] + target[..., 3]) - (pred[..., 1] + pred[..., 3]))
+        ** 2
+    ) / 4.0
+    w1 = pred[..., 2] - pred[..., 0]
+    h1 = pred[..., 3] - pred[..., 1]
+    w2 = target[..., 2] - target[..., 0]
+    h2 = target[..., 3] - target[..., 1]
+    rhow = (jnp.abs(w2 - w1) + eps) ** 2
+    rhoh = (jnp.abs(h2 - h1) + eps) ** 2
+    return ious, 1.0 - ious + rho2 / c2 + rhow / cw**2 + rhoh / ch**2
+
+
+def eiou_loss(pred, target, weight=None, eps=1e-7, reduction="mean",
+              avg_factor=None):
+    """EIoU (fork-added, reference ``iou_loss.py:300,346``): IoU + center
+    distance + per-axis width/height distance penalties."""
+    _, loss = _eiou_terms(pred, target, eps)
+    if weight is not None and weight.ndim == loss.ndim + 1:
+        weight = weight.mean(axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def focal_eiou_loss(pred, target, weight=None, gamma=0.5, eps=1e-7,
+                    reduction="mean", avg_factor=None):
+    """Focal-EIoU (fork-added, reference ``iou_loss.py:240,396``):
+    EIoU reweighted by IoU**gamma (high-IoU pairs dominate)."""
+    ious, base = _eiou_terms(pred, target, eps)
+    loss = base * ious**gamma
     if weight is not None and weight.ndim == loss.ndim + 1:
         weight = weight.mean(axis=-1)
     return weight_reduce_loss(loss, weight, reduction, avg_factor)

@@ -101,3 +101,50 @@ def test_quality_focal(rng):
     )
     assert got.shape == (5,)
     assert np.isfinite(got).all()
+
+
+def test_eiou_and_focal_eiou_vs_reference_formula():
+    """Fork-added EIoU/Focal-EIoU (reference iou_loss.py:240-344): checked
+    against a direct numpy transcription of the reference math."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.losses import eiou_loss, focal_eiou_loss
+
+    rs = np.random.RandomState(0)
+    x1y1 = rs.rand(16, 2) * 50
+    wh = rs.rand(16, 2) * 60 + 2
+    pred = np.concatenate([x1y1, x1y1 + wh], -1).astype(np.float32)
+    t1 = rs.rand(16, 2) * 50
+    t2 = rs.rand(16, 2) * 60 + 2
+    target = np.concatenate([t1, t1 + t2], -1).astype(np.float32)
+    eps = 1e-7
+
+    lt = np.maximum(pred[:, :2], target[:, :2])
+    rb = np.minimum(pred[:, 2:], target[:, 2:])
+    whc = np.clip(rb - lt, 0, None)
+    overlap = whc[:, 0] * whc[:, 1]
+    ap = (pred[:, 2] - pred[:, 0]) * (pred[:, 3] - pred[:, 1])
+    ag = (target[:, 2] - target[:, 0]) * (target[:, 3] - target[:, 1])
+    ious = overlap / (ap + ag - overlap + eps)
+    cw = np.maximum(pred[:, 2], target[:, 2]) - np.minimum(pred[:, 0], target[:, 0]) + eps
+    ch = np.maximum(pred[:, 3], target[:, 3]) - np.minimum(pred[:, 1], target[:, 1]) + eps
+    c2 = cw**2 + ch**2 + eps
+    rho2 = (((target[:, 0] + target[:, 2]) - (pred[:, 0] + pred[:, 2])) ** 2
+            + ((target[:, 1] + target[:, 3]) - (pred[:, 1] + pred[:, 3])) ** 2) / 4
+    w1, h1 = pred[:, 2] - pred[:, 0], pred[:, 3] - pred[:, 1]
+    w2, h2 = target[:, 2] - target[:, 0], target[:, 3] - target[:, 1]
+    rhow = (np.abs(w2 - w1) + eps) ** 2
+    rhoh = (np.abs(h2 - h1) + eps) ** 2
+    want = 1 - ious + rho2 / c2 + rhow / cw**2 + rhoh / ch**2
+
+    got = np.asarray(eiou_loss(jnp.asarray(pred), jnp.asarray(target),
+                               reduction="none"))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    got_f = np.asarray(focal_eiou_loss(jnp.asarray(pred), jnp.asarray(target),
+                                       gamma=0.5, reduction="none"))
+    np.testing.assert_allclose(got_f, want * ious**0.5, rtol=1e-5)
+    # perfect prediction -> ~0 loss
+    z = np.asarray(eiou_loss(jnp.asarray(pred), jnp.asarray(pred),
+                             reduction="none"))
+    assert (np.abs(z) < 1e-4).all()
