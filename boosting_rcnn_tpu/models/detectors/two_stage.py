@@ -107,15 +107,22 @@ class TwoStageNet(nn.Module):
         return (cls_l, reg_l, iou_l), tuple(fused)
 
     def _roi_align_fn(self, inference: bool):
-        """Inference on TPU uses the fused Pallas kernel (1.7x the XLA
-        separable-matmul path, no HBM window tensor); training keeps the XLA
-        path, whose autodiff provides the backward."""
+        """On TPU both paths use the fused Pallas kernel (1.7x the XLA
+        separable-matmul path, no HBM window tensor); the training variant
+        carries a custom_vjp whose backward is the XLA path's autodiff
+        (same clamped-window bilinear function)."""
         from ...ops.pallas_roi_align import pallas_roi_available
 
-        if inference and pallas_roi_available():
-            from ...ops.pallas_roi_align import multilevel_roi_align_pallas
+        if pallas_roi_available():
+            if inference:
+                from ...ops.pallas_roi_align import multilevel_roi_align_pallas
 
-            return multilevel_roi_align_pallas
+                return multilevel_roi_align_pallas
+            from ...ops.pallas_roi_align import (
+                multilevel_roi_align_pallas_trainable,
+            )
+
+            return multilevel_roi_align_pallas_trainable
         return multilevel_roi_align_fast
 
     def roi_out(self, feats, rois, roi_valid, inference: bool = False):

@@ -229,3 +229,53 @@ def pallas_roi_available() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def multilevel_roi_align_pallas_trainable(
+    feats, rois, roi_valid, strides, out_size=7, sample_num=2,
+    finest_scale=56, num_route_levels=None, interpret=False,
+):
+    """Pallas forward + XLA-path backward (round-2 item from VERDICT r1:
+    the train path previously fell back to the slower XLA RoIAlign forward
+    because the kernel had no custom_vjp).
+
+    Forward runs the fused double-buffered Pallas kernel; backward reuses
+    the VJP of ``multilevel_roi_align_fast``, which computes the same
+    clamped-window bilinear function, so gradients are consistent with the
+    forward up to kernel-vs-XLA rounding.  Only ``feats`` receives
+    gradients (rois/valid are stop-gradient detector-side inputs, matching
+    mmcv RoIAlign backward semantics)."""
+    from .roi_align import multilevel_roi_align_fast
+
+    rois = jax.lax.stop_gradient(rois)
+    roi_valid = jax.lax.stop_gradient(roi_valid)
+    kw = dict(
+        out_size=out_size, sample_num=sample_num, finest_scale=finest_scale,
+        num_route_levels=num_route_levels,
+    )
+
+    @jax.custom_vjp
+    def _aligned(f):
+        return multilevel_roi_align_pallas(
+            f, rois, roi_valid, strides, interpret=interpret, **kw
+        )
+
+    def _fwd(f):
+        return (
+            multilevel_roi_align_pallas(
+                f, rois, roi_valid, strides, interpret=interpret, **kw
+            ),
+            f,
+        )
+
+    def _bwd(f, g):
+        _, vjp = jax.vjp(
+            lambda ff: multilevel_roi_align_fast(
+                ff, rois, roi_valid, strides, **kw
+            ),
+            f,
+        )
+        return vjp(g)
+
+    _aligned.defvjp(_fwd, _bwd)
+    return _aligned(tuple(feats))

@@ -73,8 +73,11 @@ def test_dp_train_step_matches_single_device():
         jax.device_put(rng, rep),
     )
     for k in m1:
+        # grad_norm sums thousands of squared grads — the most reduction-
+        # order-sensitive scalar; sharding changes f32 summation order
+        rtol = 1e-3 if k == "grad_norm" else 2e-4
         np.testing.assert_allclose(
-            float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5
+            float(m1[k]), float(m2[k]), rtol=rtol, atol=1e-5
         ), k
     # params identical after the step
     d = jax.tree.map(

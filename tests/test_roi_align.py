@@ -163,3 +163,42 @@ def test_pallas_kernel_matches_fast(rng):
         multilevel_roi_align_pallas(feats, rois, valid, strides, interpret=True)
     )
     np.testing.assert_allclose(pal, fast, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_trainable_gradient_matches_xla(rng):
+    """The custom_vjp training wrapper: Pallas forward, backward == the XLA
+    fast path's autodiff (feature gradients identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        multilevel_roi_align_pallas_trainable,
+    )
+
+    c = 8
+    feats = tuple(
+        jnp.asarray(rng.rand(h, w, c).astype(np.float32))
+        for h, w in ((32, 40), (16, 20), (8, 10))
+    )
+    strides = [8, 16, 32]
+    rois = jnp.asarray(
+        [[4.0, 4.0, 60.0, 50.0], [30.0, 20.0, 200.0, 150.0]], jnp.float32
+    )
+    valid = jnp.ones(2, bool)
+
+    def f_pallas(fs):
+        out = multilevel_roi_align_pallas_trainable(
+            fs, rois, valid, strides, interpret=True
+        )
+        return jnp.sum(out**2)
+
+    def f_fast(fs):
+        out = ra.multilevel_roi_align_fast(fs, rois, valid, strides)
+        return jnp.sum(out**2)
+
+    gp = jax.grad(f_pallas)(feats)
+    gf = jax.grad(f_fast)(feats)
+    for a, b in zip(gp, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+    assert sum(float(jnp.abs(g).sum()) for g in gp) > 0
