@@ -33,7 +33,9 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
-    mode = os.environ.get("BENCH_MODE", "infer")  # 'infer' | 'train'
+    # 'both' (default): one JSON line with inference as the primary metric
+    # plus train_img_s; 'infer' / 'train': that path only
+    mode = os.environ.get("BENCH_MODE", "both")
     warmup = 5
     canvas = (800, 1344)
 
@@ -49,7 +51,7 @@ def main():
     img_shape = jnp.asarray([[canvas[0], canvas[1] - 11]] * batch, jnp.float32)
     scale_factor = jnp.ones((batch, 4), jnp.float32)
 
-    if mode == "train":
+    def measure_train():
         from boosting_rcnn_tpu.data.loader import FakeDetLoader
         from boosting_rcnn_tpu.engine.train import (
             create_train_state,
@@ -86,7 +88,10 @@ def main():
             times.append(time.perf_counter() - t0)
         times.sort()
         med = times[len(times) // 2]
-        img_per_s = batch / med
+        return batch / med
+
+    if mode == "train":
+        img_per_s = measure_train()
         print(
             json.dumps(
                 {
@@ -119,17 +124,23 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_s = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_800x1344_bs%d"
-                % batch,
-                "value": round(img_per_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_800x1344_bs%d"
+        % batch,
+        "value": round(img_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+    }
+    if mode == "both":
+        try:
+            train_img_s = measure_train()
+            line["train_img_s"] = round(train_img_s, 2)
+            line["train_vs_baseline"] = round(
+                train_img_s / BASELINE_IMG_PER_S, 3
+            )
+        except Exception as e:  # keep the primary metric alive
+            line["train_error"] = str(e)[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

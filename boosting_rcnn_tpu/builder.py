@@ -603,7 +603,7 @@ def build_detector(
     if t in ("HybridTaskCascade", "HTC"):
         return build_htc(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
-             "TwoStageDetector"):
+             "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)
         rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
@@ -613,7 +613,32 @@ def build_detector(
         bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
         mask_module = None
         mask_iou_module = None
-        if roi.get("mask_head"):
+        point_module = None
+        if t == "PointRend":
+            from .models.roi_heads.point_rend import (
+                CoarseMaskHead,
+                MaskPointHead,
+            )
+
+            mh = roi.get("mask_head") or {}
+            ph = roi.get("point_head") or {}
+            mask_module = CoarseMaskHead(
+                num_classes=mh.get("num_classes", bbox_cfg.num_classes),
+                num_convs=mh.get("num_convs", 0),
+                num_fcs=mh.get("num_fcs", 2),
+                fc_channels=mh.get("fc_out_channels", 1024),
+                roi_feat_size=mh.get("roi_feat_size", 14),
+                downsample_factor=mh.get("downsample_factor", 2),
+                dtype=dtype,
+            )
+            point_module = MaskPointHead(
+                num_classes=ph.get("num_classes", bbox_cfg.num_classes),
+                num_fcs=ph.get("num_fcs", 3),
+                fc_channels=ph.get("fc_channels", 256),
+                coarse_pred_each_layer=ph.get("coarse_pred_each_layer", True),
+                dtype=dtype,
+            )
+        elif roi.get("mask_head"):
             from .models.roi_heads.mask_head import FCNMaskHead
 
             mh = roi["mask_head"]
@@ -647,6 +672,7 @@ def build_detector(
             bbox_head=bbox_module,
             mask_head=mask_module,
             mask_iou_head=mask_iou_module,
+            point_head=point_module,
             bridge=(t == "ProbTwoStage")
             or model_cfg["rpn_head"].get("bridge", False),
             roi_strides=strides,
@@ -679,9 +705,31 @@ def build_detector(
         rpn_prop = train_cfg.get("rpn_proposal", {})
         rpn_test = test_cfg.get("rpn", {})
         rcnn_test = test_cfg.get("rcnn", {})
-        return TwoStageDetector(
+        det_cls = TwoStageDetector
+        det_kwargs = {}
+        if t == "PointRend":
+            from .models.detectors.point_rend_det import PointRendDetector
+            from .models.roi_heads.point_rend import PointRendCfg
+
+            pc = train_cfg.get("rcnn", {}).get("point", {}) or {}
+            tc_pt = test_cfg.get("rcnn", {}) or {}
+            det_cls = PointRendDetector
+            det_kwargs["point_cfg"] = PointRendCfg(
+                num_points=pc.get("num_points", 196),
+                oversample_ratio=pc.get("oversample_ratio", 3.0),
+                importance_sample_ratio=pc.get(
+                    "importance_sample_ratio", 0.75
+                ),
+                subdivision_steps=tc_pt.get("subdivision_steps", 5),
+                subdivision_num_points=tc_pt.get(
+                    "subdivision_num_points", 784
+                ),
+                scale_factor=tc_pt.get("scale_factor", 2),
+            )
+        return det_cls(
             net,
             ag,
+            **det_kwargs,
             rpn_cfg=rpn_cfg,
             roi_cfg=roi_cfg,
             bbox_cfg=bbox_cfg,

@@ -74,6 +74,7 @@ class TwoStageNet(nn.Module):
     bbox_head: Optional[nn.Module]
     mask_head: Optional[nn.Module] = None
     mask_iou_head: Optional[nn.Module] = None
+    point_head: Optional[nn.Module] = None  # PointRend refinement MLP
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
@@ -175,6 +176,11 @@ class TwoStageNet(nn.Module):
         """Mask-IoU predictions (Mask Scoring R-CNN)."""
         return self.mask_iou_head(pooled, mask_pred)
 
+    def point_out(self, fine, coarse):
+        """PointRend per-point MLP: (P, Cf) fine features + (P, C) coarse
+        logits -> (P, C) refined point logits."""
+        return self.point_head(fine, coarse)
+
     def __call__(self, images, rois, roi_valid):
         """Init-time path touching every submodule."""
         feats = self.features(images)
@@ -192,6 +198,11 @@ class TwoStageNet(nn.Module):
             if self.mask_iou_head is not None:
                 self.mask_iou_out(
                     pooled, jnp.zeros(pooled.shape[:1] + (28, 28), pooled.dtype)
+                )
+            if self.point_head is not None:
+                self.point_out(
+                    jnp.zeros((1, feats[0].shape[-1]), feats[0].dtype),
+                    jnp.zeros((1, mask_logits.shape[-1]), jnp.float32),
                 )
         return rpn_outs, cls, reg
 
@@ -363,8 +374,13 @@ class TwoStageDetector:
                 method=TwoStageNet.mask_out,
             )
             mask_logits = mask_out_res[0] if with_iou else mask_out_res
+            # target size follows the head output (28 for FCNMaskHead,
+            # 7 for PointRend's CoarseMaskHead)
+            m_out = mask_logits.shape[1]
             targets = jax.vmap(
-                lambda crops, gb, rb, gi: resample_mask_targets(crops, gb, rb, gi)
+                lambda crops, gb, rb, gi: resample_mask_targets(
+                    crops, gb, rb, gi, out_size=m_out
+                )
             )(
                 batch["gt_mask_crops"], batch["gt_bboxes"],
                 sample.boxes, sample.gt_idx,

@@ -242,40 +242,41 @@ def multilevel_roi_align_pallas_trainable(
     Forward runs the fused double-buffered Pallas kernel; backward reuses
     the VJP of ``multilevel_roi_align_fast``, which computes the same
     clamped-window bilinear function, so gradients are consistent with the
-    forward up to kernel-vs-XLA rounding.  Only ``feats`` receives
-    gradients (rois/valid are stop-gradient detector-side inputs, matching
-    mmcv RoIAlign backward semantics)."""
+    forward up to kernel-vs-XLA rounding.  rois/valid receive zero
+    cotangents (mmcv RoIAlign backward semantics: features only).
+
+    All traced values (feats, rois, valid) are explicit custom_vjp inputs —
+    closing over them would leak tracers when the caller vmaps."""
     from .roi_align import multilevel_roi_align_fast
 
-    rois = jax.lax.stop_gradient(rois)
-    roi_valid = jax.lax.stop_gradient(roi_valid)
     kw = dict(
         out_size=out_size, sample_num=sample_num, finest_scale=finest_scale,
         num_route_levels=num_route_levels,
     )
 
     @jax.custom_vjp
-    def _aligned(f):
+    def _aligned(f, rb, vf):
         return multilevel_roi_align_pallas(
-            f, rois, roi_valid, strides, interpret=interpret, **kw
+            f, rb, vf > 0.5, strides, interpret=interpret, **kw
         )
 
-    def _fwd(f):
-        return (
-            multilevel_roi_align_pallas(
-                f, rois, roi_valid, strides, interpret=interpret, **kw
-            ),
-            f,
-        )
+    def _fwd(f, rb, vf):
+        return _aligned.__wrapped__(f, rb, vf), (f, rb, vf)
 
-    def _bwd(f, g):
+    def _bwd(res, g):
+        f, rb, vf = res
         _, vjp = jax.vjp(
             lambda ff: multilevel_roi_align_fast(
-                ff, rois, roi_valid, strides, **kw
+                ff, rb, vf > 0.5, strides, **kw
             ),
             f,
         )
-        return vjp(g)
+        (d_feats,) = vjp(g)
+        return (d_feats, jnp.zeros_like(rb), jnp.zeros_like(vf))
 
     _aligned.defvjp(_fwd, _bwd)
-    return _aligned(tuple(feats))
+    return _aligned(
+        tuple(feats),
+        jax.lax.stop_gradient(rois),
+        jax.lax.stop_gradient(roi_valid.astype(jnp.float32)),
+    )
