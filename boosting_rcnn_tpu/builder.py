@@ -567,6 +567,48 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_solo(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """SOLO (reference ``detectors/solo.py`` + ``solo_head.py``)."""
+    from .models.dense_heads.solo_head import SOLOCfg, SOLOHeadConvs
+    from .models.detectors.solo import SOLODetector, SOLONet
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    h = model_cfg["mask_head"]
+    num_grids = tuple(h.get("num_grids", (40, 36, 24, 16, 12)))
+    head = SOLOHeadConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=h.get("feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 4),
+        num_grids=num_grids,
+        cls_down_index=h.get("cls_down_index", 0),
+        dtype=dtype,
+    )
+    cfg = SOLOCfg(
+        num_classes=h.get("num_classes", 80),
+        num_grids=num_grids,
+        strides=tuple(h.get("strides", (8, 8, 16, 32, 32))),
+        scale_ranges=tuple(
+            tuple(r) for r in h.get(
+                "scale_ranges",
+                ((1, 96), (48, 192), (96, 384), (192, 768), (384, 2048)),
+            )
+        ),
+        pos_scale=h.get("pos_scale", 0.2),
+        score_thr=test_cfg.get("score_thr", 0.1),
+        mask_thr=test_cfg.get("mask_thr", 0.5),
+        max_per_img=test_cfg.get("max_per_img", 100),
+        nms_sigma=test_cfg.get("nms", {}).get("sigma", 2.0)
+        if isinstance(test_cfg.get("nms"), dict) else 2.0,
+        filter_thr=test_cfg.get("filter_thr", 0.05),
+    )
+    net = SOLONet(backbone=backbone, neck=neck, head=head)
+    return SOLODetector(net, cfg)
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -602,6 +644,8 @@ def build_detector(
         return build_cascade(model_cfg, dtype=dtype)
     if t in ("HybridTaskCascade", "HTC"):
         return build_htc(model_cfg, dtype=dtype)
+    if t == "SOLO":
+        return build_solo(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
