@@ -609,6 +609,64 @@ def build_solo(model_cfg: Dict[str, Any], dtype=jnp.float32):
     return SOLODetector(net, cfg)
 
 
+
+
+def build_vfnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """VarifocalNet (reference ``dense_heads/vfnet_head.py:20``)."""
+    from .models.dense_heads.vfnet_head import VFNetCfg, VFNetConvs
+    from .models.detectors.single_stage import (
+        SingleStageNet,
+        SSTestCfg,
+        VFNetDetector,
+    )
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    h = model_cfg["bbox_head"]
+    strides = tuple(h.get("strides", (8, 16, 32, 64, 128)))
+    rr = h.get(
+        "regress_ranges",
+        ((-1, 64), (64, 128), (128, 256), (256, 512), (512, 100000000)),
+    )
+    reg_denoms = [r[1] for r in rr]
+    reg_denoms[-1] = reg_denoms[-2] * 2
+    head = VFNetConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=h.get("feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 3),
+        num_levels=len(strides),
+        strides=strides,
+        reg_denoms=tuple(reg_denoms),
+        gradient_mul=h.get("gradient_mul", 0.1),
+        dtype=dtype,
+    )
+    cfg = VFNetCfg(
+        num_classes=h.get("num_classes", 80),
+        strides=strides,
+        anchor_scale=h.get("anchor_generator", {}).get(
+            "octave_base_scale", 8
+        ),
+        atss_topk=(model_cfg.get("train_cfg") or {}).get(
+            "assigner", {}
+        ).get("topk", 9),
+        loss_bbox_weight=h.get("loss_bbox", {}).get("loss_weight", 1.5),
+        loss_bbox_refine_weight=h.get("loss_bbox_refine", {}).get(
+            "loss_weight", 2.0
+        ),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=head)
+    return VFNetDetector(
+        net, cfg,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -646,6 +704,8 @@ def build_detector(
         return build_htc(model_cfg, dtype=dtype)
     if t == "SOLO":
         return build_solo(model_cfg, dtype=dtype)
+    if t == "VFNet":
+        return build_vfnet(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

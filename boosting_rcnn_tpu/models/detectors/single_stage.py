@@ -631,3 +631,69 @@ class FoveaDetector:
             max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
+
+
+class VFNetDetector:
+    """VarifocalNet (reference ``mmdet/models/detectors/vfnet.py``):
+    point-based head with star-dconv refinement and IoU-aware varifocal
+    classification."""
+
+    def __init__(self, net: SingleStageNet, head_cfg,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.fcos_head import fcos_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pts, strides, _, _ = fcos_points(fs, self.head_cfg.strides)
+        nlp = tuple(h * w for h, w in fs)
+        return (jnp.asarray(pts), jnp.asarray(strides)), nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, ref_l = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        ref = flatten_levels(ref_l, 4)
+        return cls, reg, ref
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.vfnet_head import vfnet_loss
+
+        pts, strides = pack
+        cls, reg, ref = self._flat_outs(variables, batch["images"])
+        return vfnet_loss(
+            self.head_cfg, cls, reg, ref, pts, strides, num_level_points,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ..dense_heads.vfnet_head import vfnet_get_bboxes
+
+        pts = pack[0]
+        cls, _, ref = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: vfnet_get_bboxes(
+            self.head_cfg, c_, r_, pts, num_level_points, shp, sf, rescale,
+            nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, ref, batch["img_shape"], batch["scale_factor"])

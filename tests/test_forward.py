@@ -443,3 +443,39 @@ def test_libra_rcnn_forward():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_vfnet_forward():
+    """VFNet (reference vfnet_head.py): star-dconv refinement head —
+    finite losses incl. both bbox stages, gradient flow through the star
+    offsets, and decode."""
+    cfg = load_config(os.path.join(REPO, "configs/vfnet/vfnet_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(feat_channels=32, stacked_convs=1, num_classes=4)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    pack, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    assert set(losses) == {"loss_cls", "loss_bbox", "loss_bbox_rf"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(losses["loss_cls"]) > 0
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, pack, nlp)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)[:3]
+    dets = np.asarray(dets)
+    assert dets.shape[-1] == 5
+    assert np.isfinite(dets[np.asarray(valid)]).all()
