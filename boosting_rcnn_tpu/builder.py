@@ -123,6 +123,19 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("MobileNetV2")
+def build_mobilenet_v2(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.mobilenet_v2 import MobileNetV2
+
+    return MobileNetV2(
+        widen_factor=cfg.get("widen_factor", 1.0),
+        out_indices=tuple(cfg.get("out_indices", (1, 2, 4, 7))),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        norm_eval=cfg.get("norm_eval", True),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("SwinTransformer")
 def build_swin(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.swin import SwinTransformer

@@ -77,3 +77,22 @@ def test_swin_nondivisible_input():
     vars_ = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(vars_, x)
     assert outs[0].shape[1:3] == (13, 16)  # ceil(50/4), ceil(61/4)
+
+
+def test_mobilenet_v2_shapes():
+    """MobileNetV2 (reference mobilenet_v2.py): default out_indices give
+    stride-4/8/16/32 maps with the widened channel counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.mobilenet_v2 import MobileNetV2
+
+    m = MobileNetV2(widen_factor=1.0)
+    x = jnp.zeros((1, 64, 96, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    shapes = [tuple(o.shape) for o in outs]
+    assert shapes[0] == (1, 16, 24, 24)   # stride 4, c 24
+    assert shapes[1] == (1, 8, 12, 32)    # stride 8, c 32
+    assert shapes[2] == (1, 4, 6, 96)     # stride 16, c 96
+    assert shapes[3] == (1, 2, 3, 1280)   # stride 32, out conv 1280
