@@ -680,6 +680,52 @@ def build_vfnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_fsaf(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """FSAF (reference ``dense_heads/fsaf_head.py:15``)."""
+    from .models.dense_heads.fsaf_head import FSAFCfg, FSAFConvs
+    from .models.detectors.single_stage import (
+        FSAFDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    h = model_cfg["bbox_head"]
+    ag = build_anchor_generator(h["anchor_generator"])
+    head = FSAFConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=h.get("feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 4),
+        dtype=dtype,
+    )
+    assigner = train_cfg.get("assigner", {})
+    cfg = FSAFCfg(
+        num_classes=h.get("num_classes", 80),
+        strides=tuple(h["anchor_generator"].get("strides",
+                                                (8, 16, 32, 64, 128))),
+        pos_scale=assigner.get("pos_scale", 0.2),
+        ignore_scale=assigner.get("neg_scale", 0.5),
+        tblr_normalizer=h.get("bbox_coder", {}).get("normalizer", 4.0),
+        loss_cls_weight=h.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=h.get("loss_bbox", {}).get("loss_weight", 1.0),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=head)
+    return FSAFDetector(
+        net, cfg, ag,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -719,6 +765,8 @@ def build_detector(
         return build_solo(model_cfg, dtype=dtype)
     if t == "VFNet":
         return build_vfnet(model_cfg, dtype=dtype)
+    if t == "FSAF":
+        return build_fsaf(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

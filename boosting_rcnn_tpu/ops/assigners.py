@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .box_ops import bbox_overlaps
 
-__all__ = ["AssignResult", "max_iou_assign", "atss_assign"]
+__all__ = ["AssignResult", "max_iou_assign", "atss_assign", "center_region_assign"]
 
 
 class AssignResult(NamedTuple):
@@ -265,3 +265,61 @@ def hungarian_assign(
     labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(jnp.int32)
     max_ov = jnp.zeros((q,), jnp.float32)
     return AssignResult(assigned, max_ov, labels)
+
+
+def center_region_assign(
+    anchors: jnp.ndarray,  # (A, 4)
+    valid: jnp.ndarray,  # (A,)
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_mask: jnp.ndarray,  # (G,)
+    gt_labels: Optional[jnp.ndarray] = None,
+    pos_scale: float = 0.2,
+    ignore_scale: float = 0.5,
+) -> AssignResult:
+    """CenterRegionAssigner (reference ``center_region_assigner.py:72``,
+    the FSAF effective/ignore-region rule): an anchor is positive for a gt
+    when its center lies in the ``pos_scale``-shrunk gt box; centers in the
+    ``ignore_scale``-shrunk box (but not the positive region) are ignored
+    (gt_inds -1).  Overlaps resolve by gt priority = smaller area first."""
+    a = anchors.shape[0]
+    g = gt_bboxes.shape[0]
+    cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+
+    def shrink(boxes, scale):
+        bcx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        bcy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        hw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+        hh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+        return jnp.stack([bcx - hw, bcy - hh, bcx + hw, bcy + hh], -1)
+
+    def inside(regions):
+        return (
+            (cx[None, :] >= regions[:, 0:1])
+            & (cx[None, :] <= regions[:, 2:3])
+            & (cy[None, :] >= regions[:, 1:2])
+            & (cy[None, :] <= regions[:, 3:4])
+        )  # (G, A)
+
+    in_pos = inside(shrink(gt_bboxes, pos_scale)) & gt_mask[:, None]
+    in_ign = inside(shrink(gt_bboxes, ignore_scale)) & gt_mask[:, None]
+    in_pos = in_pos & valid[None, :]
+    in_ign = in_ign & valid[None, :]
+
+    area = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * (
+        gt_bboxes[:, 3] - gt_bboxes[:, 1]
+    )
+    big = jnp.float32(1e18)
+    prio = jnp.where(in_pos, area[:, None], big)  # (G, A)
+    best_gt = jnp.argmin(prio, axis=0).astype(jnp.int32)
+    has_pos = jnp.any(in_pos, axis=0)
+    has_ign = jnp.any(in_ign, axis=0)
+    gt_inds = jnp.where(
+        has_pos, best_gt + 1, jnp.where(has_ign, -1, 0)
+    ).astype(jnp.int32)
+    overlaps = jnp.where(has_pos, 1.0, 0.0)
+    if gt_labels is None:
+        labels = jnp.zeros((a,), jnp.int32)
+    else:
+        labels = jnp.where(has_pos, gt_labels[best_gt], -1).astype(jnp.int32)
+    return AssignResult(gt_inds, overlaps, labels)

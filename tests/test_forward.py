@@ -479,3 +479,68 @@ def test_vfnet_forward():
     dets = np.asarray(dets)
     assert dets.shape[-1] == 5
     assert np.isfinite(dets[np.asarray(valid)]).all()
+
+
+def test_fsaf_forward_and_level_selection():
+    """FSAF (reference fsaf_head.py): center-region targets + online level
+    selection — finite losses, gradients, decode; a gt must be positive at
+    exactly one level after selection."""
+    cfg = load_config(os.path.join(REPO, "configs/fsaf/fsaf_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(feat_channels=32, stacked_convs=1, num_classes=4)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"loss_cls", "loss_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, anchors, nla)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_center_region_assigner_golden():
+    """CenterRegionAssigner (reference center_region_assigner.py): centers
+    in the 0.2-shrunk box are positive, in the 0.5-shrunk ring ignored,
+    outside negative; overlapping gts resolve to the smaller one."""
+    from boosting_rcnn_tpu.ops.assigners import center_region_assign
+
+    # stride-4 square anchors centered at (2+4i, 2)
+    xs = np.arange(0, 80, 4, np.float32)
+    anchors = np.stack([xs, np.zeros_like(xs), xs + 4, np.full_like(xs, 4)],
+                       -1)
+    gts = jnp.asarray([[0.0, 0.0, 40.0, 4.0], [10.0, 0.0, 30.0, 4.0]])
+    gmask = jnp.asarray([True, True])
+    glabels = jnp.asarray([1, 2])
+    res = center_region_assign(
+        jnp.asarray(anchors), jnp.ones(len(xs), bool), gts, gmask, glabels,
+        pos_scale=0.2, ignore_scale=0.5,
+    )
+    gi = np.asarray(res.gt_inds)
+    # gt1 (smaller, area 80) center region x in [18, 22]: anchor center 18
+    # => assigned to gt 2 (index 1 -> gt_inds 2) with label 2
+    c = (anchors[:, 0] + anchors[:, 2]) / 2
+    pos1 = (c >= 16) & (c <= 24)
+    assert (gi[pos1 & (gi > 0)] == 2).all()
+    # gt0 center region x in [16, 24] — overlap resolved to smaller gt1;
+    # far outside both ignore regions => negative
+    assert (gi[c > 45] == 0).all()
+    # inside gt0's 0.5 region ([10, 30]) but outside its pos region and
+    # outside gt1's regions => ignored (-1)
+    ring = (c >= 11) & (c <= 14)
+    assert (gi[ring] == -1).all()
