@@ -726,6 +726,62 @@ def build_fsaf(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_paa(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """PAA (reference ``dense_heads/paa_head.py:47``): ATSS architecture +
+    GMM anchor reassignment + score voting."""
+    from .models.dense_heads.atss_head import ATSSConvs
+    from .models.dense_heads.paa_head import PAACfg
+    from .models.detectors.single_stage import (
+        PAADetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    ag = build_anchor_generator(head["anchor_generator"])
+    means, stds = _coder_params(head.get("bbox_coder", {}))
+    num_classes = head.get("num_classes", 80)
+    loss_cls = head.get("loss_cls", {})
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    module = ATSSConvs(
+        num_classes=num_classes,
+        num_anchors=len(ag.base_anchors[0]),
+        feat_channels=head.get("feat_channels", 256),
+        stacked_convs=head.get("stacked_convs", 4),
+        num_levels=len(ag.strides),
+        dtype=dtype,
+    )
+    hc = PAACfg(
+        num_classes=num_classes,
+        topk=train_cfg.get("topk", 9),
+        target_means=means,
+        target_stds=stds,
+        focal_gamma=loss_cls.get("gamma", 2.0),
+        focal_alpha=loss_cls.get("alpha", 0.25),
+        loss_cls_weight=loss_cls.get("loss_weight", 1.0),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.3),
+        loss_iou_weight=head.get("loss_centerness", {}).get(
+            "loss_weight", 0.5
+        ),
+        score_voting=test_cfg.get("score_voting", True),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=module)
+    return PAADetector(
+        net, hc, ag,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -767,6 +823,8 @@ def build_detector(
         return build_vfnet(model_cfg, dtype=dtype)
     if t == "FSAF":
         return build_fsaf(model_cfg, dtype=dtype)
+    if t == "PAA":
+        return build_paa(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

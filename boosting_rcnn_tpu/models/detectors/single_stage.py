@@ -769,3 +769,81 @@ class FSAFDetector:
             nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
+
+
+class PAADetector:
+    """PAA (reference ``mmdet/models/detectors/paa.py``): ATSS architecture
+    with probabilistic (GMM) anchor assignment and score voting."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, anchor_generator,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.anchor_generator = anchor_generator
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        def stride_of(s):
+            return s if isinstance(s, (int, float)) else s[0]
+
+        return [
+            (
+                math.ceil(canvas_hw[0] / stride_of(s)),
+                math.ceil(canvas_hw[1] / stride_of(s)),
+            )
+            for s in self.anchor_generator.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        fs = self.featmap_sizes(canvas_hw)
+        per = self.anchor_generator.grid_anchors(fs)
+        nla = tuple(a.shape[0] for a in per)
+        return jnp.asarray(np.concatenate(per, 0)), nla
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, iou_l = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        iou = flatten_levels(iou_l, 1)[..., 0]
+        return cls, reg, iou
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.paa_head import paa_loss
+
+        b = batch["images"].shape[0]
+        cls, reg, iou = self._flat_outs(variables, batch["images"])
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        return paa_loss(
+            self.head_cfg, cls, reg, iou, anchors, valid, num_level_anchors,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        from ..dense_heads.paa_head import paa_get_bboxes
+
+        cls, reg, iou = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, i_, shp, sf: paa_get_bboxes(
+            self.head_cfg, c_, r_, i_, anchors, num_level_anchors, shp, sf,
+            rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, iou, batch["img_shape"],
+                            batch["scale_factor"])

@@ -544,3 +544,43 @@ def test_center_region_assigner_golden():
     # outside gt1's regions => ignored (-1)
     ring = (c >= 11) & (c <= 14)
     assert (gi[ring] == -1).all()
+
+
+def test_paa_forward_and_gmm():
+    """PAA (reference paa_head.py): GMM reassignment + score voting —
+    finite losses/grads/decode; the EM helper separates bimodal data."""
+    from boosting_rcnn_tpu.models.dense_heads.paa_head import gmm_em_1d
+
+    x = jnp.asarray([0.1, 0.12, 0.08, 2.0, 2.1, 1.9])
+    v = jnp.ones(6, bool)
+    resp0, loglik, means = gmm_em_1d(x, v, 10)
+    r = np.asarray(resp0)
+    assert r[:3].all() and not r[3:].any()  # low-loss cluster separated
+
+    cfg = load_config(os.path.join(REPO, "configs/paa/paa_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(feat_channels=32, stacked_convs=1, num_classes=4)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"loss_cls", "loss_bbox", "loss_iou"}
+    for k, v_ in losses.items():
+        assert np.isfinite(float(v_)), (k, float(v_))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, anchors, nla)
+        return sum(jnp.sum(x_) for x_ in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x_).sum()) for x_ in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
