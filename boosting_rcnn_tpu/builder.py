@@ -782,6 +782,66 @@ def build_paa(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_yolof(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """YOLOF (reference ``detectors/yolof.py``)."""
+    from .models.dense_heads.yolof_head import (
+        DilatedEncoder,
+        YOLOFCfg,
+        YOLOFConvs,
+    )
+    from .models.detectors.single_stage import (
+        SingleStageNet,
+        SSTestCfg,
+        YOLOFDetector,
+    )
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    nk = model_cfg["neck"]
+    neck = DilatedEncoder(
+        out_channels=nk.get("out_channels", 512),
+        block_mid_channels=nk.get("block_mid_channels", 128),
+        num_residual_blocks=nk.get("num_residual_blocks", 4),
+        dtype=dtype,
+    )
+    h = model_cfg["bbox_head"]
+    ag = build_anchor_generator(h["anchor_generator"])
+    means, stds = _coder_params(h.get("bbox_coder", {}))
+    num_classes = h.get("num_classes", 80)
+    head = YOLOFConvs(
+        num_classes=num_classes,
+        num_anchors=len(ag.base_anchors[0]),
+        feat_channels=nk.get("out_channels", 512),
+        num_cls_convs=h.get("num_cls_convs", 2),
+        num_reg_convs=h.get("num_reg_convs", 4),
+        dtype=dtype,
+    )
+    assigner = train_cfg.get("assigner", {})
+    cfg = YOLOFCfg(
+        num_classes=num_classes,
+        target_means=means,
+        target_stds=stds,
+        match_times=assigner.get("match_times", 4),
+        pos_ignore_thr=assigner.get("pos_ignore_thr", 0.15),
+        neg_ignore_thr=assigner.get("neg_ignore_thr", 0.7),
+        loss_cls_weight=h.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=h.get("loss_bbox", {}).get("loss_weight", 1.0),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=head)
+    return YOLOFDetector(
+        net, cfg, ag,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -825,6 +885,8 @@ def build_detector(
         return build_fsaf(model_cfg, dtype=dtype)
     if t == "PAA":
         return build_paa(model_cfg, dtype=dtype)
+    if t == "YOLOF":
+        return build_yolof(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

@@ -847,3 +847,71 @@ class PAADetector:
         )
         return jax.vmap(fn)(cls, reg, iou, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class YOLOFDetector:
+    """YOLOF (reference ``mmdet/models/detectors/yolof.py``): single C5
+    level through a DilatedEncoder, uniform matching."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, anchor_generator,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.anchor_generator = anchor_generator
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [(math.ceil(canvas_hw[0] / 32), math.ceil(canvas_hw[1] / 32))]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        fs = self.featmap_sizes(canvas_hw)
+        per = self.anchor_generator.grid_anchors(fs)
+        nla = tuple(a.shape[0] for a in per)
+        return jnp.asarray(np.concatenate(per, 0)), nla
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        return cls, reg
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.yolof_head import yolof_loss
+
+        b = batch["images"].shape[0]
+        cls, reg = self._flat_outs(variables, batch["images"])
+        valid = (
+            anchor_valid
+            if anchor_valid is not None
+            else jnp.ones((b, anchors.shape[0]), bool)
+        )
+        return yolof_loss(
+            self.head_cfg, cls, reg, anchors, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        from ..dense_heads.yolof_head import yolof_get_bboxes
+
+        cls, reg = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: yolof_get_bboxes(
+            self.head_cfg, c_, r_, anchors, shp, sf, rescale,
+            nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"],
+                            batch["scale_factor"])

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .box_ops import bbox_overlaps
 
-__all__ = ["AssignResult", "max_iou_assign", "atss_assign", "center_region_assign"]
+__all__ = ["AssignResult", "max_iou_assign", "atss_assign", "center_region_assign", "uniform_assign"]
 
 
 class AssignResult(NamedTuple):
@@ -323,3 +323,78 @@ def center_region_assign(
     else:
         labels = jnp.where(has_pos, gt_labels[best_gt], -1).astype(jnp.int32)
     return AssignResult(gt_inds, overlaps, labels)
+
+
+def uniform_assign(
+    pred_boxes: jnp.ndarray,  # (A, 4) decoded predictions
+    anchors: jnp.ndarray,  # (A, 4)
+    valid: jnp.ndarray,  # (A,)
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_mask: jnp.ndarray,  # (G,)
+    gt_labels: Optional[jnp.ndarray] = None,
+    match_times: int = 4,
+    pos_ignore_thr: float = 0.15,
+    neg_ignore_thr: float = 0.7,
+) -> AssignResult:
+    """UniformAssigner (reference ``uniform_assigner.py``, YOLOF): each gt
+    takes its ``match_times`` closest anchors AND closest predictions by
+    cxcywh L1 distance; positives with anchor-IoU < ``pos_ignore_thr``
+    are ignored, negatives whose prediction-IoU exceeds
+    ``neg_ignore_thr`` are ignored.  Later gts overwrite earlier (torch
+    scatter semantics)."""
+    a = anchors.shape[0]
+    g = gt_bboxes.shape[0]
+
+    def cxcywh(b):
+        return jnp.stack(
+            [
+                (b[:, 0] + b[:, 2]) * 0.5, (b[:, 1] + b[:, 3]) * 0.5,
+                b[:, 2] - b[:, 0], b[:, 3] - b[:, 1],
+            ],
+            axis=-1,
+        )
+
+    pb = cxcywh(pred_boxes)
+    ab = cxcywh(anchors)
+    gb = cxcywh(gt_bboxes)
+    big = jnp.float32(1e12)
+    cost_pred = jnp.sum(jnp.abs(pb[:, None] - gb[None]), axis=-1)  # (A, G)
+    cost_anchor = jnp.sum(jnp.abs(ab[:, None] - gb[None]), axis=-1)
+    cost_pred = jnp.where(valid[:, None], cost_pred, big)
+    cost_anchor = jnp.where(valid[:, None], cost_anchor, big)
+
+    k = min(match_times, a)
+    _, idx_p = jax.lax.top_k(-cost_pred.T, k)  # (G, k) closest preds
+    _, idx_a = jax.lax.top_k(-cost_anchor.T, k)
+    idxs = jnp.concatenate([idx_p, idx_a], axis=1)  # (G, 2k)
+
+    pred_iou = bbox_overlaps(pred_boxes, gt_bboxes)  # (A, G)
+    pred_iou = jnp.where(gt_mask[None, :], pred_iou, 0.0)
+    anchor_iou = jnp.where(
+        gt_mask[None, :], bbox_overlaps(anchors, gt_bboxes), 0.0
+    )
+
+    assigned = jnp.zeros((a,), jnp.int32)
+    # negatives whose best prediction IoU is high -> ignore
+    assigned = jnp.where(jnp.max(pred_iou, axis=1) > neg_ignore_thr, -1,
+                         assigned)
+    # scatter positives gt by gt (later gts overwrite, like torch)
+    gt_ids = jnp.broadcast_to(jnp.arange(g)[:, None], idxs.shape)
+    flat_idx = idxs.reshape(-1)
+    flat_gt = gt_ids.reshape(-1)
+    flat_iou = anchor_iou[flat_idx, flat_gt]
+    keep = (flat_iou >= pos_ignore_thr) & gt_mask[flat_gt]
+    code = jnp.where(keep, flat_gt + 1, -1)
+    code = jnp.where(gt_mask[flat_gt], code, 0)  # padded gts: no-op later
+    # sequential overwrite via scatter (later entries win)
+    upd = jnp.where(gt_mask[flat_gt], code, assigned[flat_idx])
+    assigned = assigned.at[flat_idx].set(upd)
+    assigned = jnp.where(valid, assigned, -1)
+
+    max_ov = jnp.max(anchor_iou, axis=1)
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(jnp.int32)
+    else:
+        labels = jnp.full((a,), -1, jnp.int32)
+    return AssignResult(assigned, max_ov, labels)

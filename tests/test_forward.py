@@ -584,3 +584,65 @@ def test_paa_forward_and_gmm():
 
     dets, labels, valid = det.predict(variables, batch, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_yolof_forward():
+    """YOLOF (reference yolof_head.py): single-level dilated encoder +
+    implicit objectness + uniform matching — losses/grads/decode."""
+    cfg = load_config(
+        os.path.join(REPO, "configs/yolof/yolof_r50_c5_8x8_1x_coco.py")
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(out_channels=32, block_mid_channels=8)
+    mc["bbox_head"].update(num_classes=4)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    assert variables.get("batch_stats"), "YOLOF carries live BN"
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"loss_cls", "loss_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, anchors, nla)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_uniform_assigner_golden():
+    """UniformAssigner (reference uniform_assigner.py): each gt takes its
+    match_times closest anchors + closest predictions; low-anchor-IoU
+    positives are ignored; high-pred-IoU negatives are ignored."""
+    from boosting_rcnn_tpu.ops.assigners import uniform_assign
+
+    anchors = jnp.asarray(
+        [[0.0, 0, 10, 10], [20, 0, 30, 10], [100, 100, 110, 110],
+         [0, 0, 64, 64]]
+    )
+    preds = jnp.asarray(
+        [[1.0, 1, 11, 11], [21, 0, 31, 10], [100, 100, 110, 110],
+         [0, 0, 60, 60]]
+    )
+    gts = jnp.asarray([[0.0, 0, 12, 12]])
+    res = uniform_assign(
+        preds, anchors, jnp.ones(4, bool), gts, jnp.asarray([True]),
+        jnp.asarray([3]), match_times=1, pos_ignore_thr=0.15,
+        neg_ignore_thr=0.7,
+    )
+    gi = np.asarray(res.gt_inds)
+    # anchor 0 is both the closest anchor and closest pred with IoU > 0.15
+    assert gi[0] == 1 and np.asarray(res.labels)[0] == 3
+    # anchor 2 is far: plain negative
+    assert gi[2] == 0
