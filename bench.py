@@ -78,17 +78,18 @@ def main():
         for _ in range(warmup - 1):
             state, m = tstep(state, tb, rng)
         jax.block_until_ready((state, m))
-        # block per step: through the remote-TPU relay, blocking only on the
-        # scalar metrics under-reports (measured 100x-off once)
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            state, m = tstep(state, tb, rng)
-            jax.block_until_ready((state, m))
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        med = times[len(times) // 2]
-        return batch / med
+        # chained steady-state measurement: N steps serialized by the state
+        # data dependency, ONE final sync.  (Per-step block_until_ready
+        # through the remote relay adds ~30-50ms of per-buffer sync artifact
+        # per step — measured 230ms/step blocked vs 200ms/step chained.)
+        n = max(iters, 10)
+        t0 = time.perf_counter()
+        s_ = state
+        for _ in range(n):
+            s_, m = tstep(s_, tb, rng)
+        jax.block_until_ready((s_, m))
+        dt = time.perf_counter() - t0
+        return batch * n / dt
 
     if mode == "train":
         img_per_s = measure_train()

@@ -842,6 +842,37 @@ def build_yolof(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_panoptic_fpn(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """PanopticFPN (reference ``detectors/panoptic_fpn.py``): Mask R-CNN +
+    the summed conv-upsample semantic head."""
+    from .models.detectors.panoptic_fpn import PanopticFPNDetector
+    from .models.seg_heads.panoptic_fpn_head import PanopticFPNHead
+
+    cfg2 = copy.deepcopy(model_cfg)
+    cfg2["type"] = "MaskRCNN"
+    cfg2.pop("semantic_head", None)
+    base = build_detector(cfg2, dtype=dtype)
+    sh = model_cfg.get("semantic_head", {}) or {}
+    num_things = sh.get("num_things_classes", 80)
+    num_stuff = sh.get("num_stuff_classes", 53)
+    head = PanopticFPNHead(
+        num_classes=num_stuff + 1,
+        inner_channels=sh.get("inner_channels", 128),
+        start_level=sh.get("start_level", 0),
+        end_level=sh.get("end_level", 4),
+        dtype=dtype,
+    )
+    det = PanopticFPNDetector.__new__(PanopticFPNDetector)
+    det.__dict__.update(base.__dict__)
+    det.semantic_head = head
+    det.num_things = num_things
+    det.num_stuff = num_stuff
+    det.seg_loss_weight = sh.get("loss_seg", {}).get("loss_weight", 0.5)
+    return det
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -887,6 +918,8 @@ def build_detector(
         return build_paa(model_cfg, dtype=dtype)
     if t == "YOLOF":
         return build_yolof(model_cfg, dtype=dtype)
+    if t == "PanopticFPN":
+        return build_panoptic_fpn(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

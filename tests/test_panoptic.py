@@ -1,0 +1,175 @@
+"""Panoptic stack (reference ``coco_panoptic.py`` + ``panoptic_fpn.py`` +
+``heuristic_fusion_head.py`` + panopticapi PQ): dataset round-trip on a
+synthetic panoptic fixture, fusion golden, PQ golden, and the PanopticFPN
+detector forward/train/predict."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from boosting_rcnn_tpu.core.evaluation.panoptic import pq_compute  # noqa: E402
+from boosting_rcnn_tpu.core.post_processing.panoptic_fusion import (  # noqa: E402
+    INSTANCE_OFFSET,
+    heuristic_fuse,
+)
+
+
+def test_heuristic_fusion_golden():
+    """Two instances (one mostly occluded -> dropped), stuff fill, tiny
+    stuff pruned to void."""
+    h = w = 64
+    num_things = 2
+    m1 = np.zeros((h, w), bool)
+    m1[:32, :32] = True
+    m2 = np.zeros((h, w), bool)  # ~same region, lower score -> dropped
+    m2[2:32, 2:32] = True
+    m3 = np.zeros((h, w), bool)
+    m3[40:, 40:] = True
+    masks = np.stack([m1, m2, m3])
+    scores = np.asarray([0.9, 0.5, 0.8])
+    labels = np.asarray([0, 1, 1])
+    # stuff logits: channel 0 (stuff A) everywhere, channel 1 = things
+    seg = np.zeros((h, w, 2), np.float32)
+    seg[..., 0] = 1.0
+    pan = heuristic_fuse(scores, labels, masks, seg, num_things,
+                         stuff_area_limit=10)
+    # instance 1 (label 0) pasted with instance id 1
+    assert (pan[:32, :32] == 0 + 1 * INSTANCE_OFFSET).all()
+    # occluded m2 dropped; m3 becomes the second kept instance
+    assert (pan[45:, 45:] == 1 + 2 * INSTANCE_OFFSET).all()
+    # background = stuff class 0 shifted behind things
+    assert pan[35, 0] == num_things + 0
+
+
+def test_pq_golden():
+    """Perfect prediction -> PQ 1; half-overlap (IoU ~0.5) -> no match."""
+    num_classes, void = 3, 3
+    gt = np.full((32, 32), 2, np.int64)  # stuff class 2
+    gt[:16, :16] = 0 + 1 * INSTANCE_OFFSET  # thing instance
+    assert pq_compute([gt.copy()], [gt], num_classes, void)["PQ"] == (
+        pytest.approx(1.0)
+    )
+    pred = np.full((32, 32), 2, np.int64)
+    pred[:8, :16] = 0 + 1 * INSTANCE_OFFSET  # half the gt instance
+    r = pq_compute([pred], [gt], num_classes, void)
+    # instance: IoU 0.5 (not > 0.5) -> FN + FP; stuff matches
+    assert r["PQ"] < 1.0
+    # class 2 (stuff) still matches well
+    assert r["num_present_classes"] == 2
+
+
+@pytest.fixture
+def fake_panoptic(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    h, w = 64, 96
+    ids = np.zeros((h, w), np.int64)
+    ids[5:25, 5:35] = 7      # thing (cat id 1)
+    ids[30:60, 10:80] = 9    # stuff (cat id 100)
+    png = np.stack(
+        [ids % 256, (ids // 256) % 256, ids // (256 * 256)], axis=-1
+    ).astype(np.uint8)[:, :, ::-1]
+    os.makedirs(tmp_path / "pan", exist_ok=True)
+    cv2.imwrite(str(tmp_path / "pan" / "a.png"), png)
+    img = (np.random.RandomState(0).rand(h, w, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "a.jpg"), img)
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": w, "height": h}],
+        "annotations": [
+            {
+                "image_id": 1,
+                "file_name": "a.png",
+                "segments_info": [
+                    {"id": 7, "category_id": 1, "iscrowd": 0,
+                     "bbox": [5, 5, 30, 20], "area": 600},
+                    {"id": 9, "category_id": 100, "iscrowd": 0,
+                     "bbox": [10, 30, 70, 30], "area": 2100},
+                ],
+            }
+        ],
+        "categories": [
+            {"id": 1, "name": "thing_a", "isthing": 1},
+            {"id": 100, "name": "stuff_b", "isthing": 0},
+        ],
+    }
+    p = tmp_path / "panoptic.json"
+    p.write_text(json.dumps(ann))
+    return str(p), str(tmp_path)
+
+
+def test_panoptic_dataset_round_trip(fake_panoptic):
+    from boosting_rcnn_tpu.data.coco_panoptic import CocoPanopticDataset
+
+    ann, root = fake_panoptic
+    ds = CocoPanopticDataset(
+        ann_file=ann, img_prefix=root, seg_prefix=os.path.join(root, "pan")
+    )
+    assert ds.num_things == 1 and ds.num_stuff == 1
+    info = ds.data_infos[0]
+    np.testing.assert_allclose(info["bboxes"], [[5, 5, 35, 25]])
+    sem = ds.semantic_map(0)
+    assert sem[10, 10] == 0          # thing class 0
+    assert sem[40, 40] == 1          # stuff -> num_things + 0
+    assert sem[0, 0] == 255          # void
+    # perfect prediction gives PQ 1
+    gt_map = ds.gt_pan_map(0)
+    assert ds.evaluate_panoptic([gt_map])["PQ"] == pytest.approx(1.0)
+
+
+def test_panoptic_fpn_forward_train_and_test():
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    cfg = load_config(
+        os.path.join(
+            REPO, "configs/panoptic_fpn/panoptic_fpn_r50_fpn_1x_coco.py"
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=16)
+    mc["rpn_head"].update(feat_channels=16)
+    mc["roi_head"]["bbox_head"].update(fc_out_channels=16, num_classes=2)
+    mc["roi_head"]["mask_head"].update(num_classes=2, conv_out_channels=8,
+                                       num_convs=1)
+    mc["semantic_head"].update(
+        num_things_classes=2, num_stuff_classes=3, inner_channels=8
+    )
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=64, max_per_img=32)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 8
+    mc["test_cfg"]["rpn"].update(nms_pre=48, max_per_img=8)
+    det = build_detector(mc)
+
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    assert "semantic_head" in variables["params"]
+    anchors, nla = det.anchors_for(canvas)
+    loader = FakeDetLoader(batch_size=1, canvas=canvas, num_classes=2,
+                           num_batches=1, with_masks=True)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rs = np.random.RandomState(0)
+    batch["gt_semantic_seg"] = jnp.asarray(
+        rs.randint(0, 5, size=(1, *canvas)), jnp.int32
+    )
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_seg" in losses and "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    out = det.predict(variables, batch, anchors, nla)
+    dets, labels, valid, masks, seg_logits = out
+    sl = np.asarray(seg_logits)
+    assert sl.shape[-1] == 3 + 1  # num_stuff + merged-things channel
+    assert sl.shape[1] == canvas[0] // 4  # P2 scale
+    assert np.isfinite(sl).all()
