@@ -16,7 +16,15 @@ import jax.numpy as jnp
 
 from .assigners import AssignResult
 
-__all__ = ["SampleResult", "random_sample", "pseudo_sample"]
+__all__ = [
+    "SampleResult",
+    "random_sample",
+    "pseudo_sample",
+    "ohem_sample",
+    "instance_balanced_sample",
+    "iou_balanced_neg_sample",
+    "score_hlr_sample",
+]
 
 BIG = jnp.int32(2**30)
 
@@ -152,3 +160,138 @@ def ohem_sample(
     )
     num_neg = jnp.sum(sel_neg.astype(jnp.int32))
     return SampleResult(inds, is_pos, valid, gt_inds, num_pos, num_neg)
+
+
+def _assemble(assign, sel_pos, pos_key, sel_neg, neg_key, num):
+    """Common slot assembly: positives first (by pos_key), then negatives."""
+    num_pos = jnp.sum(sel_pos.astype(jnp.int32))
+    num_neg = jnp.sum(sel_neg.astype(jnp.int32))
+    pos_rank = _rank_within(sel_pos, pos_key)
+    neg_rank = _rank_within(sel_neg, neg_key)
+    key = jnp.where(
+        sel_pos, pos_rank, jnp.where(sel_neg, num_pos + neg_rank, BIG)
+    )
+    order = jnp.argsort(key)[:num]
+    slot_key = key[order]
+    valid = slot_key < BIG
+    inds = jnp.where(valid, order, 0).astype(jnp.int32)
+    is_pos = valid & (slot_key < num_pos)
+    gt_inds = jnp.where(
+        is_pos, jnp.asarray(assign.gt_inds)[inds] - 1, 0
+    ).astype(jnp.int32)
+    return SampleResult(inds, is_pos, valid, gt_inds, num_pos, num_neg)
+
+
+def instance_balanced_sample(
+    rng: jax.Array,
+    assign: AssignResult,
+    cand_valid: jnp.ndarray,
+    num: int = 512,
+    pos_fraction: float = 0.25,
+    max_gt: int = 100,
+) -> SampleResult:
+    """InstanceBalancedPosSampler (reference
+    ``samplers/instance_balanced_pos_sampler.py``): positives are drawn
+    round-robin across gt instances so no single instance dominates;
+    negatives are uniform random."""
+    n = assign.gt_inds.shape[0]
+    num_expected_pos = int(num * pos_fraction)
+    pos_mask = (assign.gt_inds > 0) & cand_valid
+    neg_mask = (assign.gt_inds == 0) & cand_valid
+    kp, kn = jax.random.split(rng)
+    u = jax.random.uniform(kp, (n,))
+    # within-instance random rank
+    inst = jnp.clip(assign.gt_inds - 1, 0, max_gt - 1)
+    within = jnp.zeros((n,), jnp.int32)
+    for g in range(max_gt):
+        m = pos_mask & (inst == g)
+        within = jnp.where(m, _rank_within(m, u), within)
+    # round-robin key: first everyone's rank-0 sample, then rank-1, ...
+    rr_key = within.astype(jnp.float32) * max_gt + inst.astype(jnp.float32)
+    rr_rank = _rank_within(pos_mask, rr_key)
+    sel_pos = pos_mask & (rr_rank < num_expected_pos)
+    num_pos = jnp.sum(sel_pos.astype(jnp.int32))
+    neg_rank = _rank_within(neg_mask, jax.random.uniform(kn, (n,)))
+    sel_neg = neg_mask & (neg_rank < num - num_pos)
+    return _assemble(assign, sel_pos, rr_key, sel_neg,
+                     jax.random.uniform(kn, (n,)), num)
+
+
+def iou_balanced_neg_sample(
+    rng: jax.Array,
+    assign: AssignResult,
+    cand_valid: jnp.ndarray,
+    num: int = 512,
+    pos_fraction: float = 0.25,
+    num_bins: int = 3,
+    floor_thr: float = 0.0,
+    ceil_thr: float = 0.5,
+) -> SampleResult:
+    """IoUBalancedNegSampler (reference
+    ``samplers/iou_balanced_neg_sampler.py``, Libra R-CNN): negatives are
+    drawn evenly from IoU bins in [floor_thr, ceil_thr) so hard negatives
+    (high-IoU background) are not swamped by easy ones."""
+    n = assign.gt_inds.shape[0]
+    num_expected_pos = int(num * pos_fraction)
+    pos_mask = (assign.gt_inds > 0) & cand_valid
+    neg_mask = (assign.gt_inds == 0) & cand_valid
+    kp, kn = jax.random.split(rng)
+    pos_rank = _rank_within(pos_mask, jax.random.uniform(kp, (n,)))
+    sel_pos = pos_mask & (pos_rank < num_expected_pos)
+    num_pos = jnp.sum(sel_pos.astype(jnp.int32))
+
+    iou = jnp.clip(assign.max_overlaps, floor_thr, ceil_thr - 1e-6)
+    binw = (ceil_thr - floor_thr) / num_bins
+    bin_id = ((iou - floor_thr) / binw).astype(jnp.int32)
+    u = jax.random.uniform(kn, (n,))
+    within = jnp.zeros((n,), jnp.int32)
+    for b in range(num_bins):
+        m = neg_mask & (bin_id == b)
+        within = jnp.where(m, _rank_within(m, u), within)
+    # round-robin across bins: one from each bin in turn
+    key = within.astype(jnp.float32) * num_bins + bin_id.astype(jnp.float32)
+    neg_rank = _rank_within(neg_mask, key)
+    sel_neg = neg_mask & (neg_rank < num - num_pos)
+    return _assemble(assign, sel_pos, jax.random.uniform(kp, (n,)),
+                     sel_neg, key, num)
+
+
+def score_hlr_sample(
+    rng: jax.Array,
+    assign: AssignResult,
+    cand_valid: jnp.ndarray,
+    neg_scores: jnp.ndarray,  # (N,) max foreground prob per candidate
+    num: int = 512,
+    pos_fraction: float = 0.25,
+    score_fraction: float = 0.5,
+) -> SampleResult:
+    """ScoreHLRSampler (reference ``samplers/score_hlr_sampler.py``,
+    simplified to its sampling rule): a ``score_fraction`` share of the
+    negatives are the highest-scoring (hardest) ones, the rest uniform
+    random — the hierarchical local-rank loss reweighting stays with the
+    consumer."""
+    n = assign.gt_inds.shape[0]
+    num_expected_pos = int(num * pos_fraction)
+    pos_mask = (assign.gt_inds > 0) & cand_valid
+    neg_mask = (assign.gt_inds == 0) & cand_valid
+    kp, kn = jax.random.split(rng)
+    pos_rank = _rank_within(pos_mask, jax.random.uniform(kp, (n,)))
+    sel_pos = pos_mask & (pos_rank < num_expected_pos)
+    num_pos = jnp.sum(sel_pos.astype(jnp.int32))
+    num_neg_expected = num - num_pos
+    n_hard = (num_neg_expected.astype(jnp.float32) * score_fraction).astype(
+        jnp.int32
+    )
+    hard_rank = _rank_within(neg_mask, -neg_scores)
+    sel_hard = neg_mask & (hard_rank < n_hard)
+    rand_rank = _rank_within(
+        neg_mask & ~sel_hard, jax.random.uniform(kn, (n,))
+    )
+    sel_rand = neg_mask & ~sel_hard & (
+        rand_rank < (num_neg_expected - n_hard)
+    )
+    sel_neg = sel_hard | sel_rand
+    neg_key = jnp.where(sel_hard, hard_rank.astype(jnp.float32),
+                        1e6 + rand_rank.astype(jnp.float32))
+    return _assemble(assign, sel_pos, jax.random.uniform(kp, (n,)),
+                     sel_neg, neg_key, num)

@@ -226,3 +226,71 @@ def test_sim_ota_matches_reference_algorithm(rng):
         np.asarray(matched_iou)[exp_pos],
         ious[np.arange(n), exp_g][exp_pos], rtol=1e-5,
     )
+
+
+def test_instance_balanced_sampler_spreads_instances():
+    """InstanceBalancedPosSampler: with more positives than slots, every
+    instance contributes before any instance gets a second slot."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.assigners import AssignResult
+    from boosting_rcnn_tpu.ops.samplers import instance_balanced_sample
+
+    # inst 1 has 8 candidates, inst 2 has 2; 4 pos slots
+    gt_inds = jnp.asarray([1] * 8 + [2] * 2 + [0] * 10, jnp.int32)
+    assign = AssignResult(gt_inds, jnp.zeros(20), jnp.zeros(20, jnp.int32))
+    s = instance_balanced_sample(
+        jax.random.PRNGKey(0), assign, jnp.ones(20, bool),
+        num=8, pos_fraction=0.5, max_gt=4,
+    )
+    picked_inst = np.asarray(s.gt_inds)[np.asarray(s.is_pos)]
+    # both instances represented, neither exceeds 1 + ceil
+    assert set(picked_inst.tolist()) == {0, 1}
+    assert (picked_inst == 1).sum() == 2  # inst 2 only has 2 candidates
+
+
+def test_iou_balanced_neg_sampler_covers_bins():
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.assigners import AssignResult
+    from boosting_rcnn_tpu.ops.samplers import iou_balanced_neg_sample
+
+    n = 30
+    ious = np.concatenate([
+        np.full(10, 0.05), np.full(10, 0.2), np.full(10, 0.4),
+    ]).astype(np.float32)
+    assign = AssignResult(
+        jnp.zeros(n, jnp.int32), jnp.asarray(ious), jnp.zeros(n, jnp.int32)
+    )
+    s = iou_balanced_neg_sample(
+        jax.random.PRNGKey(0), assign, jnp.ones(n, bool),
+        num=6, pos_fraction=0.25, num_bins=3, ceil_thr=0.5,
+    )
+    sel = np.asarray(s.inds)[np.asarray(s.valid) & ~np.asarray(s.is_pos)]
+    bins = np.digitize(ious[sel], [0.5 / 3, 1.0 / 3])
+    # all three IoU bins represented (round-robin draw)
+    assert set(bins.tolist()) == {0, 1, 2}
+
+
+def test_score_hlr_sampler_prefers_hard_negatives():
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.assigners import AssignResult
+    from boosting_rcnn_tpu.ops.samplers import score_hlr_sample
+
+    n = 20
+    scores = np.zeros(n, np.float32)
+    scores[:4] = [0.9, 0.8, 0.7, 0.6]  # hard negatives
+    assign = AssignResult(
+        jnp.zeros(n, jnp.int32), jnp.zeros(n), jnp.zeros(n, jnp.int32)
+    )
+    s = score_hlr_sample(
+        jax.random.PRNGKey(0), assign, jnp.ones(n, bool),
+        jnp.asarray(scores), num=8, pos_fraction=0.25, score_fraction=0.5,
+    )
+    sel = set(np.asarray(s.inds)[np.asarray(s.valid)].tolist())
+    # the 4 hardest negatives are all selected (score_fraction 0.5 of 8)
+    assert {0, 1, 2, 3} <= sel
