@@ -873,6 +873,64 @@ def build_panoptic_fpn(model_cfg: Dict[str, Any], dtype=jnp.float32):
     return det
 
 
+
+
+def build_reppoints(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """RepPoints (reference ``dense_heads/reppoints_head.py:16``)."""
+    from .models.dense_heads.reppoints_head import (
+        RepPointsCfg,
+        RepPointsConvs,
+    )
+    from .models.detectors.single_stage import (
+        RepPointsDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    h = model_cfg["bbox_head"]
+    strides = tuple(h.get("point_strides", (8, 16, 32, 64, 128)))
+    head = RepPointsConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=h.get("feat_channels", 256),
+        point_feat_channels=h.get("point_feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 3),
+        num_points=h.get("num_points", 9),
+        gradient_mul=h.get("gradient_mul", 0.1),
+        num_levels=len(strides),
+        dtype=dtype,
+    )
+    init_assigner = (train_cfg.get("init") or {}).get("assigner", {})
+    refine_assigner = (train_cfg.get("refine") or {}).get("assigner", {})
+    cfg = RepPointsCfg(
+        num_classes=h.get("num_classes", 80),
+        num_points=h.get("num_points", 9),
+        strides=strides,
+        point_base_scale=h.get("point_base_scale", 4),
+        assigner_scale=init_assigner.get("scale", 4),
+        init_pos_num=init_assigner.get("pos_num", 1),
+        refine_pos_iou=refine_assigner.get("pos_iou_thr", 0.5),
+        loss_cls_weight=h.get("loss_cls", {}).get("loss_weight", 1.0),
+        init_loss_weight=h.get("loss_bbox_init", {}).get("loss_weight", 0.5),
+        refine_loss_weight=h.get("loss_bbox_refine", {}).get(
+            "loss_weight", 1.0
+        ),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=head)
+    return RepPointsDetector(
+        net, cfg,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -920,6 +978,8 @@ def build_detector(
         return build_yolof(model_cfg, dtype=dtype)
     if t == "PanopticFPN":
         return build_panoptic_fpn(model_cfg, dtype=dtype)
+    if t == "RepPointsDetector" or t == "RepPoints":
+        return build_reppoints(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)

@@ -915,3 +915,72 @@ class YOLOFDetector:
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class RepPointsDetector:
+    """RepPoints (reference ``mmdet/models/detectors/reppoints_detector.py``)."""
+
+    def __init__(self, net: SingleStageNet, head_cfg,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.fcos_head import fcos_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pts, strides, _, _ = fcos_points(fs, self.head_cfg.strides)
+        nlp = tuple(h * w for h, w in fs)
+        pack = jnp.concatenate(
+            [jnp.asarray(pts), jnp.asarray(strides)[:, None]], axis=-1
+        )  # (P, 3): x, y, stride
+        return pack, nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, init_l, refine_l, moment = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        n2 = self.head_cfg.num_points * 2
+        init = flatten_levels(init_l, n2)
+        refine = flatten_levels(refine_l, n2)
+        return cls, init, refine, moment
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.reppoints_head import reppoints_loss
+
+        cls, init, refine, moment = self._flat_outs(
+            variables, batch["images"]
+        )
+        return reppoints_loss(
+            self.head_cfg, cls, init, refine, moment, pack,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ..dense_heads.reppoints_head import reppoints_get_bboxes
+
+        cls, _, refine, moment = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: reppoints_get_bboxes(
+            self.head_cfg, c_, r_, moment, pack, num_level_points, shp, sf,
+            rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, refine, batch["img_shape"],
+                            batch["scale_factor"])

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .box_ops import bbox_overlaps
 
-__all__ = ["AssignResult", "max_iou_assign", "atss_assign", "center_region_assign", "uniform_assign"]
+__all__ = ["AssignResult", "max_iou_assign", "atss_assign", "center_region_assign", "uniform_assign", "point_assign"]
 
 
 class AssignResult(NamedTuple):
@@ -398,3 +398,53 @@ def uniform_assign(
     else:
         labels = jnp.full((a,), -1, jnp.int32)
     return AssignResult(assigned, max_ov, labels)
+
+
+def point_assign(
+    points: jnp.ndarray,  # (P, 3): x, y, stride
+    gt_bboxes: jnp.ndarray,  # (G, 4)
+    gt_mask: jnp.ndarray,  # (G,)
+    gt_labels: Optional[jnp.ndarray] = None,
+    scale: float = 4.0,
+    pos_num: int = 1,
+) -> AssignResult:
+    """PointAssigner (reference ``point_assigner.py``, RepPoints init
+    stage): each gt picks the ``pos_num`` nearest points (wh-normalised
+    distance) on its scale-matched pyramid level; a point claimed by
+    several gts goes to the closest one."""
+    p = points.shape[0]
+    g = gt_bboxes.shape[0]
+    xy = points[:, :2]
+    lvl = jnp.round(jnp.log2(jnp.maximum(points[:, 2], 1.0))).astype(jnp.int32)
+    lvl_min = jnp.min(lvl)
+    lvl_max = jnp.max(lvl)
+    gxy = (gt_bboxes[:, :2] + gt_bboxes[:, 2:]) * 0.5
+    gwh = jnp.clip(gt_bboxes[:, 2:] - gt_bboxes[:, :2], 1e-6, None)
+    glvl = (
+        (jnp.log2(gwh[:, 0] / scale) + jnp.log2(gwh[:, 1] / scale)) / 2.0
+    ).astype(jnp.int32)
+    glvl = jnp.clip(glvl, lvl_min, lvl_max)
+
+    dist = jnp.linalg.norm(
+        (xy[None, :, :] - gxy[:, None, :]) / gwh[:, None, :], axis=-1
+    )  # (G, P)
+    big = jnp.float32(1e9)
+    dist = jnp.where(
+        (lvl[None, :] == glvl[:, None]) & gt_mask[:, None], dist, big
+    )
+    k = min(pos_num, p)
+    neg_top, idx = jax.lax.top_k(-dist, k)  # (G, k) nearest
+    claim_dist = jnp.full((g, p), big)
+    claim_dist = jax.vmap(
+        lambda row, ix, vals: row.at[ix].set(vals)
+    )(claim_dist, idx, -neg_top)
+    claim_dist = jnp.where(claim_dist < big / 2, claim_dist, big)
+    best_gt = jnp.argmin(claim_dist, axis=0).astype(jnp.int32)
+    best_d = jnp.min(claim_dist, axis=0)
+    has = best_d < big / 2
+    assigned = jnp.where(has, best_gt + 1, 0).astype(jnp.int32)
+    if gt_labels is not None:
+        labels = jnp.where(has, gt_labels[best_gt], -1).astype(jnp.int32)
+    else:
+        labels = jnp.full((p,), -1, jnp.int32)
+    return AssignResult(assigned, jnp.where(has, 1.0, 0.0), labels)

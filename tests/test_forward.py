@@ -646,3 +646,56 @@ def test_uniform_assigner_golden():
     assert gi[0] == 1 and np.asarray(res.labels)[0] == 3
     # anchor 2 is far: plain negative
     assert gi[2] == 0
+
+
+def test_reppoints_forward():
+    """RepPoints (reference reppoints_head.py): two-stage point sets with
+    moment transform — losses/grads/decode; moment transform golden."""
+    from boosting_rcnn_tpu.models.dense_heads.reppoints_head import (
+        points2bbox,
+    )
+
+    # golden: 9 points on a known box; zero moment transfer -> std box
+    pts = np.stack(
+        np.meshgrid(np.asarray([10.0, 20, 30]), np.asarray([40.0, 50, 60])),
+        -1,
+    ).reshape(1, 9, 2)
+    box = np.asarray(points2bbox(jnp.asarray(pts), jnp.zeros(2), 0.01))[0]
+    # mean (20, 50), unbiased std of [10,20,30]x3 = 8.66
+    np.testing.assert_allclose(box, [20 - 8.66, 50 - 8.66, 20 + 8.66,
+                                     50 + 8.66], atol=0.01)
+
+    cfg = load_config(
+        os.path.join(
+            REPO, "configs/reppoints/reppoints_moment_r50_fpn_1x_coco.py"
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(
+        feat_channels=32, point_feat_channels=32, stacked_convs=1,
+        num_classes=4,
+    )
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    pack, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    assert set(losses) == {"loss_cls", "loss_pts_init", "loss_pts_refine"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, pack, nlp)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
