@@ -273,10 +273,8 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
     raise KeyError(t)
 
 
-def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
-    means, stds = _coder_params(cfg.get("bbox_coder", {}))
-    num_classes = cfg.get("num_classes", 80)
-    module = ConvFCBBoxHead(
+def _std_convfc_head(cfg, num_classes, dtype):
+    return ConvFCBBoxHead(
         num_classes=num_classes,
         num_shared_convs=cfg.get("num_shared_convs", 0),
         num_shared_fcs=cfg.get("num_shared_fcs", 2),
@@ -285,6 +283,25 @@ def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
         reg_class_agnostic=cfg.get("reg_class_agnostic", False),
         dtype=dtype,
     )
+
+
+def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
+    means, stds = _coder_params(cfg.get("bbox_coder", {}))
+    num_classes = cfg.get("num_classes", 80)
+    if cfg.get("type") == "DoubleConvFCBBoxHead":
+        from .models.roi_heads.bbox_head import DoubleBBoxHead
+
+        module = DoubleBBoxHead(
+            num_classes=num_classes,
+            num_convs=cfg.get("num_convs", 4),
+            num_fcs=cfg.get("num_fcs", 2),
+            conv_out_channels=cfg.get("conv_out_channels", 1024),
+            fc_out_channels=cfg.get("fc_out_channels", 1024),
+            reg_class_agnostic=cfg.get("reg_class_agnostic", False),
+            dtype=dtype,
+        )
+    else:
+        module = _std_convfc_head(cfg, num_classes, dtype)
     loss_bbox = cfg.get("loss_bbox", {"type": "L1Loss"})
     head_cfg = BBoxHeadCfg(
         num_classes=num_classes,

@@ -214,3 +214,66 @@ def bbox_head_decode(
         nms_type=nms_type,
         pre_nms_top_k=pre_nms_top_k,
     )
+
+
+class DoubleBBoxHead(nn.Module):
+    """Double-Head R-CNN bbox head (reference
+    ``bbox_heads/double_bbox_head.py``): a conv branch (BasicResBlock +
+    bottlenecks + avg-pool) regresses boxes while an fc branch classifies —
+    decoupling localisation-friendly conv features from
+    classification-friendly fc features.  Both branches read the same
+    pooled RoI features (``DoubleHeadRoIHead`` pools once)."""
+
+    num_classes: int
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        from ..layers import LiveBatchNorm
+
+        def bn(name):
+            return LiveBatchNorm(dtype=self.dtype, name=name)
+
+        r, s, _, c = x.shape
+        # --- conv (reg) branch ---
+        # BasicResBlock: 3x3(keep ch) -> 1x1(out ch) + 1x1 identity
+        y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="res_conv1")(x)
+        y = nn.relu(bn("res_bn1")(y))
+        y = nn.Conv(self.conv_out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="res_conv2")(y)
+        y = bn("res_bn2")(y)
+        idt = nn.Conv(self.conv_out_channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="res_identity")(x)
+        y = nn.relu(y + bn("res_bn_identity")(idt))
+        for i in range(self.num_convs):
+            # bottleneck: 1x1 down -> 3x3 -> 1x1 up, residual
+            mid = self.conv_out_channels // 4
+            z = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"btl{i}_conv1")(y)
+            z = nn.relu(bn(f"btl{i}_bn1")(z))
+            z = nn.Conv(mid, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name=f"btl{i}_conv2")(z)
+            z = nn.relu(bn(f"btl{i}_bn2")(z))
+            z = nn.Conv(self.conv_out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"btl{i}_conv3")(z)
+            z = bn(f"btl{i}_bn3")(z)
+            y = nn.relu(y + z)
+        y = jnp.mean(y, axis=(1, 2))  # global avg pool
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, dtype=self.dtype, name="fc_reg")(y)
+
+        # --- fc (cls) branch ---
+        f = x.reshape(r, -1)
+        for i in range(self.num_fcs):
+            f = nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                         name=f"fc_branch_{i}")(f)
+            f = nn.relu(f)
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       name="fc_cls")(f)
+        return cls, reg

@@ -699,3 +699,27 @@ def test_reppoints_forward():
 
     dets, labels, valid = det.predict(variables, batch, pack, nlp)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_double_head_rcnn_forward():
+    """Double-Head R-CNN (reference double_bbox_head.py): conv-reg /
+    fc-cls decoupled head in the standard two-stage detector."""
+    cfg = load_config(
+        os.path.join(
+            REPO, "configs/double_heads/dh_faster_rcnn_r50_fpn_1x_coco.py"
+        )
+    )
+    mc = shrink(cfg.model.to_dict())
+    mc["roi_head"]["bbox_head"].update(
+        conv_out_channels=32, fc_out_channels=32, num_classes=4
+    )
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(losses["loss_cls"]) > 0
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
