@@ -46,8 +46,10 @@ def main():
     variables = det.init(jax.random.PRNGKey(0), canvas)
     anchors, nla = det.anchors_for(canvas)
 
+    from boosting_rcnn_tpu.utils.transfer import chunked_device_put
+
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.rand(batch, *canvas, 3), jnp.float32)
+    images = chunked_device_put(rs.rand(batch, *canvas, 3).astype(np.float32))
     img_shape = jnp.asarray([[canvas[0], canvas[1] - 11]] * batch, jnp.float32)
     scale_factor = jnp.ones((batch, 4), jnp.float32)
 
@@ -70,7 +72,7 @@ def main():
         )
         tb = next(loader.epoch_iter(0))
         tb.pop("ori_shape")
-        tb = {k: jnp.asarray(v_) for k, v_ in tb.items()}
+        tb = {k: chunked_device_put(v_) for k, v_ in tb.items()}
         tstep = jax.jit(make_train_step(det, anchors, nla))
         rng = jax.random.PRNGKey(0)
         state, m = tstep(state, tb, rng)

@@ -36,7 +36,13 @@ def run_eval(
     n_batches = 0
     for batch in loader.epoch_iter(0):
         batch.pop("ori_shape", None)
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "gt_mask_crops"}
+        from ..utils.transfer import chunked_device_put
+
+        jb = {
+            k: chunked_device_put(v)
+            for k, v in batch.items()
+            if k != "gt_mask_crops"
+        }
         out = predict(variables, jb)
         dets, labels, valid = map(np.asarray, out[:3])
         masks = np.asarray(out[3]) if len(out) > 3 else None

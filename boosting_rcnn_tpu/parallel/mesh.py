@@ -34,9 +34,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Place a host-global numpy batch onto the mesh, batch axis sharded."""
+    """Place a host-global numpy batch onto the mesh, batch axis sharded.
+
+    Uses chunked transfers: the remote-TPU relay aborts on single
+    host->device copies over ~128 MiB (see ``utils/transfer.py``)."""
+    from ..utils.transfer import chunked_device_put
+
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: chunked_device_put(v, sharding=sh) for k, v in batch.items()}
 
 
 def replicate_state(mesh: Mesh, state):
