@@ -948,6 +948,46 @@ def build_reppoints(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """Deformable DETR (reference ``detectors/deformable_detr.py``)."""
+    from .models.detectors.deformable_detr import (
+        DeformableDETRCfg,
+        DeformableDETRDetector,
+        DeformableDETRNet,
+    )
+
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    h = model_cfg["bbox_head"]
+    num_classes = h.get("num_classes", 80)
+    tr = h.get("transformer", {}) or {}
+    net = DeformableDETRNet(
+        backbone=backbone,
+        neck=neck,
+        num_classes=num_classes,
+        embed_dims=h.get("embed_dims", 256),
+        num_queries=h.get("num_query", 300),
+        num_heads=tr.get("num_heads", 8),
+        num_points=tr.get("num_points", 4),
+        num_encoder_layers=tr.get("num_encoder_layers", 6),
+        num_decoder_layers=tr.get("num_decoder_layers", 6),
+        ffn_dims=tr.get("feedforward_channels", 1024),
+        dtype=dtype,
+    )
+    cfg = DeformableDETRCfg(
+        num_classes=num_classes,
+        cls_weight=h.get("loss_cls", {}).get("loss_weight", 2.0),
+        bbox_weight=h.get("loss_bbox", {}).get("loss_weight", 5.0),
+        iou_weight=h.get("loss_iou", {}).get("loss_weight", 2.0),
+    )
+    test_cfg = model_cfg.get("test_cfg") or {}
+    return DeformableDETRDetector(
+        net, cfg, max_per_img=test_cfg.get("max_per_img", 100)
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -965,6 +1005,8 @@ def build_detector(
         return build_yolo(model_cfg, dtype=dtype)
     if t == "DETR":
         return build_detr(model_cfg, dtype=dtype)
+    if t == "DeformableDETR":
+        return build_deformable_detr(model_cfg, dtype=dtype)
     if t == "CenterNet":
         return build_centernet(model_cfg, dtype=dtype)
     if t == "SparseRCNN":

@@ -723,3 +723,60 @@ def test_double_head_rcnn_forward():
     assert float(losses["loss_cls"]) > 0
     dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_deformable_detr_forward():
+    """Deformable DETR (reference deformable_detr.py + MSDeformAttn):
+    per-layer aux losses, gradients, decode; the MSDeformAttn op gets a
+    golden check (uniform weights at a pixel center == that pixel)."""
+    from boosting_rcnn_tpu.ops.ms_deform_attn import ms_deform_attn
+
+    h, w, c = 4, 6, 8
+    rs = np.random.RandomState(0)
+    v = jnp.asarray(rs.rand(h * w, c).astype(np.float32))
+    # one query sampling exactly pixel (1, 2) center on the single level
+    loc = jnp.asarray(
+        [[( (2 + 0.5) / w, (1 + 0.5) / h )]], jnp.float32
+    ).reshape(1, 1, 1, 1, 2)
+    wts = jnp.ones((1, 1, 1, 1), jnp.float32)
+    out = ms_deform_attn(v, [(h, w)], jnp.tile(loc, (1, 2, 1, 1, 1)),
+                         jnp.tile(wts, (1, 2, 1, 1)), num_heads=2)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.asarray(v).reshape(h, w, c)[1, 2], atol=1e-5
+    )
+
+    cfg = load_config(
+        os.path.join(
+            REPO,
+            "configs/deformable_detr/deformable_detr_r50_16x2_50e_coco.py",
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[16, 32, 64], out_channels=16)
+    mc["bbox_head"].update(num_query=20, num_classes=4, embed_dims=16)
+    mc["bbox_head"]["transformer"].update(
+        num_heads=2, num_encoder_layers=1, num_decoder_layers=2,
+        feedforward_channels=32,
+    )
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch)
+    # final + 1 aux decoder layer, 3 terms each
+    assert "loss_cls" in losses and "loss_cls_aux0" in losses
+    for k, v_ in losses.items():
+        assert np.isfinite(float(v_)), (k, float(v_))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
