@@ -123,6 +123,29 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("RegNet")
+def build_regnet(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.regnet import RegNet
+
+    arch = cfg.get("arch", "regnetx_3.2gf")
+    if isinstance(arch, dict):  # mmdet allows an explicit param dict
+        from .models.backbones import regnet as _rn
+
+        name = None
+        for k, v in _rn.ARCH_SETTINGS.items():
+            if all(abs(v[p_] - arch.get(p_, -1)) < 1e-6 for p_ in v):
+                name = k
+                break
+        arch = name or "regnetx_3.2gf"
+    return RegNet(
+        arch=arch,
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        frozen_stages=cfg.get("frozen_stages", -1),
+        norm_eval=cfg.get("norm_eval", True),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("MobileNetV2")
 def build_mobilenet_v2(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.mobilenet_v2 import MobileNetV2

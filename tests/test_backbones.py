@@ -96,3 +96,29 @@ def test_mobilenet_v2_shapes():
     assert shapes[1] == (1, 8, 12, 32)    # stride 8, c 32
     assert shapes[2] == (1, 4, 6, 96)     # stride 16, c 96
     assert shapes[3] == (1, 2, 3, 1280)   # stride 32, out conv 1280
+
+
+def test_regnet_widths_and_shapes():
+    """RegNet (reference regnet.py): quantized-linear width schedule golden
+    for regnetx_400mf + output strides/channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.regnet import (
+        RegNet,
+        adjust_groups,
+        generate_regnet,
+    )
+
+    widths, depths = generate_regnet(24, 24.48, 2.54, 22)
+    widths, groups = adjust_groups(widths, 16)
+    # published regnetx_400mf stage widths
+    assert widths == [32, 64, 160, 384]
+    assert sum(depths) == 22
+
+    m = RegNet(arch="regnetx_400mf")
+    x = jnp.zeros((1, 64, 96, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [32, 64, 160, 384]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]  # strides 4..32
