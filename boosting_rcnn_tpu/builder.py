@@ -123,6 +123,24 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("HRNet")
+def build_hrnet(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.hrnet import HRNet
+
+    # accept the mmdet extra=dict(stage2=..., ...) form by matching widths
+    arch = cfg.get("arch")
+    if arch is None:
+        extra = cfg.get("extra", {}) or {}
+        base = (extra.get("stage2", {}) or {}).get("num_channels", [32])[0]
+        arch = {18: "w18", 32: "w32", 40: "w40"}.get(base, "w32")
+    return HRNet(
+        arch=arch,
+        frozen_stages=cfg.get("frozen_stages", -1),
+        norm_eval=cfg.get("norm_eval", True),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("RegNet")
 def build_regnet(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.regnet import RegNet
@@ -212,6 +230,14 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "HRFPN":
+        from .models.necks.fpn import HRFPN
+
+        return HRFPN(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            dtype=dtype,
+        )
     if t == "ChannelMapper":
         return ChannelMapper(
             out_channels=cfg.get("out_channels", 256),

@@ -240,3 +240,38 @@ class FPNWithBFP(nn.Module):
 
     def __call__(self, feats):
         return self.bfp(self.fpn(feats))
+
+
+class HRFPN(nn.Module):
+    """HRFPN (reference ``mmdet/models/necks/hrfpn.py``): upsample every
+    HRNet branch to the highest resolution, concat, 1x1 reduce, then emit
+    ``num_outs`` levels by average-pooling with stride 2^k, each through a
+    3x3 conv."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        b, h, w, _ = inputs[0].shape
+        ups = [inputs[0]] + [
+            jax.image.resize(
+                x, (b, h, w, x.shape[-1]), "bilinear"
+            )
+            for x in inputs[1:]
+        ]
+        x = jnp.concatenate(ups, axis=-1)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name="reduction_conv")(x)
+        outs = []
+        for i in range(self.num_outs):
+            y = x
+            if i > 0:
+                k = 2 ** i
+                y = nn.avg_pool(x, (k, k), strides=(k, k))
+            outs.append(
+                nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"fpn_conv_{i}")(y)
+            )
+        return tuple(outs)

@@ -122,3 +122,27 @@ def test_regnet_widths_and_shapes():
     outs = m.apply(v, x)
     assert [o.shape[-1] for o in outs] == [32, 64, 160, 384]
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]  # strides 4..32
+
+
+def test_hrnet_and_hrfpn_shapes():
+    """HRNet w18 (reference hrnet.py): 4 parallel branches at strides
+    4/8/16/32 with the arch channel widths; HRFPN emits 5 uniform levels."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.hrnet import HRNet
+    from boosting_rcnn_tpu.models.necks.fpn import HRFPN
+
+    m = HRNet(arch="w18")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [18, 36, 72, 144]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+    neck = HRFPN(out_channels=32, num_outs=5)
+    nv = neck.init(jax.random.PRNGKey(0), outs)
+    ps = neck.apply(nv, outs)
+    assert len(ps) == 5
+    assert [p.shape[1] for p in ps] == [16, 8, 4, 2, 1]
+    assert all(p.shape[-1] == 32 for p in ps)
