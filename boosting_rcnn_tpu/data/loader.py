@@ -38,6 +38,7 @@ class DetDataLoader:
         with_masks: bool = False,
         mosaic_prob: float = 0.0,
         mixup_prob: float = 0.0,
+        autoaugment: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -55,6 +56,7 @@ class DetDataLoader:
         self.with_masks = with_masks
         self.mosaic_prob = mosaic_prob if train else 0.0
         self.mixup_prob = mixup_prob if train else 0.0
+        self.autoaugment = autoaugment and train
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -110,6 +112,11 @@ class DetDataLoader:
             segs = None  # mosaic is a box-only recipe (YOLOX)
         else:
             img, bboxes, labels = self._raw(i)
+        if self.autoaugment:
+            from .auto_augment import apply_policy
+
+            img, bboxes, labels = apply_policy(img, bboxes, labels, rng)
+            segs = None  # geometric policies invalidate polygon anns
         flip = rng.rand() < self.flip_prob
         canvas = self.canvas if self.ds.flags[i] == 1 else self.canvas_portrait
         short = None

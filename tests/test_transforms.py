@@ -73,3 +73,66 @@ def test_mixup(rng):
     out, b, l = T.mixup(i1, b1, np.array([0]), i2, b2, np.array([1]), np.random.RandomState(0))
     assert out.shape == (50, 40, 3)
     assert len(b) == 2 and len(l) == 2
+
+
+def test_autoaugment_geometric_box_consistency():
+    """Rotate/shear/translate must keep boxes on the transformed content:
+    a bright square's box still covers bright pixels after each op."""
+    import numpy as np
+
+    from boosting_rcnn_tpu.data import auto_augment as A
+
+    img = np.zeros((80, 120, 3), np.uint8)
+    img[20:50, 30:70] = 255
+    boxes = np.asarray([[30.0, 20, 70, 50]], np.float32)
+    labels = np.asarray([1])
+
+    for name, fn in (
+        ("rotate", lambda: A.rotate(img, boxes, labels, 15.0)),
+        ("shear", lambda: A.shear(img, boxes, labels, 0.2, "x")),
+        ("translate", lambda: A.translate(img, boxes, labels, 14.0, "y")),
+    ):
+        im2, b2, l2 = fn()
+        assert len(b2) == 1, name
+        x1, y1, x2, y2 = [int(round(v)) for v in b2[0]]
+        inside = im2[y1:y2, x1:x2].mean()
+        outside_mean = im2.mean()
+        assert inside > outside_mean, name  # box tracks the bright content
+
+    # policy chooser runs clean over many draws
+    rs = np.random.RandomState(0)
+    for _ in range(10):
+        im3, b3, l3 = A.apply_policy(img, boxes, labels, rs)
+        assert im3.shape == img.shape
+        assert (b3[:, 2:] >= b3[:, :2] - 1e-3).all()
+
+
+def test_autoaugment_in_loader(tmp_path):
+    import cv2
+    import json
+
+    from boosting_rcnn_tpu.data.coco import CocoDataset
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+
+    ann = {
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 96,
+                    "height": 64}],
+        "categories": [{"id": 1, "name": "a"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    cv2.imwrite(
+        str(tmp_path / "x.jpg"),
+        (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8),
+    )
+    ds = CocoDataset(ann_file=str(p), img_prefix=str(tmp_path))
+    loader = DetDataLoader(
+        ds, batch_size=1, canvas=(64, 96), scale=(96, 64), train=True,
+        max_gt=10, autoaugment=True, prefetch=1,
+    )
+    batch = next(loader.epoch_iter(0))
+    assert batch["images"].shape == (1, 64, 96, 3)

@@ -191,6 +191,7 @@ def main():
             else False,
             mosaic_prob=pipeline.get("mosaic_prob", 0.0),
             mixup_prob=pipeline.get("mixup_prob", 0.0),
+            autoaugment=pipeline.get("autoaugment", False),
         )
         steps_per_epoch = max(len(loader), 1)
         val_ds = None
