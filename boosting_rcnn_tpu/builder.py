@@ -1037,6 +1037,57 @@ def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_cornernet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """CornerNet (reference ``detectors/cornernet.py``)."""
+    from .models.backbones.hourglass import HourglassNet
+    from .models.dense_heads.corner_head import CornerCfg, CornerHeadConvs
+    from .models.detectors.single_stage import (
+        CornerNetDetector,
+        SingleStageNet,
+    )
+
+    bb = model_cfg["backbone"]
+    backbone = HourglassNet(
+        num_stacks=bb.get("num_stacks", 2),
+        depth=bb.get("downsample_times", 5),
+        feat_channel=bb.get("feat_channel", 256),
+        dtype=dtype,
+    )
+    h = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    head = CornerHeadConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=bb.get("feat_channel", 256),
+        dtype=dtype,
+    )
+    cfg = CornerCfg(
+        num_classes=h.get("num_classes", 80),
+        pull_weight=h.get("loss_embedding", {}).get("pull_weight", 0.1)
+        if isinstance(h.get("loss_embedding"), dict) else 0.1,
+        push_weight=h.get("loss_embedding", {}).get("push_weight", 0.1)
+        if isinstance(h.get("loss_embedding"), dict) else 0.1,
+        corner_topk=test_cfg.get("corner_topk", 100),
+        max_per_img=test_cfg.get("max_per_img", 100),
+        score_thr=test_cfg.get("score_thr", 0.05),
+        distance_thr=test_cfg.get("distance_threshold", 0.5),
+    )
+
+    class _Identity:
+        def __call__(self, x):
+            return x
+
+    import flax.linen as nn_
+
+    class _IdNeck(nn_.Module):
+        def __call__(self, x):
+            return x
+
+    net = SingleStageNet(backbone=backbone, neck=_IdNeck(), head=head)
+    return CornerNetDetector(net, cfg)
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -1056,6 +1107,8 @@ def build_detector(
         return build_detr(model_cfg, dtype=dtype)
     if t == "DeformableDETR":
         return build_deformable_detr(model_cfg, dtype=dtype)
+    if t == "CornerNet":
+        return build_cornernet(model_cfg, dtype=dtype)
     if t == "CenterNet":
         return build_centernet(model_cfg, dtype=dtype)
     if t == "SparseRCNN":

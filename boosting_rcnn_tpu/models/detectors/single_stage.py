@@ -984,3 +984,52 @@ class RepPointsDetector:
         )
         return jax.vmap(fn)(cls, refine, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class CornerNetDetector:
+    """CornerNet (reference ``mmdet/models/detectors/cornernet.py``):
+    stacked-hourglass corner-pair detector; losses on every stack, decode
+    from the last."""
+
+    def __init__(self, net: SingleStageNet, head_cfg):
+        self.net = net
+        self.head_cfg = head_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        s = self.head_cfg.stride
+        return [(canvas_hw[0] // s, canvas_hw[1] // s)]
+
+    def anchors_for(self, canvas_hw):
+        h, w = self.featmap_sizes(canvas_hw)[0]
+        return jnp.zeros((0,)), (h * w,)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.corner_head import corner_loss_single
+
+        outs = self.net.apply(variables, batch["images"])
+        losses = {}
+        for si, out in enumerate(outs):
+            per = jax.vmap(
+                lambda o, gb, gl, gm: corner_loss_single(
+                    self.head_cfg, o, gb, gl, gm
+                )
+            )(out, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"])
+            sfx = "" if si == len(outs) - 1 else f"_aux{si}"
+            for k, v in per.items():
+                losses[f"{k}{sfx}"] = jnp.mean(v)
+        return losses
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ..dense_heads.corner_head import corner_decode_single
+
+        outs = self.net.apply(variables, batch["images"])
+        out = outs[-1]
+        fn = lambda o, shp, sf: corner_decode_single(
+            self.head_cfg, o, shp, sf, rescale
+        )
+        return jax.vmap(fn)(out, batch["img_shape"], batch["scale_factor"])

@@ -780,3 +780,49 @@ def test_deformable_detr_forward():
 
     dets, labels, valid = det.predict(variables, batch)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_cornernet_forward():
+    """CornerNet (reference corner_head.py + hourglass.py): corner-pair
+    detection — per-stack losses (heatmap/pull/push/offset), gradients,
+    decode geometry (tl above-left of br)."""
+    cfg = load_config(
+        os.path.join(
+            REPO,
+            "configs/cornernet/cornernet_hourglass104_mstest_8x6_210e_coco.py",
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(num_stacks=2, downsample_times=2, feat_channel=16)
+    mc["bbox_head"].update(num_classes=4)
+    mc["test_cfg"].update(corner_topk=16, max_per_img=8)
+    det = build_detector(mc)
+    # hourglass needs dims divisible by 2^(depth+2)
+    canvas = (64, 64)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    pack, nlp = det.anchors_for(canvas)
+    loader = FakeDetLoader(batch_size=1, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    assert "loss_heatmap" in losses and "loss_pull" in losses
+    assert "loss_heatmap_aux0" in losses  # stack-0 aux losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, pack, nlp)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    d = np.asarray(dets)[np.asarray(valid)]
+    if len(d):
+        assert (d[:, 2] >= d[:, 0]).all() and (d[:, 3] >= d[:, 1]).all()
