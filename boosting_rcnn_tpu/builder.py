@@ -1088,6 +1088,58 @@ def build_cornernet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     return CornerNetDetector(net, cfg)
 
 
+
+
+def build_free_anchor(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """FreeAnchor RetinaNet (reference free_anchor_retina_head.py)."""
+    from .models.dense_heads.free_anchor_head import FreeAnchorCfg
+    from .models.dense_heads.retina_head import RetinaCfg, RetinaConvs
+    from .models.detectors.single_stage import (
+        FreeAnchorDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    h = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    ag = build_anchor_generator(h["anchor_generator"])
+    means, stds = _coder_params(h.get("bbox_coder", {}))
+    num_classes = h.get("num_classes", 80)
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    module = RetinaConvs(
+        num_classes=num_classes,
+        num_anchors=len(ag.base_anchors[0]),
+        feat_channels=h.get("feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 4),
+        dtype=dtype,
+    )
+    fa = FreeAnchorCfg(
+        num_classes=num_classes,
+        target_means=means,
+        target_stds=stds,
+        pre_anchor_topk=h.get("pre_anchor_topk", 50),
+        bbox_thr=h.get("bbox_thr", 0.6),
+        gamma=h.get("gamma", 2.0),
+        alpha=h.get("alpha", 0.5),
+        smooth_l1_beta=h.get("loss_bbox", {}).get("beta", 0.11),
+        loss_bbox_weight=h.get("loss_bbox", {}).get("loss_weight", 0.75),
+    )
+    rc = RetinaCfg(
+        num_classes=num_classes, target_means=means, target_stds=stds
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=module)
+    return FreeAnchorDetector(
+        net, fa, rc, ag,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -1109,6 +1161,8 @@ def build_detector(
         return build_deformable_detr(model_cfg, dtype=dtype)
     if t == "CornerNet":
         return build_cornernet(model_cfg, dtype=dtype)
+    if t == "FreeAnchor":
+        return build_free_anchor(model_cfg, dtype=dtype)
     if t == "CenterNet":
         return build_centernet(model_cfg, dtype=dtype)
     if t == "SparseRCNN":

@@ -1033,3 +1033,75 @@ class CornerNetDetector:
             self.head_cfg, o, shp, sf, rescale
         )
         return jax.vmap(fn)(out, batch["img_shape"], batch["scale_factor"])
+
+
+class FreeAnchorDetector:
+    """FreeAnchor RetinaNet (reference free_anchor_retina_head.py): shares
+    the Retina towers; only the loss differs."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, retina_cfg,
+                 anchor_generator, test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.retina_cfg = retina_cfg  # decode cfg (shared with RetinaNet)
+        self.anchor_generator = anchor_generator
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        def stride_of(s):
+            return s if isinstance(s, (int, float)) else s[0]
+
+        return [
+            (
+                math.ceil(canvas_hw[0] / stride_of(s)),
+                math.ceil(canvas_hw[1] / stride_of(s)),
+            )
+            for s in self.anchor_generator.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        import numpy as np
+
+        fs = self.featmap_sizes(canvas_hw)
+        per = self.anchor_generator.grid_anchors(fs)
+        nla = tuple(x.shape[0] for x in per)
+        return jnp.asarray(np.concatenate(per, 0)), nla
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, _ = self.net.apply(variables, images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        return cls, reg
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.free_anchor_head import free_anchor_loss
+
+        cls, reg = self._flat_outs(variables, batch["images"])
+        return free_anchor_loss(
+            self.head_cfg, cls, reg, anchors,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        from ..dense_heads.retina_head import retina_get_bboxes
+
+        cls, reg = self._flat_outs(variables, batch["images"])
+        tc = self.test_cfg
+        fn = lambda c_, r_, shp, sf: retina_get_bboxes(
+            self.retina_cfg, c_, r_, anchors, num_level_anchors, shp, sf,
+            rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
+            nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, batch["img_shape"],
+                            batch["scale_factor"])

@@ -826,3 +826,41 @@ def test_cornernet_forward():
     d = np.asarray(dets)[np.asarray(valid)]
     if len(d):
         assert (d[:, 2] >= d[:, 0]).all() and (d[:, 3] >= d[:, 1]).all()
+
+
+def test_free_anchor_forward():
+    """FreeAnchor (reference free_anchor_retina_head.py): positive-bag
+    mean-max likelihood + saturated-IoU-downweighted negative loss."""
+    cfg = load_config(
+        os.path.join(
+            REPO,
+            "configs/free_anchor/retinanet_free_anchor_r50_fpn_1x_coco.py",
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(feat_channels=32, stacked_convs=1, num_classes=4,
+                           pre_anchor_topk=8)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    anchors, nla = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"positive_bag_loss", "negative_bag_loss"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)) and float(v) > 0, (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, anchors, nla)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
