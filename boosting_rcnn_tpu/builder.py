@@ -1140,6 +1140,50 @@ def build_free_anchor(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+
+
+def build_autoassign(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """AutoAssign (reference ``detectors/autoassign.py``)."""
+    from .models.dense_heads.autoassign_head import AutoAssignCfg
+    from .models.dense_heads.fcos_head import FCOSConvs
+    from .models.detectors.single_stage import (
+        AutoAssignDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    h = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    strides = tuple(h.get("strides", (8, 16, 32, 64, 128)))
+    head = FCOSConvs(
+        num_classes=h.get("num_classes", 80),
+        feat_channels=h.get("feat_channels", 256),
+        stacked_convs=h.get("stacked_convs", 4),
+        num_levels=len(strides),
+        dtype=dtype,
+    )
+    cfg = AutoAssignCfg(
+        num_classes=h.get("num_classes", 80),
+        strides=strides,
+        pos_loss_weight=h.get("pos_loss_weight", 0.25),
+        neg_loss_weight=h.get("neg_loss_weight", 0.75),
+        center_loss_weight=h.get("center_loss_weight", 0.75),
+        reg_loss_weight=h.get("loss_bbox", {}).get("loss_weight", 5.0),
+    )
+    net = SingleStageNet(backbone=backbone, neck=neck, head=head)
+    return AutoAssignDetector(
+        net, cfg,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_detector(
     model_cfg: Dict[str, Any],
     dtype=jnp.float32,
@@ -1163,6 +1207,8 @@ def build_detector(
         return build_cornernet(model_cfg, dtype=dtype)
     if t == "FreeAnchor":
         return build_free_anchor(model_cfg, dtype=dtype)
+    if t == "AutoAssign":
+        return build_autoassign(model_cfg, dtype=dtype)
     if t == "CenterNet":
         return build_centernet(model_cfg, dtype=dtype)
     if t == "SparseRCNN":

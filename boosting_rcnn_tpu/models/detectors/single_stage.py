@@ -1105,3 +1105,112 @@ class FreeAnchorDetector:
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class AutoAssignDetector:
+    """AutoAssign (reference ``mmdet/models/detectors/autoassign.py``):
+    FCOS architecture with fully differentiable assignment.  Uses the FCOS
+    towers; the centerness branch doubles as the objectness (reference
+    AutoAssignHead reuses conv_centerness)."""
+
+    def __init__(self, net: SingleStageNet, head_cfg,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.fcos_head import fcos_points
+
+        fs = self.featmap_sizes(canvas_hw)
+        pts, strides, _, _ = fcos_points(fs, self.head_cfg.strides)
+        nlp = tuple(h * w for h, w in fs)
+        return (jnp.asarray(pts), jnp.asarray(strides)), nlp
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        variables = self.net.init(rng, images)
+        # learnable center prior lives beside the network params
+        variables = dict(variables)
+        params = dict(variables["params"])
+        params["center_prior"] = {
+            "mean": jnp.zeros((self.head_cfg.num_classes, 2)),
+            "sigma": jnp.ones((self.head_cfg.num_classes, 2)),
+        }
+        variables["params"] = params
+        return variables
+
+    def _strip(self, variables):
+        params = {k: v for k, v in variables["params"].items()
+                  if k != "center_prior"}
+        return {"params": params,
+                "batch_stats": variables.get("batch_stats", {})}
+
+    def _flat_outs(self, variables, images, strides_flat):
+        from ..dense_heads.atss_rpn_head import flatten_levels
+
+        cls_l, reg_l, ctr_l = self.net.apply(self._strip(variables), images)
+        cls = flatten_levels(cls_l, self.head_cfg.num_classes)
+        reg = flatten_levels(reg_l, 4)
+        obj = flatten_levels(ctr_l, 1)[..., 0]
+        # image-unit distances (reference forward_single: relu * stride)
+        dist = jax.nn.relu(reg) * strides_flat[None, :, None]
+        return cls, dist, obj
+
+    def loss(self, variables, rng, batch, pack, num_level_points,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.autoassign_head import autoassign_loss
+
+        pts, strides = pack
+        cls, dist, obj = self._flat_outs(variables, batch["images"], strides)
+        cp = variables["params"]["center_prior"]
+        return autoassign_loss(
+            self.head_cfg, cls, dist, obj, cp["mean"], cp["sigma"],
+            pts, strides,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, pack, num_level_points, rescale=True):
+        from ...ops.nms import multiclass_nms_padded
+        from ..dense_heads.autoassign_head import distance2bbox
+        from ...ops.box_ops import clip_boxes
+
+        pts, strides = pack
+        cls, dist, obj = self._flat_outs(variables, batch["images"], strides)
+        tc = self.test_cfg
+
+        def one(c_, d_, o_, shp, sf):
+            scores_all = jax.nn.sigmoid(c_.astype(jnp.float32)) * jax.nn.sigmoid(
+                o_.astype(jnp.float32)
+            )[:, None]
+            sel_s, sel_b = [], []
+            start = 0
+            for np_ in num_level_points:
+                s = jax.lax.dynamic_slice_in_dim(scores_all, start, np_)
+                dd = jax.lax.dynamic_slice_in_dim(d_, start, np_)
+                pt = jax.lax.dynamic_slice_in_dim(pts, start, np_)
+                k = min(tc.nms_pre, np_)
+                _, ti = jax.lax.top_k(jnp.max(s, axis=-1), k)
+                sel_s.append(s[ti])
+                sel_b.append(clip_boxes(distance2bbox(pt[ti], dd[ti]), shp))
+                start += np_
+            scores = jnp.concatenate(sel_s)
+            boxes = jnp.concatenate(sel_b)
+            if rescale:
+                boxes = boxes / sf.reshape(1, 4)
+            return multiclass_nms_padded(
+                boxes, scores, score_thr=tc.score_thr,
+                iou_threshold=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+            )
+
+        return jax.vmap(one)(cls, dist, obj, batch["img_shape"],
+                             batch["scale_factor"])

@@ -864,3 +864,40 @@ def test_free_anchor_forward():
 
     dets, labels, valid = det.predict(variables, batch, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_autoassign_forward():
+    """AutoAssign (reference autoassign_head.py): differentiable assignment
+    with learnable center prior — losses, grads (incl. the prior params),
+    decode."""
+    cfg = load_config(
+        os.path.join(REPO, "configs/autoassign/autoassign_r50_fpn_8x2_1x_coco.py")
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=32)
+    mc["bbox_head"].update(feat_channels=32, stacked_convs=1, num_classes=4)
+    mc["test_cfg"]["nms_pre"] = 64
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    assert "center_prior" in variables["params"]
+    pack, nlp = det.anchors_for(CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    assert set(losses) == {"loss_pos", "loss_neg", "loss_center"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(params):
+        vv = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        ls = det.loss(vv, jax.random.PRNGKey(1), batch, pack, nlp)
+        return sum(jnp.sum(x) for x in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    # the center prior itself receives gradient
+    cp = sum(float(jnp.abs(x).sum())
+             for x in jax.tree_util.tree_leaves(g["center_prior"]))
+    assert np.isfinite(cp) and cp > 0
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
