@@ -230,6 +230,16 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "NASFPN" or t == "NAS_FPN":
+        from .models.necks.fpn import NASFPN
+
+        return NASFPN(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            stack_times=cfg.get("stack_times", 7),
+            start_level=cfg.get("start_level", 1),
+            dtype=dtype,
+        )
     if t == "HRFPN":
         from .models.necks.fpn import HRFPN
 

@@ -22,6 +22,14 @@ def build_dataset(cfg: Dict[str, Any], test_mode: bool = False):
             build_dataset(cfg["dataset"], test_mode),
             cfg.get("oversample_thr", 1e-3),
         )
+    if t == "WIDERFaceDataset":
+        from .voc import WIDERFaceDataset
+
+        return WIDERFaceDataset(
+            ann_file=cfg["ann_file"],
+            img_prefix=cfg.get("img_prefix", ""),
+            test_mode=test_mode,
+        )
     if t == "VOCDataset":
         return VOCDataset(
             ann_file=cfg["ann_file"],

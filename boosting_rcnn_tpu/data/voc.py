@@ -53,7 +53,8 @@ class VOCDataset:
                     float(bnd.find("xmax").text),
                     float(bnd.find("ymax").text),
                 ]
-                difficult = int(obj.find("difficult").text or 0)
+                diff_el = obj.find("difficult")
+                difficult = int(diff_el.text or 0) if diff_el is not None else 0
                 if difficult:
                     ignore.append(box)
                 else:
@@ -120,3 +121,18 @@ class VOCDataset:
             stats = CocoStyleEval(gts, results, len(self.CLASSES)).summarize()
             out.update(bbox_mAP=stats["AP"], bbox_mAP_50=stats["AP50"])
         return out
+
+
+WIDER_CLASSES = ("face",)
+
+
+class WIDERFaceDataset(VOCDataset):
+    """WIDER-Face (reference ``mmdet/datasets/wider_face.py``): XML-style
+    annotations (converted WIDER format) with a single 'face' class; image
+    files live under per-event subfolders named in the XML ``folder``."""
+
+    def __init__(self, ann_file, img_prefix, **kwargs):
+        kwargs.setdefault("classes", WIDER_CLASSES)
+        super().__init__(ann_file=ann_file, img_prefix=img_prefix, **kwargs)
+        # reference overrides filename to '{folder}/{id}.jpg'; our XML parse
+        # keeps JPEGImages/<id>.jpg which matches the converted layout

@@ -275,3 +275,85 @@ class HRFPN(nn.Module):
                         dtype=self.dtype, name=f"fpn_conv_{i}")(y)
             )
         return tuple(outs)
+
+
+class _MergeCell(nn.Module):
+    """mmcv merge cell (reference ``necks/nas_fpn.py`` via mmcv
+    ``GlobalPoolingCell``/``SumCell``): resize both inputs to the target
+    size (nearest up / max-pool down), combine, optional 3x3 out conv."""
+
+    kind: str = "sum"  # 'sum' | 'gp'
+    with_out_conv: bool = True
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    def _resize(self, x, hw):
+        b, h, w, c = x.shape
+        th, tw = hw
+        if (h, w) == (th, tw):
+            return x
+        if h < th:  # upsample
+            return jax.image.resize(x, (b, th, tw, c), "nearest")
+        k = max(h // th, 1)
+        return nn.max_pool(x, (k, k), strides=(k, k))
+
+    @nn.compact
+    def __call__(self, x1, x2, out_hw):
+        x1 = self._resize(x1, out_hw)
+        x2 = self._resize(x2, out_hw)
+        if self.kind == "gp":
+            gate = jax.nn.sigmoid(jnp.mean(x1, axis=(1, 2), keepdims=True))
+            out = x2 + x2 * gate
+        else:
+            out = x1 + x2
+        if self.with_out_conv:
+            out = nn.relu(out)
+            out = nn.Conv(self.out_channels, (3, 3),
+                          padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="out_conv")(out)
+            out = nn.GroupNorm(num_groups=min(32, self.out_channels),
+                               epsilon=1e-5, dtype=self.dtype,
+                               name="out_gn")(out)
+        return out
+
+
+class NASFPN(nn.Module):
+    """NAS-FPN (reference ``necks/nas_fpn.py``): the discovered merge
+    schedule repeated ``stack_times``."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 7
+    start_level: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        feats = [
+            nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name=f"lateral_{i}")(x)
+            for i, x in enumerate(inputs[self.start_level:])
+        ]
+        while len(feats) < self.num_outs:
+            i = len(feats)
+            y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"extra_{i}")(feats[-1])
+            feats.append(nn.max_pool(y, (2, 2), strides=(2, 2)))
+        p3, p4, p5, p6, p7 = feats
+
+        def cell(kind, name, with_out=True):
+            return _MergeCell(kind, with_out, self.out_channels,
+                              dtype=self.dtype, name=name)
+
+        for s in range(self.stack_times):
+            hw = lambda t: (t.shape[1], t.shape[2])
+            p4_1 = cell("gp", f"s{s}_gp_64_4")(p6, p4, hw(p4))
+            p4_2 = cell("sum", f"s{s}_sum_44_4")(p4_1, p4, hw(p4))
+            p3 = cell("sum", f"s{s}_sum_43_3")(p4_2, p3, hw(p3))
+            p4 = cell("sum", f"s{s}_sum_34_4")(p3, p4_2, hw(p4))
+            p5_t = cell("gp", f"s{s}_gp_43_5", False)(p4, p3, hw(p5))
+            p5 = cell("sum", f"s{s}_sum_55_5")(p5, p5_t, hw(p5))
+            p7_t = cell("gp", f"s{s}_gp_54_7", False)(p5, p4_2, hw(p7))
+            p7 = cell("sum", f"s{s}_sum_77_7")(p7, p7_t, hw(p7))
+            p6 = cell("gp", f"s{s}_gp_75_6")(p7, p5, hw(p6))
+        return p3, p4, p5, p6, p7

@@ -146,3 +146,23 @@ def test_hrnet_and_hrfpn_shapes():
     assert len(ps) == 5
     assert [p.shape[1] for p in ps] == [16, 8, 4, 2, 1]
     assert all(p.shape[-1] == 32 for p in ps)
+
+
+def test_nasfpn_shapes():
+    """NAS-FPN (reference nas_fpn.py): discovered merge schedule keeps the
+    5-level pyramid shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.necks.fpn import NASFPN
+
+    neck = NASFPN(out_channels=16, num_outs=5, stack_times=2, start_level=1)
+    ins = tuple(
+        jnp.zeros((1, s, s + s // 2, c))
+        for s, c in ((32, 8), (16, 16), (8, 32), (4, 64))
+    )
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 16 for o in outs)
