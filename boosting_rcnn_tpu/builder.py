@@ -123,6 +123,22 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("ResNeSt")
+def build_resnest(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.resnest import ResNeSt
+
+    return ResNeSt(
+        depth=cfg.get("depth", 50),
+        radix=cfg.get("radix", 2),
+        stem_channels=cfg.get("stem_channels", 64),
+        base_channels=cfg.get("base_channels", 64),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        frozen_stages=cfg.get("frozen_stages", 1),
+        norm_eval=cfg.get("norm_eval", True),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("HRNet")
 def build_hrnet(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.hrnet import HRNet

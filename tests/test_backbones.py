@@ -166,3 +166,24 @@ def test_nasfpn_shapes():
     assert len(outs) == 5
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
     assert all(o.shape[-1] == 16 for o in outs)
+
+
+def test_resnest_shapes_and_grad():
+    """ResNeSt (reference resnest.py): V1d stem + split-attention
+    bottlenecks keep standard C2..C5 strides/channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.resnest import ResNeSt
+
+    net = ResNeSt(depth=50, base_channels=8, stem_channels=8,
+                  frozen_stages=-1, norm_eval=True)
+    x = jnp.ones((1, 64, 96, 3))
+    v = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 24, 32), (1, 8, 12, 64), (1, 4, 6, 128), (1, 2, 3, 256)
+    ]
+    g = jax.grad(lambda p: sum(o.sum() for o in net.apply(p, x)))(v)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(jnp.isfinite(l).all() for l in leaves)
