@@ -123,6 +123,37 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("PyramidVisionTransformer")
+def build_pvt(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.pvt import PVT
+
+    return PVT(
+        embed_dims=cfg.get("embed_dims", 64),
+        num_layers=tuple(cfg.get("num_layers", (3, 4, 6, 3))),
+        num_heads=tuple(cfg.get("num_heads", (1, 2, 5, 8))),
+        patch_sizes=tuple(cfg.get("patch_sizes", (4, 2, 2, 2))),
+        strides=tuple(cfg.get("strides", (4, 2, 2, 2))),
+        sr_ratios=tuple(cfg.get("sr_ratios", (8, 4, 2, 1))),
+        mlp_ratios=tuple(cfg.get("mlp_ratios", (8, 8, 4, 4))),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        use_abs_pos_embed=cfg.get("use_abs_pos_embed", True),
+        use_conv_ffn=cfg.get("use_conv_ffn", False),
+        norm_after_stage=cfg.get("norm_after_stage", False),
+        pretrain_img_size=cfg.get("pretrain_img_size", 224),
+        dtype=dtype,
+    )
+
+
+@BACKBONES.register("PyramidVisionTransformerV2")
+def build_pvt_v2(cfg: Dict[str, Any], dtype=jnp.float32):
+    cfg = dict(cfg)
+    cfg.setdefault("patch_sizes", (7, 3, 3, 3))
+    cfg.setdefault("use_abs_pos_embed", False)
+    cfg.setdefault("use_conv_ffn", True)
+    cfg.setdefault("norm_after_stage", True)
+    return build_pvt(cfg, dtype=dtype)
+
+
 @BACKBONES.register("ResNeSt")
 def build_resnest(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.resnest import ResNeSt
@@ -246,6 +277,19 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "FPN_CARAFE":
+        from .models.necks.fpn import FPNCarafe
+
+        up = cfg.get("upsample_cfg", {}) or {}
+        return FPNCarafe(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            start_level=cfg.get("start_level", 0),
+            up_kernel=up.get("up_kernel", 5),
+            encoder_kernel=up.get("encoder_kernel", 3),
+            compressed_channels=up.get("compressed_channels", 64),
+            dtype=dtype,
+        )
     if t == "NASFPN" or t == "NAS_FPN":
         from .models.necks.fpn import NASFPN
 
@@ -356,6 +400,7 @@ def _std_convfc_head(cfg, num_classes, dtype):
         fc_out_channels=cfg.get("fc_out_channels", 1024),
         roi_feat_size=cfg.get("roi_feat_size", 7),
         reg_class_agnostic=cfg.get("reg_class_agnostic", False),
+        with_reg=cfg.get("with_reg", True),
         dtype=dtype,
     )
 
@@ -1268,7 +1313,7 @@ def build_detector(
     if t == "RepPointsDetector" or t == "RepPoints":
         return build_reppoints(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
-             "TwoStageDetector", "PointRend"):
+             "TwoStageDetector", "PointRend", "GridRCNN"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)
         rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
@@ -1279,6 +1324,18 @@ def build_detector(
         mask_module = None
         mask_iou_module = None
         point_module = None
+        grid_module = None
+        if t == "GridRCNN":
+            from .models.roi_heads.grid_head import GridHead
+
+            gh = roi.get("grid_head") or {}
+            grid_module = GridHead(
+                grid_points=gh.get("grid_points", 9),
+                num_convs=gh.get("num_convs", 8),
+                roi_feat_size=gh.get("roi_feat_size", 14),
+                point_feat_channels=gh.get("point_feat_channels", 64),
+                dtype=dtype,
+            )
         if t == "PointRend":
             from .models.roi_heads.point_rend import (
                 CoarseMaskHead,
@@ -1338,6 +1395,7 @@ def build_detector(
             mask_head=mask_module,
             mask_iou_head=mask_iou_module,
             point_head=point_module,
+            grid_head=grid_module,
             bridge=(t == "ProbTwoStage")
             or model_cfg["rpn_head"].get("bridge", False),
             roi_strides=strides,
@@ -1372,6 +1430,17 @@ def build_detector(
         rcnn_test = test_cfg.get("rcnn", {})
         det_cls = TwoStageDetector
         det_kwargs = {}
+        if t == "GridRCNN":
+            from .models.detectors.grid_rcnn import GridRCNN as _GridRCNN
+            from .models.roi_heads.grid_head import GridCfg
+
+            gtr = train_cfg.get("rcnn", {}) or {}
+            det_cls = _GridRCNN
+            det_kwargs["grid_cfg"] = GridCfg(
+                grid_points=(roi.get("grid_head") or {}).get(
+                    "grid_points", 9),
+                pos_radius=gtr.get("pos_radius", 1),
+            )
         if t == "PointRend":
             from .models.detectors.point_rend_det import PointRendDetector
             from .models.roi_heads.point_rend import PointRendCfg

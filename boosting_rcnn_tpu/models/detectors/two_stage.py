@@ -75,6 +75,7 @@ class TwoStageNet(nn.Module):
     mask_head: Optional[nn.Module] = None
     mask_iou_head: Optional[nn.Module] = None
     point_head: Optional[nn.Module] = None  # PointRend refinement MLP
+    grid_head: Optional[nn.Module] = None  # Grid R-CNN grid-point branch
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
@@ -172,6 +173,25 @@ class TwoStageNet(nn.Module):
             return logits, pooled
         return logits
 
+    def grid_out(self, feats, rois, roi_valid, train: bool = False):
+        """14x14 pooled grid features -> heatmaps (reference
+        ``grid_roi_head.py:92-110``)."""
+        b, r, _ = rois.shape
+        pooled = jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align_fast(
+                fl, rb, vb, self.roi_strides, out_size=14,
+                sample_num=self.roi_sample_num,
+                finest_scale=self.roi_finest_scale,
+                num_route_levels=len(self.roi_strides),
+            )
+        )(feats, rois, roi_valid)
+        pooled = pooled.reshape(b * r, 14, 14, -1)
+        fused, unfused = self.grid_head(pooled, train=train)
+        gp = fused.shape[-1]
+        hw = fused.shape[1]
+        return (fused.reshape(b, r, hw, hw, gp),
+                unfused.reshape(b, r, hw, hw, gp))
+
     def mask_iou_out(self, pooled, mask_pred):
         """Mask-IoU predictions (Mask Scoring R-CNN)."""
         return self.mask_iou_head(pooled, mask_pred)
@@ -204,6 +224,8 @@ class TwoStageNet(nn.Module):
                     jnp.zeros((1, feats[0].shape[-1]), feats[0].dtype),
                     jnp.zeros((1, mask_logits.shape[-1]), jnp.float32),
                 )
+        if self.grid_head is not None:
+            self.grid_out(feats, rois, roi_valid, train=True)
         return rpn_outs, cls, reg
 
 
@@ -360,7 +382,16 @@ class TwoStageDetector:
         flat = RoISample(*[
             x.reshape((-1,) + x.shape[2:]) for x in sample
         ])
-        roi_losses = prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
+        if reg_s is None:  # with_reg=False head (Grid R-CNN): cls-only
+            k = 1 if self.bbox_cfg.reg_class_agnostic else (
+                self.bbox_cfg.num_classes)
+            zero_reg = jnp.zeros((cls_s.shape[0], 4 * k), jnp.float32)
+            roi_losses = prob_roi_loss(
+                self.roi_cfg, self.bbox_cfg, cls_s, zero_reg, flat)
+            roi_losses["loss_bbox"] = jnp.zeros(())
+        else:
+            roi_losses = prob_roi_loss(
+                self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
         losses["loss_cls"] = roi_losses["loss_cls"]
         losses["loss_bbox"] = roi_losses["loss_bbox"]
 
@@ -461,7 +492,10 @@ class TwoStageDetector:
         )
         r = prop_boxes.shape[1]
         cls_s = cls_s.reshape(b, r, -1)
-        reg_s = reg_s.reshape(b, r, -1)
+        if reg_s is None:  # with_reg=False: score the proposals themselves
+            reg_s = jnp.zeros((b, r, 0), cls_s.dtype)
+        else:
+            reg_s = reg_s.reshape(b, r, -1)
         if self.roi_cfg.prob:
             fused = jax.vmap(prob_fuse_scores)(cls_s, prop_scores)
         else:

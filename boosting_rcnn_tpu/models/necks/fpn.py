@@ -357,3 +357,76 @@ class NASFPN(nn.Module):
             p7 = cell("sum", f"s{s}_sum_77_7")(p7, p7_t, hw(p7))
             p6 = cell("gp", f"s{s}_gp_75_6")(p7, p5, hw(p6))
         return p3, p4, p5, p6, p7
+
+
+class CARAFEUpsample(nn.Module):
+    """CARAFE upsampler (mmcv ``CARAFEPack``): 1x1 channel compressor ->
+    content encoder -> pixel-shuffle to the upsampled kernel field ->
+    softmax -> reassembly (``ops/carafe.py``)."""
+
+    up_kernel: int = 5
+    encoder_kernel: int = 3
+    compressed_channels: int = 64
+    scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.carafe import carafe, normalize_masks
+
+        b, h, w, c = x.shape
+        s, k2 = self.scale, self.up_kernel * self.up_kernel
+        y = nn.Conv(self.compressed_channels, (1, 1), dtype=self.dtype,
+                    name="compressor")(x)
+        pad = (self.encoder_kernel - 1) // 2
+        raw = nn.Conv(k2 * s * s, (self.encoder_kernel,) * 2,
+                      padding=[(pad, pad), (pad, pad)], dtype=self.dtype,
+                      name="encoder")(y)  # (B, H, W, k2*s*s)
+        # pixel shuffle: (B, H, W, s, s, k2) -> (B, H*s, W*s, k2)
+        raw = raw.reshape(b, h, w, s, s, k2)
+        raw = raw.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, k2)
+        masks = normalize_masks(raw)
+        return carafe(x, masks, self.up_kernel, s).astype(x.dtype)
+
+
+class FPNCarafe(nn.Module):
+    """FPN with CARAFE upsampling (reference ``necks/fpn_carafe.py``)."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    up_kernel: int = 5
+    encoder_kernel: int = 3
+    compressed_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        ins = list(inputs[self.start_level:])
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(x)
+            for i, x in enumerate(ins)
+        ]
+        while len(laterals) < self.num_outs:
+            i = len(laterals)
+            laterals.append(
+                nn.Conv(self.out_channels, (3, 3), (2, 2),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"lateral_{i}")(laterals[-1])
+            )
+        for i in range(len(laterals) - 1, 0, -1):
+            up = CARAFEUpsample(
+                up_kernel=self.up_kernel,
+                encoder_kernel=self.encoder_kernel,
+                compressed_channels=self.compressed_channels,
+                dtype=self.dtype, name=f"carafe_{i - 1}",
+            )(laterals[i])
+            # extra levels sit below the backbone top at matching scale
+            if up.shape[1:3] == laterals[i - 1].shape[1:3]:
+                laterals[i - 1] = laterals[i - 1] + up
+        return tuple(
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"fpn_conv_{i}")(l)
+            for i, l in enumerate(laterals)
+        )

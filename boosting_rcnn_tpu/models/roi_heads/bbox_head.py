@@ -192,6 +192,8 @@ def bbox_head_decode(
     ``ProbConvFCBBoxHead.get_bboxes:294-330``)."""
     r = rois.shape[0]
     c = cfg.num_classes
+    if bbox_pred is not None and bbox_pred.shape[-1] == 0:
+        bbox_pred = None  # with_reg=False head (Grid R-CNN)
     if bbox_pred is not None:
         boxes = box_ops.delta2bbox(
             rois, bbox_pred, cfg.target_means, cfg.target_stds, max_shape=img_shape

@@ -187,3 +187,67 @@ def test_resnest_shapes_and_grad():
     g = jax.grad(lambda p: sum(o.sum() for o in net.apply(p, x)))(v)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(jnp.isfinite(l).all() for l in leaves)
+
+
+def test_carafe_op_matches_naive():
+    """CARAFE reassembly (mmcv carafe): einsum-of-patches form must equal a
+    naive per-pixel weighted window sum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.carafe import carafe, normalize_masks
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 5, 3).astype(np.float32))
+    raw = jnp.asarray(rng.randn(1, 8, 10, 9).astype(np.float32))
+    masks = normalize_masks(raw)
+    out = np.asarray(carafe(x, masks, 3, 2))
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = np.zeros((1, 8, 10, 3), np.float32)
+    m = np.asarray(masks)
+    for i in range(8):
+        for j in range(10):
+            si, sj = i // 2, j // 2
+            win = xp[0, si:si + 3, sj:sj + 3, :]  # (3,3,C)
+            w = m[0, i, j].reshape(3, 3)
+            want[0, i, j] = (win * w[..., None]).sum(axis=(0, 1))
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_fpn_carafe_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.necks.fpn import FPNCarafe
+
+    neck = FPNCarafe(out_channels=16, num_outs=5, start_level=0)
+    ins = tuple(
+        jnp.zeros((1, s, s + s // 2, c))
+        for s, c in ((32, 8), (16, 16), (8, 32), (4, 64))
+    )
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    assert all(o.shape[-1] == 16 for o in outs)
+
+
+def test_pvt_v1_v2_shapes():
+    """PVT (reference pvt.py): 4-stage pyramid at strides 4/8/16/32 with
+    dims embed*heads; v2 adds overlapping patches + conv-FFN."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.pvt import PVT
+
+    for v2 in (False, True):
+        net = PVT(
+            embed_dims=8, num_layers=(1, 1, 1, 1),
+            patch_sizes=(7, 3, 3, 3) if v2 else (4, 2, 2, 2),
+            use_abs_pos_embed=not v2, use_conv_ffn=v2, norm_after_stage=v2,
+        )
+        x = jnp.ones((1, 64, 96, 3))
+        var = net.init(jax.random.PRNGKey(0), x)
+        outs = net.apply(var, x)
+        assert [o.shape[1] for o in outs] == [16, 8, 4, 2], v2
+        assert [o.shape[-1] for o in outs] == [8, 16, 40, 64], v2
