@@ -123,6 +123,26 @@ def build_res2net(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("DetectoRS_ResNet")
+def build_detectors_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
+    from .models.backbones.detectors_resnet import DetectoRSResNet
+
+    return DetectoRSResNet(
+        depth=cfg.get("depth", 50),
+        base_channels=cfg.get("base_channels", 64),
+        sac_stages=tuple(
+            cfg.get("stage_with_sac", (False, True, True, True))
+            if cfg.get("sac") is not None
+            else (False, False, False, False)
+        ),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        frozen_stages=cfg.get("frozen_stages", 1),
+        norm_eval=cfg.get("norm_eval", True),
+        output_img=cfg.get("output_img", False),
+        dtype=dtype,
+    )
+
+
 @BACKBONES.register("PyramidVisionTransformer")
 def build_pvt(cfg: Dict[str, Any], dtype=jnp.float32):
     from .models.backbones.pvt import PVT
@@ -277,6 +297,25 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "RFP":
+        from .models.necks.fpn import RFP
+
+        bb_cfg = dict(cfg.get("rfp_backbone") or {})
+        bb_cfg.pop("pretrained", None)
+        bb_cfg.pop("rfp_inplanes", None)
+        bb_cfg.setdefault("type", "DetectoRS_ResNet")
+        bb_cfg["output_img"] = False
+        rfp_bb = build_backbone(bb_cfg, dtype=dtype)
+        return RFP(
+            in_channels=tuple(cfg.get("in_channels",
+                                      (256, 512, 1024, 2048))),
+            rfp_backbone=rfp_bb,
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            rfp_steps=cfg.get("rfp_steps", 2),
+            aspp_out_channels=cfg.get("aspp_out_channels", 64),
+            dtype=dtype,
+        )
     if t == "FPN_CARAFE":
         from .models.necks.fpn import FPNCarafe
 

@@ -430,3 +430,67 @@ class FPNCarafe(nn.Module):
                     dtype=self.dtype, name=f"fpn_conv_{i}")(l)
             for i, l in enumerate(laterals)
         )
+
+
+class RFP(nn.Module):
+    """Recursive Feature Pyramid (reference ``necks/rfp.py``: DetectoRS).
+
+    Input is ``(img, C2..C5)`` from a ``DetectoRSResNet(output_img=True)``.
+    Each unrolled step feeds ASPP-transformed pyramid levels back through a
+    fresh copy of the backbone (``rfp.py:120-135``), re-runs the FPN and
+    fuses old/new levels with a sigmoid gate (``rfp_weight`` init 0 ->
+    gate 0.5 at start)."""
+
+    in_channels: Sequence[int]
+    rfp_backbone: nn.Module
+    out_channels: int = 256
+    num_outs: int = 5
+    rfp_steps: int = 2
+    aspp_out_channels: int = 64
+    aspp_dilations: Tuple[int, ...] = (1, 3, 6, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        img = inputs[0]
+        feats = tuple(inputs[1:])
+        fpn = FPN(in_channels=tuple(self.in_channels),
+                  out_channels=self.out_channels, num_outs=self.num_outs,
+                  start_level=0, dtype=self.dtype, name="fpn")
+        x = list(fpn(feats))
+
+        # one shared ASPP + one shared gate conv (reference rfp.py:95-103)
+        aspp_convs = []
+        for i, d in enumerate(self.aspp_dilations):
+            k = 3 if d > 1 else 1
+            pad = d if d > 1 else 0
+            aspp_convs.append(nn.Conv(
+                self.aspp_out_channels, (k, k),
+                padding=[(pad, pad), (pad, pad)], kernel_dilation=(d, d),
+                dtype=self.dtype, name=f"aspp_conv{i}"))
+        rfp_weight = nn.Conv(1, (1, 1), kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros,
+                             dtype=self.dtype, name="rfp_weight")
+
+        def aspp(t):
+            outs = []
+            for i, conv in enumerate(aspp_convs):
+                inp = (jnp.mean(t, axis=(1, 2), keepdims=True)
+                       if i == len(aspp_convs) - 1 else t)
+                outs.append(nn.relu(conv(inp)))
+            outs[-1] = jnp.broadcast_to(outs[-1], outs[-2].shape)
+            return jnp.concatenate(outs, axis=-1)
+
+        for step in range(self.rfp_steps - 1):
+            # feedback for backbone stages 1..3 <- pyramid levels 1..3
+            # (one shared feedback backbone across steps; the standard
+            # DetectoRS config uses rfp_steps=2 where this is exact)
+            rfp_feats = [None] + [aspp(x[i]) for i in range(1, 4)]
+            new_feats = self.rfp_backbone(img, rfp_feats=rfp_feats)
+            x_new = list(fpn(tuple(new_feats)))
+            x = [
+                jax.nn.sigmoid(rfp_weight(xn)) * xn
+                + (1 - jax.nn.sigmoid(rfp_weight(xn))) * xo
+                for xn, xo in zip(x_new, x)
+            ]
+        return tuple(x)

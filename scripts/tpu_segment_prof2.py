@@ -110,7 +110,7 @@ def main():
     print(json.dumps(results), flush=True)
 
     # ---- C: RoI align alone fwd + bwd wrt feats ----
-    align = det._roi_align_fn(inference=False)
+    align = det.net._roi_align_fn(inference=False)
 
     def align_fwdbwd(eps, fts, pb, pv):
         def lf(fts2):

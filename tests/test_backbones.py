@@ -251,3 +251,68 @@ def test_pvt_v1_v2_shapes():
         outs = net.apply(var, x)
         assert [o.shape[1] for o in outs] == [16, 8, 4, 2], v2
         assert [o.shape[-1] for o in outs] == [8, 16, 40, 64], v2
+
+
+def test_detectors_sac_rfp():
+    """DetectoRS (reference detectors_resnet.py + rfp.py): SAC backbone with
+    output_img + RFP neck produce the standard 5-level pyramid; the zero-init
+    gate makes step-2 a 50/50 blend at init."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.backbones.detectors_resnet import (
+        DetectoRSResNet,
+    )
+    from boosting_rcnn_tpu.models.necks.fpn import RFP
+
+    bb = DetectoRSResNet(depth=50, base_channels=8, frozen_stages=-1,
+                         output_img=True)
+    rfp_bb = DetectoRSResNet(depth=50, base_channels=8, frozen_stages=-1)
+    neck = RFP(in_channels=(32, 64, 128, 256), rfp_backbone=rfp_bb,
+               out_channels=16, rfp_steps=2)
+    x = jnp.ones((1, 64, 96, 3))
+    vb = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(vb, x)
+    assert len(outs) == 5 and outs[0].shape == x.shape
+    vn = neck.init(jax.random.PRNGKey(1), outs)
+    levels = neck.apply(vn, outs)
+    assert [o.shape[1] for o in levels] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 16 for o in levels)
+
+
+def test_detectors_cascade_build_loss():
+    """DetectoRS config (reference configs/detectors/): cascade R-CNN over
+    SAC+RFP builds, trains a step and predicts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    cfg = load_config(
+        "configs/detectors/detectors_cascade_rcnn_r50_1x_coco.py")
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(base_channels=8, frozen_stages=-1)
+    mc["neck"]["rfp_backbone"].update(base_channels=8, frozen_stages=-1)
+    mc["neck"].update(in_channels=[32, 64, 128, 256], out_channels=16)
+    mc["rpn_head"].update(feat_channels=16)
+    for h in mc["roi_head"]["bbox_head"]:
+        h.update(fc_out_channels=16, num_classes=4)
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=64, max_per_img=16)
+    for st in mc["train_cfg"]["rcnn"]:
+        st["sampler"]["num"] = 8
+    mc["test_cfg"]["rpn"].update(nms_pre=32, max_per_img=8)
+    det = build_detector(mc)
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    batch = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
