@@ -643,6 +643,148 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """SCNet (reference ``detectors/scnet.py`` + ``scnet_roi_head.py``)."""
+    from .models.detectors.scnet import (
+        FeatureRelayHead,
+        GlobalContextHead,
+        SCNetBBoxHead,
+        SCNetDetector,
+        SCNetNet,
+    )
+    from .models.roi_heads.cascade_roi_head import CascadeCfg
+    from .models.roi_heads.mask_head import FCNMaskHead, FusedSemanticHead
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+        model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+    )
+    roi = model_cfg["roi_head"]
+    num_stages = roi.get("num_stages", 3)
+    head_cfgs_list = roi["bbox_head"]
+    if isinstance(head_cfgs_list, dict):
+        head_cfgs_list = [head_cfgs_list] * num_stages
+    modules, bbox_cfgs = [], []
+    for hcfg in head_cfgs_list:
+        _, bc = build_bbox_head(hcfg, dtype=dtype)
+        modules.append(SCNetBBoxHead(
+            num_classes=bc.num_classes,
+            fc_out_channels=hcfg.get("fc_out_channels", 1024),
+            reg_class_agnostic=bc.reg_class_agnostic,
+            dtype=dtype,
+        ))
+        bbox_cfgs.append(bc)
+    mh = roi.get("mask_head") or {}
+    mask_heads = ()
+    if mh:
+        mask_heads = (FCNMaskHead(
+            num_classes=mh.get("num_classes", bbox_cfgs[0].num_classes),
+            num_convs=mh.get("num_convs", 4),
+            conv_channels=mh.get("conv_out_channels", 256),
+            dtype=dtype,
+        ),)
+    semantic = None
+    sem_cfg = roi.get("semantic_head")
+    if sem_cfg:
+        semantic = FusedSemanticHead(
+            num_classes=sem_cfg.get("num_classes", 183),
+            fusion_level=sem_cfg.get("fusion_level", 1),
+            num_convs=sem_cfg.get("num_convs", 4),
+            channels=sem_cfg.get("conv_out_channels", 256),
+            dtype=dtype,
+        )
+    glb = None
+    glb_cfg = roi.get("glbctx_head")
+    if glb_cfg:
+        glb = GlobalContextHead(
+            num_classes=glb_cfg.get("num_classes",
+                                    bbox_cfgs[0].num_classes),
+            num_convs=glb_cfg.get("num_convs", 4),
+            channels=glb_cfg.get("conv_out_channels", 256),
+            dtype=dtype,
+        )
+    relay = None
+    if roi.get("feat_relay_head") is not None or mask_heads:
+        fr = roi.get("feat_relay_head") or {}
+        relay = FeatureRelayHead(
+            out_channels=fr.get("out_conv_channels", 256),
+            roi_feat_size=fr.get("roi_feat_size", 7),
+            scale_factor=fr.get("scale_factor", 2),
+            dtype=dtype,
+        )
+    extractor = roi.get("bbox_roi_extractor", {})
+    strides = tuple(extractor.get("featmap_strides", (4, 8, 16, 32)))
+    net = SCNetNet(
+        backbone=backbone,
+        neck=neck,
+        rpn=rpn_module,
+        bbox_heads=tuple(modules),
+        mask_heads=mask_heads,
+        semantic_head=semantic,
+        glbctx_head=glb,
+        feat_relay_head=relay,
+        roi_strides=strides,
+        roi_finest_scale=extractor.get("finest_scale", 56),
+        semantic_stride=roi.get("semantic_roi_extractor", {}).get(
+            "featmap_strides", [8]
+        )[0],
+    )
+    rcnn_cfgs = train_cfg.get("rcnn", [])
+    if isinstance(rcnn_cfgs, dict):
+        rcnn_cfgs = [rcnn_cfgs]
+    stage_pos = tuple(
+        rc.get("assigner", {}).get("pos_iou_thr", thr)
+        for rc, thr in zip(rcnn_cfgs + [{}] * 3, (0.5, 0.6, 0.7))
+    )[:num_stages]
+    sampler = (rcnn_cfgs[0] if rcnn_cfgs else {}).get("sampler", {})
+    roi_cfg = ProbRoICfg(
+        num_samples=sampler.get("num", 512),
+        pos_fraction=sampler.get("pos_fraction", 0.25),
+        add_gt_as_proposals=sampler.get("add_gt_as_proposals", True),
+    )
+    cascade_cfg = CascadeCfg(
+        num_stages=num_stages,
+        stage_loss_weights=tuple(
+            roi.get("stage_loss_weights", (1.0, 0.5, 0.25))
+        ),
+        stage_pos_iou=stage_pos,
+    )
+    rpn_prop = train_cfg.get("rpn_proposal", {})
+    rpn_test = test_cfg.get("rpn", {})
+    rcnn_test = test_cfg.get("rcnn", {})
+    det = SCNetDetector(
+        net,
+        ag,
+        rpn_cfg=rpn_cfg,
+        roi_cfg=roi_cfg,
+        bbox_cfg=bbox_cfgs[0],
+        train_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_prop.get("nms_pre", 2000),
+            max_per_img=rpn_prop.get("max_per_img", 1000),
+            nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
+            min_bbox_size=rpn_prop.get("min_bbox_size", 0),
+        ),
+        test_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_test.get("nms_pre", 1000),
+            max_per_img=rpn_test.get("max_per_img", 300),
+            nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+            min_bbox_size=rpn_test.get("min_bbox_size", 0),
+        ),
+        rcnn_test_cfg=RCNNTestCfg(
+            score_thr=rcnn_test.get("score_thr", 0.05),
+            nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=rcnn_test.get("max_per_img", 100),
+        ),
+        rpn_type=rpn_type,
+        cascade_cfg=cascade_cfg,
+    )
+    det.glbctx_loss_weight = (glb_cfg or {}).get("loss_weight", 3.0)
+    return det
+
+
 def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """HybridTaskCascade (reference ``detectors/htc.py`` +
     ``roi_heads/htc_roi_head.py``): cascade bbox heads + per-stage HTC mask
@@ -1335,6 +1477,8 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
+    if t == "SCNet":
+        return build_scnet(model_cfg, dtype=dtype)
     if t in ("HybridTaskCascade", "HTC"):
         return build_htc(model_cfg, dtype=dtype)
     if t == "SOLO":
