@@ -643,6 +643,100 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_trident(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """TridentNet (reference ``detectors/trident_faster_rcnn.py``): C4
+    Faster R-CNN over a branch-folded trident backbone."""
+    from flax import linen as nn
+
+    from .models.backbones.trident_resnet import TridentResNet
+    from .models.detectors.trident import Res5BBoxHead, TridentFasterRCNN
+
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    bb = model_cfg["backbone"]
+    backbone = TridentResNet(
+        depth=bb.get("depth", 50),
+        base_channels=bb.get("base_channels", 64),
+        trident_dilations=tuple(bb.get("trident_dilations", (1, 2, 3))),
+        test_branch_idx=bb.get("test_branch_idx", 1),
+        frozen_stages=bb.get("frozen_stages", 1),
+        dtype=dtype,
+    )
+
+    class _IdentityNeck(nn.Module):
+        def __call__(self, x):
+            return x
+
+    rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
+        model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+    )
+    roi = model_cfg["roi_head"]
+    bhc = roi.get("bbox_head", {})
+    means, stds = _coder_params(bhc.get("bbox_coder", {}))
+    num_classes = bhc.get("num_classes", 80)
+    bbox_module = Res5BBoxHead(
+        num_classes=num_classes,
+        reg_class_agnostic=bhc.get("reg_class_agnostic", False),
+        dtype=dtype,
+    )
+    bbox_cfg = BBoxHeadCfg(
+        num_classes=num_classes,
+        target_means=means,
+        target_stds=stds,
+        reg_class_agnostic=bhc.get("reg_class_agnostic", False),
+        loss_cls_weight=bhc.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_weight=bhc.get("loss_bbox", {}).get("loss_weight", 1.0),
+    )
+    net = TwoStageNet(
+        backbone=backbone,
+        neck=_IdentityNeck(),
+        rpn=rpn_module,
+        bbox_head=bbox_module,
+        roi_strides=(16,),
+        roi_out_size=14,
+    )
+    rcnn_train = train_cfg.get("rcnn", {})
+    sampler = rcnn_train.get("sampler", {})
+    assigner = rcnn_train.get("assigner", {})
+    roi_cfg = ProbRoICfg(
+        num_samples=sampler.get("num", 128),
+        pos_fraction=sampler.get("pos_fraction", 0.5),
+        add_gt_as_proposals=sampler.get("add_gt_as_proposals", False),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+        min_pos_iou=assigner.get("min_pos_iou", 0.5),
+    )
+    rpn_prop = train_cfg.get("rpn_proposal", {})
+    rpn_test = test_cfg.get("rpn", {})
+    rcnn_test = test_cfg.get("rcnn", {})
+    det = TridentFasterRCNN(
+        net,
+        ag,
+        rpn_cfg=rpn_cfg,
+        roi_cfg=roi_cfg,
+        bbox_cfg=bbox_cfg,
+        train_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_prop.get("nms_pre", 2000),
+            max_per_img=rpn_prop.get("max_per_img", 500),
+            nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        test_proposal_cfg=ProposalCfg(
+            nms_pre=rpn_test.get("nms_pre", 1000),
+            max_per_img=rpn_test.get("max_per_img", 300),
+            nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
+        ),
+        rcnn_test_cfg=RCNNTestCfg(
+            score_thr=rcnn_test.get("score_thr", 0.05),
+            nms_iou_thr=rcnn_test.get("nms", {}).get("iou_threshold", 0.5),
+            max_per_img=rcnn_test.get("max_per_img", 100),
+        ),
+        rpn_type=rpn_type,
+    )
+    det.num_branch = len(bb.get("trident_dilations", (1, 2, 3)))
+    det.test_branch_idx = bb.get("test_branch_idx", 1)
+    return det
+
+
 def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """SCNet (reference ``detectors/scnet.py`` + ``scnet_roi_head.py``)."""
     from .models.detectors.scnet import (
@@ -1477,6 +1571,8 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
+    if t == "TridentFasterRCNN":
+        return build_trident(model_cfg, dtype=dtype)
     if t == "SCNet":
         return build_scnet(model_cfg, dtype=dtype)
     if t in ("HybridTaskCascade", "HTC"):
