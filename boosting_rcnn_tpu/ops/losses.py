@@ -480,3 +480,26 @@ def gaussian_focal_loss(
         + jnp.log(1 - pred + eps) * pred**alpha * neg_w * (1 - pos_w)
     )
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def dice_loss(pred, target, eps: float = 1e-3, activate: str = "sigmoid"):
+    """Dice loss (reference ``losses/dice_loss.py:9``): per-sample
+    ``1 - 2<p,t>/(|p|^2+|t|^2)`` over flattened maps -> (N,)."""
+    p = pred.reshape(pred.shape[0], -1).astype(jnp.float32)
+    if activate == "sigmoid":
+        p = jax.nn.sigmoid(p)
+    t = target.reshape(target.shape[0], -1).astype(jnp.float32)
+    a = jnp.sum(p * t, axis=1)
+    b = jnp.sum(p * p, axis=1) + eps
+    c = jnp.sum(t * t, axis=1) + eps
+    return 1.0 - 2 * a / (b + c)
+
+
+def kd_kl_div_loss(pred, soft_label, T: float = 10.0):
+    """Knowledge-distillation KL loss (reference ``losses/kd_loss.py:12``):
+    ``KL(softmax(soft/T) || softmax(pred/T)) * T^2`` per sample -> (N,)."""
+    tgt = jax.nn.softmax(
+        jax.lax.stop_gradient(soft_label).astype(jnp.float32) / T, axis=-1)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32) / T, axis=-1)
+    kl = tgt * (jnp.log(jnp.maximum(tgt, 1e-12)) - logp)
+    return kl.mean(axis=-1) * (T * T)

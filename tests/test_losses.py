@@ -1,6 +1,7 @@
 """Golden-value loss tests pinning mmdet numerics (reference formulas
 re-derived in numpy; cases match the weighted_loss docstring examples,
 ``mmdet/models/losses/utils.py:58``)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -148,3 +149,86 @@ def test_eiou_and_focal_eiou_vs_reference_formula():
     z = np.asarray(eiou_loss(jnp.asarray(pred), jnp.asarray(pred),
                              reduction="none"))
     assert (np.abs(z) < 1e-4).all()
+
+
+def test_dice_and_kd_losses_golden():
+    """Dice vs torch formula; KD-KL vs hand torch computation."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from boosting_rcnn_tpu.ops.losses import dice_loss, kd_kl_div_loss
+
+    rng = np.random.RandomState(0)
+    p = rng.randn(3, 16).astype(np.float32)
+    t = (rng.rand(3, 16) > 0.5).astype(np.float32)
+    got = np.asarray(dice_loss(jnp.asarray(p), jnp.asarray(t)))
+    tp = torch.sigmoid(torch.from_numpy(p))
+    tt = torch.from_numpy(t)
+    a = (tp * tt).sum(1)
+    want = 1 - 2 * a / ((tp * tp).sum(1) + 1e-3 + (tt * tt).sum(1) + 1e-3)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5)
+
+    logits = rng.randn(4, 5).astype(np.float32)
+    soft = rng.randn(4, 5).astype(np.float32)
+    got = np.asarray(kd_kl_div_loss(jnp.asarray(logits), jnp.asarray(soft),
+                                    T=2.0))
+    want = F.kl_div(
+        F.log_softmax(torch.from_numpy(logits) / 2.0, dim=1),
+        F.softmax(torch.from_numpy(soft) / 2.0, dim=1),
+        reduction="none",
+    ).mean(1) * 4.0
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5)
+
+
+def test_bucketing_coder_roundtrip():
+    """SABL coder (reference bucketing_bbox_coder.py): encoding a GT then
+    decoding with the one-hot labels + exact offsets recovers the GT."""
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.bucketing_coder import bbox2bucket, bucket2bbox
+
+    rng = np.random.RandomState(0)
+    props = jnp.asarray([[10.0, 10.0, 90.0, 70.0], [0.0, 0.0, 50.0, 40.0]])
+    gts = jnp.asarray([[14.0, 12.0, 85.0, 66.0], [5.0, 3.0, 44.0, 39.0]])
+    offsets, ow, labels, cw = bbox2bucket(props, gts, num_buckets=14,
+                                          scale_factor=1.7)
+    assert offsets.shape == (2, 28) and labels.shape == (2, 28)
+    # perfect predictions: use labels as cls logits and the encoded offsets
+    side = 7
+    n = 2
+    # select per-side offset at the labelled bucket
+    off_sel = (offsets.reshape(n, 4, side)
+               * labels.reshape(n, 4, side)).sum(-1, keepdims=True)
+    off_pred = jnp.broadcast_to(off_sel, (n, 4, side)).reshape(n, 28)
+    boxes, conf = bucket2bbox(props, labels * 100.0, off_pred,
+                              num_buckets=14, scale_factor=1.7)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(gts), atol=1e-3)
+    assert np.all(np.asarray(conf) > 0.9)
+
+
+def test_isr_p_and_carl():
+    """ISR-P: higher-IoU positives get larger weights; total positive cls
+    loss is preserved (reference isr_p renormalisation). CARL: weights rise
+    with cls confidence."""
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.pisa import carl_loss, isr_p_weights
+
+    labels = jnp.asarray([0, 0, 0, 1, 9])
+    gts = jnp.asarray([0, 0, 1, 2, 0])
+    ious = jnp.asarray([0.9, 0.6, 0.7, 0.8, 0.0])
+    lw = jnp.ones(5)
+    pos = jnp.asarray([True, True, True, True, False])
+    ce = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0])
+    w = np.asarray(isr_p_weights(labels, gts, ious, lw, pos, ce))
+    assert w[0] > w[1]  # same (label, gt): higher IoU ranks first
+    np.testing.assert_allclose((w * np.asarray(ce))[:4].sum(), 4.0,
+                               rtol=1e-5)
+    assert w[4] == 1.0  # negatives untouched
+
+    cls = jnp.asarray([[5.0, 0.0], [0.0, 0.0], [0.0, 5.0]])
+    reg = jnp.ones((3, 4))
+    loss_hi = carl_loss(cls, jnp.asarray([0, 0, 0]),
+                        jnp.asarray([True, True, False]), reg)
+    assert np.isfinite(float(loss_hi)) and float(loss_hi) > 0
