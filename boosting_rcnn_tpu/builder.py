@@ -372,8 +372,9 @@ def _coder_params(cfg: Dict[str, Any]):
 def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32):
     """Returns (flax module, head cfg dataclass, rpn_type, anchor_generator)."""
     t = cfg["type"]
-    ag = build_anchor_generator(cfg["anchor_generator"])
-    num_anchors = len(ag.base_anchors[0])
+    if t != "GARPNHead":
+        ag = build_anchor_generator(cfg["anchor_generator"])
+        num_anchors = len(ag.base_anchors[0])
     means, stds = _coder_params(cfg.get("bbox_coder", {}))
     assigner = (train_cfg or {}).get("assigner", {})
     if t == "ATSSRPNHead":
@@ -408,6 +409,54 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
             match_low_quality=assigner.get("match_low_quality", True),
         )
         return module, head_cfg, "atss_rpn", ag
+    if t == "GARPNHead":
+        from .models.dense_heads.guided_anchor_head import GACfg, GARPNConvs
+
+        approx = cfg.get("approx_anchor_generator", {})
+        square = cfg.get("square_anchor_generator", {})
+        # the squares come out of the standard generator (1 anchor/loc)
+        ag = build_anchor_generator({
+            "type": "AnchorGenerator",
+            "scales": square.get("scales", [8]),
+            "ratios": square.get("ratios", [1.0]),
+            "strides": square.get("strides", approx.get(
+                "strides", [4, 8, 16, 32, 64])),
+        })
+        module = GARPNConvs(
+            feat_channels=cfg.get("feat_channels", 256),
+            deform_groups=cfg.get("deform_groups", 4),
+            dtype=dtype,
+        )
+        a_means, a_stds = _coder_params(cfg.get("anchor_coder", {}))
+        ga_assigner = (train_cfg or {}).get("ga_assigner", {})
+        ga_sampler = (train_cfg or {}).get("ga_sampler", {})
+        sampler = (train_cfg or {}).get("sampler", {})
+        loss_loc = cfg.get("loss_loc", {})
+        head_cfg = GACfg(
+            octave_base_scale=approx.get("octave_base_scale", 8),
+            scales_per_octave=approx.get("scales_per_octave", 3),
+            ratios=tuple(approx.get("ratios", (0.5, 1.0, 2.0))),
+            strides=tuple(approx.get("strides", (4, 8, 16, 32, 64))),
+            anchor_coder_stds=a_stds,
+            bbox_coder_stds=stds,
+            loc_filter_thr=cfg.get("loc_filter_thr", 0.01),
+            center_ratio=(train_cfg or {}).get("center_ratio", 0.2),
+            ignore_ratio=(train_cfg or {}).get("ignore_ratio", 0.5),
+            ga_pos_iou_thr=ga_assigner.get("pos_iou_thr", 0.7),
+            ga_neg_iou_thr=ga_assigner.get("neg_iou_thr", 0.3),
+            ga_min_pos_iou=ga_assigner.get("min_pos_iou", 0.3),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.7),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.3),
+            min_pos_iou=assigner.get("min_pos_iou", 0.3),
+            num_samples=sampler.get("num", 256),
+            pos_fraction=sampler.get("pos_fraction", 0.5),
+            loc_loss_weight=loss_loc.get("loss_weight", 1.0),
+            shape_loss_weight=cfg.get("loss_shape", {}).get(
+                "loss_weight", 1.0),
+            loss_loc_gamma=loss_loc.get("gamma", 2.0),
+            loss_loc_alpha=loss_loc.get("alpha", 0.25),
+        )
+        return module, head_cfg, "ga_rpn", ag
     if t == "RPNHead":
         module = RPNConvs(
             num_anchors=num_anchors,

@@ -289,6 +289,17 @@ class TwoStageDetector:
                 variables, feats, method=TwoStageNet.rpn_bridge_out
             )
             cls_l, reg_l, iou_l = outs
+        elif self.rpn_type == "ga_rpn":
+            cls_l, reg_l, shape_l, loc_l = self.net.apply(
+                variables, feats, method=TwoStageNet.rpn_out
+            )
+            self._ga_shapes = flatten_levels(shape_l, 2)  # (B, A, 2)
+            self._ga_locs = flatten_levels(loc_l, 1)[..., 0]  # (B, A)
+            self._ga_featmap_sizes = tuple(
+                (f.shape[1], f.shape[2]) for f in feats
+            )
+            roi_feats = feats
+            iou_l = None
         else:
             cls_l, reg_l, iou_l = self.net.apply(
                 variables, feats, method=TwoStageNet.rpn_out
@@ -301,6 +312,18 @@ class TwoStageDetector:
         return cls, reg, iou
 
     def _proposals(self, cls, reg, iou, anchors, nla, img_shapes, pcfg: ProposalCfg):
+        if self.rpn_type == "ga_rpn":
+            from ..dense_heads.guided_anchor_head import ga_rpn_proposals
+
+            fn = lambda c, r, sp, lc, s: ga_rpn_proposals(
+                self.rpn_cfg, c, r, sp, lc, anchors, nla, s,
+                nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
+                nms_iou_thr=pcfg.nms_iou_thr,
+                min_bbox_size=pcfg.min_bbox_size,
+            )
+            return jax.vmap(fn)(
+                cls, reg, self._ga_shapes, self._ga_locs, img_shapes
+            )
         if self.rpn_type == "atss_rpn":
             fn = lambda c, r, i, s: atss_rpn_proposals(
                 self.rpn_cfg, c, r, i, anchors, nla, s,
@@ -342,7 +365,20 @@ class TwoStageDetector:
             if anchor_valid is not None
             else jnp.ones((b, anchors.shape[0]), bool)
         )
-        if self.rpn_type == "atss_rpn":
+        if self.rpn_type == "ga_rpn":
+            from ..dense_heads.guided_anchor_head import (
+                approx_anchors,
+                ga_rpn_loss,
+            )
+
+            approxs = approx_anchors(self.rpn_cfg, self._ga_featmap_sizes)
+            losses = ga_rpn_loss(
+                self.rpn_cfg, cls, reg, self._ga_shapes, self._ga_locs,
+                anchors, approxs, self._ga_featmap_sizes,
+                batch["gt_bboxes"], batch["gt_mask"], rng=rpn_rng,
+                axis_name=axis_name,
+            )
+        elif self.rpn_type == "atss_rpn":
             losses = atss_rpn_loss(
                 self.rpn_cfg, cls, reg, iou, anchors, valid,
                 batch["gt_bboxes"], batch["gt_mask"],

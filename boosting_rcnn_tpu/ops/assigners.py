@@ -48,9 +48,36 @@ def max_iou_assign(
     boxes: (N, 4); box_valid: (N,) bool; gt_bboxes: (G, 4) padded;
     gt_mask: (G,) bool; gt_labels: (G,) int32 or None.
     """
+    overlaps = bbox_overlaps(gt_bboxes, boxes)  # (G, N)
+    return assign_wrt_overlaps(
+        overlaps, boxes, box_valid, gt_bboxes, gt_mask, gt_labels,
+        pos_iou_thr, neg_iou_thr, min_pos_iou, match_low_quality,
+        gt_max_assign_all, gt_bboxes_ignore, ignore_mask, ignore_iof_thr,
+    )
+
+
+def assign_wrt_overlaps(
+    overlaps: jnp.ndarray,  # (G, N) precomputed IoU
+    boxes: jnp.ndarray,
+    box_valid: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_labels: Optional[jnp.ndarray] = None,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.5,
+    min_pos_iou: float = 0.0,
+    match_low_quality: bool = True,
+    gt_max_assign_all: bool = True,
+    gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+    ignore_mask: Optional[jnp.ndarray] = None,
+    ignore_iof_thr: float = -1.0,
+) -> AssignResult:
+    """``assign_wrt_overlaps`` on a caller-supplied IoU matrix — shared by
+    MaxIoU and ApproxMaxIoU (reference ``approx_max_iou_assigner.py:105``:
+    the approx assigner maxes the IoU over each square's approx set first,
+    then applies the identical rules)."""
     n = boxes.shape[0]
     g = gt_bboxes.shape[0]
-    overlaps = bbox_overlaps(gt_bboxes, boxes)  # (G, N)
     # Invalid gt rows must never win an argmax; invalid boxes must never be a
     # gt's best match.  (Padded gt rows are all-zero so their IoU is already
     # 0, but mask explicitly for robustness.)
