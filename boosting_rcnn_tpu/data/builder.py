@@ -22,6 +22,15 @@ def build_dataset(cfg: Dict[str, Any], test_mode: bool = False):
             build_dataset(cfg["dataset"], test_mode),
             cfg.get("oversample_thr", 1e-3),
         )
+    if t == "CityscapesDataset":
+        from .cityscapes import CityscapesDataset
+
+        return CityscapesDataset(
+            ann_file=cfg["ann_file"],
+            img_prefix=cfg.get("img_prefix", ""),
+            classes=cfg.get("classes"),
+            test_mode=test_mode,
+        )
     if t == "WIDERFaceDataset":
         from .voc import WIDERFaceDataset
 

@@ -39,6 +39,7 @@ class DetDataLoader:
         mosaic_prob: float = 0.0,
         mixup_prob: float = 0.0,
         autoaugment: bool = False,
+        domain_file: Optional[str] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -57,6 +58,11 @@ class DetDataLoader:
         self.mosaic_prob = mosaic_prob if train else 0.0
         self.mixup_prob = mixup_prob if train else 0.0
         self.autoaugment = autoaugment and train
+        self.domain_map = None
+        if domain_file:  # SUO-DAC domain labels (reference loading.py:87)
+            from .suodac import DomainMap
+
+            self.domain_map = DomainMap(domain_file)
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -117,12 +123,15 @@ class DetDataLoader:
 
             img, bboxes, labels = apply_policy(img, bboxes, labels, rng)
             segs = None  # geometric policies invalidate polygon anns
+        domain = None
+        if self.domain_map is not None:
+            domain = self.domain_map.one_hot(self.ds.img_path(i))
         flip = rng.rand() < self.flip_prob
         canvas = self.canvas if self.ds.flags[i] == 1 else self.canvas_portrait
         short = None
         if self.mstrain_range is not None and self.train:
             short = int(rng.randint(self.mstrain_range[0], self.mstrain_range[1] + 1))
-        return preprocess(
+        out = preprocess(
             img,
             bboxes,
             labels,
@@ -133,6 +142,9 @@ class DetDataLoader:
             short_side_override=short,
             segmentations=segs,
         )
+        if domain is not None:
+            out["domain_label"] = domain
+        return out
 
     def __len__(self):
         return len(self._epoch_indices(0)) // (self.batch_size * self.num_shards)

@@ -22,3 +22,62 @@ def test_wider_face_dataset(tmp_path):
     assert len(ds.data_infos) == 1
     assert ds.data_infos[0]["bboxes"].shape == (1, 4)
     assert ds.data_infos[0]["labels"][0] == 0
+
+
+def test_suodac_domain_map(tmp_path):
+    """SUO-DAC loader (reference loading.py:87): per-domain txt name lists
+    -> one-hot domain label; unknown stems default to domain 0."""
+    import numpy as np
+
+    from boosting_rcnn_tpu.data.suodac import DomainMap
+
+    d = tmp_path / "domains"
+    d.mkdir()
+    (d / "type1.txt").write_text("img_a\nimg_b\n")
+    (d / "type2.txt").write_text("img_c\n")
+    m = DomainMap(str(d))
+    assert m.num_domains == 2
+    assert m.domain_of("/data/img_c.jpg") == 1
+    assert m.domain_of("/data/img_a.png") == 0
+    assert m.domain_of("/data/unknown.jpg") == 0
+    np.testing.assert_array_equal(m.one_hot("x/img_c.jpg"), [0.0, 1.0])
+
+
+def test_cityscapes_dataset_and_protocol(tmp_path):
+    """Cityscapes dataset (reference datasets/cityscapes.py): 8 thing
+    classes, official instance dump format, cityscapes metric."""
+    import json
+
+    import numpy as np
+
+    from boosting_rcnn_tpu.data.cityscapes import CityscapesDataset
+
+    ann = dict(
+        images=[dict(id=1, file_name="munich_000001.png", width=64,
+                     height=48)],
+        annotations=[dict(
+            id=1, image_id=1, category_id=1, bbox=[10, 10, 20, 16],
+            area=320, iscrowd=0,
+            segmentation=[[10, 10, 30, 10, 30, 26, 10, 26]])],
+        categories=[dict(id=1, name="person"), dict(id=2, name="car")],
+    )
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    ds = CityscapesDataset(str(p), classes=("person", "car"))
+    assert len(ds.data_infos) == 1
+
+    dets = np.array([[10.0, 10.0, 30.0, 26.0, 0.9]], np.float32)
+    labels = np.array([0], np.int64)
+    masks = np.ones((1, 28, 28), np.float32)
+    results = [(dets, labels, masks)]
+    out = ds.evaluate(results, metric="cityscapes",
+                      outfile_prefix=str(tmp_path / "dump"))
+    assert out["cityscapes_mAP"] > 0.5
+    txt = tmp_path / "dump" / "munich_000001_pred.txt"
+    assert txt.exists()
+    line = txt.read_text().strip().split()
+    assert line[1] == "24" and float(line[2]) == 0.9  # person -> labelId 24
+    import cv2
+
+    png = cv2.imread(str(tmp_path / "dump" / line[0]), 0)
+    assert png.shape == (48, 64) and (png > 0).sum() > 200
