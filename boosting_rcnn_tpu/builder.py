@@ -692,6 +692,65 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_sabl_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """SABL RetinaNet (reference ``configs/sabl``)."""
+    from .models.dense_heads.sabl_head import SABLCfg, SABLRetinaConvs
+    from .models.detectors.single_stage import (
+        SABLDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    head = model_cfg["bbox_head"]
+    approx = head.get("approx_anchor_generator", {})
+    coder = head.get("bbox_coder", {})
+    assigner = train_cfg.get("assigner", {})
+    cfg = SABLCfg(
+        num_classes=head.get("num_classes", 80),
+        num_buckets=coder.get("num_buckets", 14),
+        bucket_scale_factor=coder.get("scale_factor", 3.0),
+        offset_topk=coder.get("offset_topk", 2),
+        octave_base_scale=approx.get("octave_base_scale", 4),
+        scales_per_octave=approx.get("scales_per_octave", 3),
+        ratios=tuple(approx.get("ratios", (0.5, 1.0, 2.0))),
+        strides=tuple(approx.get("strides", (8, 16, 32, 64, 128))),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        loss_cls_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        loss_bbox_cls_weight=head.get("loss_bbox_cls", {}).get(
+            "loss_weight", 1.5),
+        loss_bbox_reg_weight=head.get("loss_bbox_reg", {}).get(
+            "loss_weight", 1.5),
+        smooth_l1_beta=head.get("loss_bbox_reg", {}).get("beta", 1.0 / 9.0),
+    )
+    net = SingleStageNet(
+        backbone=backbone,
+        neck=neck,
+        head=SABLRetinaConvs(
+            num_classes=cfg.num_classes,
+            side_num=cfg.side_num,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            dtype=dtype,
+        ),
+    )
+    nms = test_cfg.get("nms", {})
+    return SABLDetector(
+        net, cfg,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=nms.get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_trident(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """TridentNet (reference ``detectors/trident_faster_rcnn.py``): C4
     Faster R-CNN over a branch-folded trident backbone."""
@@ -1620,6 +1679,9 @@ def build_detector(
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
         return build_cascade(model_cfg, dtype=dtype)
+    if t == "SABLRetinaNet" or model_cfg.get("bbox_head", {}).get(
+            "type") == "SABLRetinaHead":
+        return build_sabl_retinanet(model_cfg, dtype=dtype)
     if t == "TridentFasterRCNN":
         return build_trident(model_cfg, dtype=dtype)
     if t == "SCNet":

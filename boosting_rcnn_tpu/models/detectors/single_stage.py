@@ -1214,3 +1214,75 @@ class AutoAssignDetector:
 
         return jax.vmap(one)(cls, dist, obj, batch["img_shape"],
                              batch["scale_factor"])
+
+
+class SABLDetector:
+    """SABL RetinaNet (reference ``sabl_retina_head.py``): square anchors +
+    side-aware bucketing localization."""
+
+    def __init__(self, net: SingleStageNet, head_cfg,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.guided_anchor_head import square_anchors
+
+        fs = self.featmap_sizes(canvas_hw)
+        sq, nla = square_anchors(self.head_cfg.ga(), fs)
+        self._approxs_cache = (canvas_hw, fs)
+        return sq, tuple(nla)
+
+    def _approxs(self, canvas_hw):
+        from ..dense_heads.guided_anchor_head import approx_anchors
+
+        fs = self.featmap_sizes(canvas_hw)
+        return approx_anchors(self.head_cfg.ga(), fs)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        cls_l, bcls_l, breg_l = self.net.apply(variables, images)
+        c = self.head_cfg.num_classes
+        s4 = self.head_cfg.side_num * 4
+        return (flatten_levels(cls_l, c), flatten_levels(bcls_l, s4),
+                flatten_levels(breg_l, s4))
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.sabl_head import sabl_loss
+
+        images = batch["images"]
+        cls, bcls, breg = self._flat_outs(variables, images)
+        approxs = self._approxs((images.shape[1], images.shape[2]))
+        return sabl_loss(
+            self.head_cfg, cls, bcls, breg, anchors, approxs,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        from ..dense_heads.sabl_head import sabl_get_bboxes
+
+        images = batch["images"]
+        cls, bcls, breg = self._flat_outs(variables, images)
+        tc = self.test_cfg
+        fn = lambda c_, bc_, br_, shp, sf: sabl_get_bboxes(
+            self.head_cfg, c_, bc_, br_, anchors, shp, sf, rescale,
+            score_thr=tc.score_thr, nms_iou_thr=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img, nms_pre=tc.nms_pre,
+        )
+        return jax.vmap(fn)(cls, bcls, breg, batch["img_shape"],
+                            batch["scale_factor"])

@@ -108,3 +108,44 @@ def test_ga_faster_rcnn_train_and_test():
 
     dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_sabl_retinanet_train_and_test():
+    """SABL (reference sabl_retina_head.py): bucketing losses + confidence
+    rescored decode on the square-anchor RetinaNet."""
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    cfg = load_config(os.path.join(
+        REPO, "configs/sabl/sabl_retinanet_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=16)
+    mc["bbox_head"].update(feat_channels=16, stacked_convs=1, num_classes=4)
+    mc["test_cfg"].update(max_per_img=8)
+    det = build_detector(mc)
+
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    batch = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert set(losses) == {"loss_cls", "loss_bbox_cls", "loss_bbox_reg"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(p):
+        ls = det.loss({**variables, "params": p}, jax.random.PRNGKey(1),
+                      batch, anchors, nla)
+        return sum(jnp.asarray(v) for v in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    gn = sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(float(gn)) and float(gn) > 0
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
