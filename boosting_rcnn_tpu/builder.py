@@ -316,6 +316,22 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
             aspp_out_channels=cfg.get("aspp_out_channels", 64),
             dtype=dtype,
         )
+    if t == "FPG":
+        from .models.necks.fpn import FPG
+
+        return FPG(
+            out_channels=cfg.get("out_channels", 256),
+            inter_channels=cfg.get("inter_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            stack_times=cfg.get("stack_times", 9),
+            start_level=cfg.get("start_level", 0),
+            skip_inds=tuple(
+                tuple(t_) for t_ in cfg.get(
+                    "skip_inds",
+                    ((0, 1, 2, 3), (0, 1, 2), (0, 1), (0,), ()))
+            ),
+            dtype=dtype,
+        )
     if t == "FPN_CARAFE":
         from .models.necks.fpn import FPNCarafe
 

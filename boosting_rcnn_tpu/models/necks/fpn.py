@@ -494,3 +494,87 @@ class RFP(nn.Module):
                 for xn, xo in zip(x_new, x)
             ]
         return tuple(x)
+
+
+class _FPGTrans(nn.Module):
+    """act->conv->norm transition (reference fpg.py ConvModule order)."""
+
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    upsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..layers import LiveBatchNorm
+
+        x = nn.relu(x)
+        if self.upsample:
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.out_channels, (self.kernel,) * 2,
+                    (self.stride,) * 2, padding=[(pad, pad)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        return LiveBatchNorm(dtype=self.dtype, name="bn")(x)
+
+
+class FPG(nn.Module):
+    """Feature Pyramid Grids (reference ``necks/fpg.py``, the shipped
+    ``configs/fpg`` recipe: 9 bottom-up stacks, transitions in
+    act-conv-norm order, staircase ``skip_inds``)."""
+
+    out_channels: int = 256
+    inter_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 9
+    start_level: int = 0
+    skip_inds: Tuple[Tuple[int, ...], ...] = (
+        (0, 1, 2, 3), (0, 1, 2), (0, 1), (0,), ())
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        ic = self.inter_channels
+        feats = [
+            nn.Conv(ic, (1, 1), dtype=self.dtype, name=f"lateral_{i}")(x)
+            for i, x in enumerate(inputs[self.start_level:])
+        ]
+        while len(feats) < self.num_outs:
+            i = len(feats)
+            feats.append(
+                nn.Conv(ic, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"extra_down_{i}")(feats[-1])
+            )
+        stage0 = list(feats)
+        cur = list(feats)
+        for s in range(self.stack_times):
+            nxt = []
+            for lvl in range(self.num_outs):  # bottom-up
+                if s in self.skip_inds[lvl]:
+                    nxt.append(cur[lvl])
+                    continue
+                acc = _FPGTrans(ic, 1, dtype=self.dtype,
+                                name=f"s{s}_l{lvl}_lateral")(cur[lvl])
+                if nxt:  # same-pathway up (conv s2 on the fresh lower lvl)
+                    acc = acc + _FPGTrans(
+                        ic, 3, stride=2, dtype=self.dtype,
+                        name=f"s{s}_l{lvl}_same_up")(nxt[-1])
+                if lvl < self.num_outs - 1:  # across-down from higher lvl
+                    acc = acc + _FPGTrans(
+                        ic, 3, upsample=True, dtype=self.dtype,
+                        name=f"s{s}_l{lvl}_across_down")(cur[lvl + 1])
+                acc = acc + _FPGTrans(
+                    ic, 1, dtype=self.dtype,
+                    name=f"s{s}_l{lvl}_skip")(stage0[lvl])
+                nxt.append(acc)
+            cur = nxt
+        outs = []
+        for lvl in range(self.num_outs):
+            y = nn.relu(cur[lvl])
+            y = nn.Conv(self.out_channels, (3, 3),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"out_{lvl}")(y)
+            outs.append(y)
+        return tuple(outs)

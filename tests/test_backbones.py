@@ -316,3 +316,24 @@ def test_detectors_cascade_build_loss():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, anchors, nla)[:3]
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_fpg_shapes_and_train_stats():
+    """FPG (reference fpg.py): 9 bottom-up stacks with skip staircase keep
+    the 5-level pyramid; BN transitions update stats in train mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.necks.fpn import FPG
+
+    neck = FPG(out_channels=16, inter_channels=16, num_outs=5,
+               stack_times=3, skip_inds=((0, 1), (0,), (), (), ()))
+    ins = tuple(
+        jnp.zeros((1, s, s + s // 2, c))
+        for s, c in ((32, 8), (16, 16), (8, 32), (4, 64))
+    )
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs, mut = neck.apply(v, ins, mutable=["batch_stats"])
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    assert all(o.shape[-1] == 16 for o in outs)
+    assert "batch_stats" in v
