@@ -303,3 +303,23 @@ CORRUPTIONS = (
     "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
     "motion_blur", "brightness", "contrast", "pixelate", "jpeg_compression",
 )
+
+
+def albu_transform(*args, **kwargs):
+    """Albu wrapper (reference ``pipelines/transforms.py:1321``): requires
+    the ``albumentations`` package, which is not vendored; the built-in
+    pipeline (PhotoMetricDistortion/Expand/MinIoURandomCrop/CutOut/
+    AutoAugment/Mosaic/MixUp) covers the shipped configs."""
+    raise ImportError(
+        "Albu transforms need the 'albumentations' package (not installed "
+        "in this environment); use the built-in augmentations instead"
+    )
+
+
+def instaboost_transform(*args, **kwargs):
+    """InstaBoost wrapper (reference ``pipelines/instaboost.py``): requires
+    the ``instaboostfast`` package, which is not vendored."""
+    raise ImportError(
+        "InstaBoost needs the 'instaboostfast' package (not installed in "
+        "this environment)"
+    )

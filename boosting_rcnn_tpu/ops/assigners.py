@@ -475,3 +475,121 @@ def point_assign(
     else:
         labels = jnp.full((p,), -1, jnp.int32)
     return AssignResult(assigned, jnp.where(has, 1.0, 0.0), labels)
+
+
+def grid_assign(
+    boxes: jnp.ndarray,
+    box_responsible: jnp.ndarray,  # (N,) bool: YOLO responsible-cell flag
+    gt_bboxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_labels: Optional[jnp.ndarray] = None,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.0,
+    min_pos_iou: float = 0.0,
+    gt_max_assign_all: bool = True,
+) -> AssignResult:
+    """GridAssigner (reference ``grid_assigner.py``): MaxIoU rules but
+    positives restricted to grid-responsible anchors (the YOLO cell that
+    contains the gt center)."""
+    n = boxes.shape[0]
+    g = gt_bboxes.shape[0]
+    overlaps = bbox_overlaps(gt_bboxes, boxes)
+    overlaps = jnp.where(gt_mask[:, None], overlaps, 0.0)
+    max_overlaps = jnp.max(overlaps, axis=0)
+    argmax = jnp.argmax(overlaps, axis=0)
+    assigned = jnp.full((n,), -1, jnp.int32)
+    assigned = jnp.where(
+        (max_overlaps >= 0) & (max_overlaps <= neg_iou_thr), 0, assigned)
+    pos = (max_overlaps >= pos_iou_thr) & box_responsible
+    assigned = jnp.where(pos, argmax.astype(jnp.int32) + 1, assigned)
+    # per-gt best among responsible boxes (>= min_pos_iou)
+    ov_resp = jnp.where(box_responsible[None, :], overlaps, -1.0)
+    gt_max = jnp.max(ov_resp, axis=1)
+    eligible = (
+        (ov_resp == gt_max[:, None])
+        & (gt_max >= min_pos_iou)[:, None]
+        & gt_mask[:, None]
+        & box_responsible[None, :]
+    )
+    if not gt_max_assign_all:
+        only_best = jax.nn.one_hot(jnp.argmax(ov_resp, axis=1), n,
+                                   dtype=bool)
+        eligible = eligible & only_best
+    gt_idx = jnp.arange(g, dtype=jnp.int32)
+    last = jnp.max(jnp.where(eligible, gt_idx[:, None], -1), axis=0)
+    assigned = jnp.where(last >= 0, last + 1, assigned)
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(
+            jnp.int32)
+    else:
+        labels = jnp.full((n,), -1, jnp.int32)
+    return AssignResult(assigned, max_overlaps, labels)
+
+
+def region_assign(
+    anchors: jnp.ndarray,  # (A, 4) concatenated over levels
+    num_level_anchors,  # per-level counts (anchors per loc folded in)
+    strides,  # per-level strides
+    anchor_scale: float,
+    gt_bboxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    center_ratio: float = 0.2,
+    ignore_ratio: float = 0.5,
+    gt_labels: Optional[jnp.ndarray] = None,
+) -> AssignResult:
+    """RegionAssigner (reference ``region_assigner.py``, Cascade RPN):
+    each gt claims the anchors whose centers fall in its center region at
+    its scale-mapped level; the wider ignore region (own + adjacent
+    levels) is marked -1.  Later gts overwrite earlier (reference loop
+    order)."""
+    a = anchors.shape[0]
+    g = gt_bboxes.shape[0]
+    num_lvls = len(num_level_anchors)
+    scale = jnp.sqrt(jnp.maximum(
+        (gt_bboxes[:, 2] - gt_bboxes[:, 0])
+        * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1e-6))
+    min_size = float(anchor_scale * strides[0])
+    lvl = jnp.clip(
+        jnp.floor(jnp.log2(scale) - jnp.log2(min_size) + 0.5),
+        0, num_lvls - 1).astype(jnp.int32)
+    # anchor level id + centers
+    lvl_id = jnp.concatenate([
+        jnp.full((n_,), i, jnp.int32)
+        for i, n_ in enumerate(num_level_anchors)
+    ])
+    cx = (anchors[:, 0] + anchors[:, 2]) / 2
+    cy = (anchors[:, 1] + anchors[:, 3]) / 2
+    r1 = (1 - center_ratio) / 2
+    r2 = (1 - ignore_ratio) / 2
+
+    def region(gt, r):
+        x1 = gt[:, 0] * (1 - r) + gt[:, 2] * r
+        y1 = gt[:, 1] * (1 - r) + gt[:, 3] * r
+        x2 = gt[:, 0] * r + gt[:, 2] * (1 - r)
+        y2 = gt[:, 1] * r + gt[:, 3] * (1 - r)
+        return x1, y1, x2, y2
+
+    def inside(reg):
+        x1, y1, x2, y2 = reg
+        return (
+            (cx[None, :] >= x1[:, None]) & (cx[None, :] <= x2[:, None])
+            & (cy[None, :] >= y1[:, None]) & (cy[None, :] <= y2[:, None])
+        )
+
+    ctr = inside(region(gt_bboxes, r1)) & gt_mask[:, None] \
+        & (lvl_id[None, :] == lvl[:, None])
+    adj = (jnp.abs(lvl_id[None, :] - lvl[:, None]) <= 1)
+    ign = inside(region(gt_bboxes, r2)) & gt_mask[:, None] & adj
+    gt_idx = jnp.arange(g, dtype=jnp.int32)
+    last_pos = jnp.max(jnp.where(ctr, gt_idx[:, None], -1), axis=0)
+    any_ign = jnp.any(ign, axis=0)
+    assigned = jnp.where(any_ign, -1, 0)
+    assigned = jnp.where(last_pos >= 0, last_pos + 1, assigned)
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], -1).astype(
+            jnp.int32)
+    else:
+        labels = jnp.full((a,), -1, jnp.int32)
+    return AssignResult(assigned, jnp.zeros((a,), jnp.float32), labels)

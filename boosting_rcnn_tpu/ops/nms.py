@@ -283,3 +283,29 @@ def soft_nms_padded(
     _, (ob, os_, oi) = lax.scan(body, s, None, length=max_out)
     ov = os_ > jnp.maximum(min_score, 0.0)
     return ob, jnp.where(ov, os_, NEG_INF), ov, jnp.where(ov, oi, 0)
+
+
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray,
+              iou_threshold: float,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """mmcv ``nms_match``: cluster boxes into greedy-NMS groups.
+
+    Returns (N,) int32: for every box the input index of its group's
+    keeper (keepers map to themselves; invalid slots -1).  Fixed-shape
+    form of the reference's list-of-index-arrays."""
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    _, _, kvalid, kidx = nms_padded(boxes, scores, iou_threshold, n, valid)
+    # scatter keepers; invalid slots report index 0, so park them at n
+    keeper = jnp.zeros((n + 1,), bool).at[
+        jnp.where(kvalid, kidx, n)].set(True)[:n]
+    iou = bbox_overlaps(boxes, boxes)
+    s = jnp.where(valid, scores, NEG_INF)
+    # each box joins the highest-scoring keeper overlapping it > thr
+    cand = (iou > iou_threshold) & keeper[None, :] & valid[:, None]
+    key = jnp.where(cand, s[None, :], NEG_INF)
+    grp = jnp.argmax(key, axis=1).astype(jnp.int32)
+    has = jnp.max(key, axis=1) > NEG_INF / 2
+    grp = jnp.where(keeper, jnp.arange(n, dtype=jnp.int32), grp)
+    return jnp.where(valid & (has | keeper), grp, -1)

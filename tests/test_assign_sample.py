@@ -294,3 +294,60 @@ def test_score_hlr_sampler_prefers_hard_negatives():
     sel = set(np.asarray(s.inds)[np.asarray(s.valid)].tolist())
     # the 4 hardest negatives are all selected (score_fraction 0.5 of 8)
     assert {0, 1, 2, 3} <= sel
+
+
+def test_grid_assign_responsible_gate():
+    """GridAssigner (reference grid_assigner.py): positives require the
+    responsible-cell flag; unflagged high-IoU boxes stay ignored."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.assigners import grid_assign
+
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
+    res = grid_assign(
+        boxes, jnp.asarray([True, False, True]),
+        jnp.asarray([[0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]]),
+        jnp.asarray([True, True]), jnp.asarray([3, 7]), pos_iou_thr=0.5)
+    assert int(res.gt_inds[0]) == 1
+    assert int(res.gt_inds[1]) == -1  # not responsible
+    assert int(res.gt_inds[2]) == 2
+    assert int(res.labels[2]) == 7
+
+
+def test_region_assign_center_levels():
+    """RegionAssigner (reference region_assigner.py): gts claim center-
+    region anchors at their scale level; ignore ring marks -1."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.assigners import region_assign
+
+    # two levels, anchor centers at (5,5), (6,6) on lvl0 and (55,55) on lvl1
+    anchors = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
+    res = region_assign(
+        anchors, [2, 1], (8, 16), 4.0,
+        jnp.asarray([[0.0, 0.0, 12.0, 12.0]]), jnp.asarray([True]))
+    # gt scale 12 -> level 0; centers (5,5)/(6,6) are in its center region
+    assert int(res.gt_inds[0]) == 1 and int(res.gt_inds[1]) == 1
+    assert int(res.gt_inds[2]) <= 0
+
+
+def test_nms_match_groups():
+    """mmcv nms_match: boxes cluster to their greedy keeper."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.nms import nms_match
+
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 9, 9]],
+        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    g = np.asarray(nms_match(boxes, scores, 0.5))
+    assert list(g) == [0, 0, 2, 0]
+    g2 = np.asarray(nms_match(boxes, scores, 0.5,
+                              valid=jnp.asarray([True, True, True, False])))
+    assert g2[3] == -1
