@@ -388,11 +388,12 @@ def _coder_params(cfg: Dict[str, Any]):
 def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32):
     """Returns (flax module, head cfg dataclass, rpn_type, anchor_generator)."""
     t = cfg["type"]
-    if t != "GARPNHead":
+    if t not in ("GARPNHead", "CascadeRPNHead"):
         ag = build_anchor_generator(cfg["anchor_generator"])
         num_anchors = len(ag.base_anchors[0])
     means, stds = _coder_params(cfg.get("bbox_coder", {}))
-    assigner = (train_cfg or {}).get("assigner", {})
+    assigner = (train_cfg or {}).get("assigner", {}) if isinstance(
+        train_cfg, dict) or train_cfg is None else {}
     if t == "ATSSRPNHead":
         module = ATSSRPNConvs(
             num_anchors=num_anchors,
@@ -425,6 +426,53 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
             match_low_quality=assigner.get("match_low_quality", True),
         )
         return module, head_cfg, "atss_rpn", ag
+    if t == "CascadeRPNHead":
+        from .models.dense_heads.cascade_rpn_head import (
+            CascadeRPNCfg,
+            CascadeRPNConvs,
+        )
+
+        stages = cfg.get("stages", [{}, {}])
+        s1, s2 = stages[0], stages[-1]
+        agc = s1.get("anchor_generator", {})
+        ag = build_anchor_generator({
+            "type": "AnchorGenerator",
+            "scales": agc.get("scales", [8]),
+            "ratios": agc.get("ratios", [1.0]),
+            "strides": agc.get("strides", [4, 8, 16, 32, 64]),
+        })
+        tc = train_cfg if isinstance(train_cfg, (list, tuple)) else [
+            train_cfg or {}, train_cfg or {}]
+        s1_assigner = (tc[0] or {}).get("assigner", {})
+        s2_assigner = (tc[-1] or {}).get("assigner", {})
+        s2_sampler = (tc[-1] or {}).get("sampler", {})
+        _, s1_stds = _coder_params(s1.get("bbox_coder", {}))
+        _, s2_stds = _coder_params(s2.get("bbox_coder", {}))
+        module = CascadeRPNConvs(
+            feat_channels=s1.get("feat_channels", 256), dtype=dtype)
+        head_cfg = CascadeRPNCfg(
+            strides=tuple(agc.get("strides", (4, 8, 16, 32, 64))),
+            anchor_scale=float(agc.get("scales", [8])[0]),
+            stage1_stds=s1_stds if s1_stds != (1.0,) * 4
+            else (0.1, 0.1, 0.5, 0.5),
+            stage2_stds=s2_stds if s2_stds != (1.0,) * 4
+            else (0.05, 0.05, 0.1, 0.1),
+            center_ratio=(tc[0] or {}).get("center_ratio",
+                                           s1_assigner.get("center_ratio",
+                                                           0.2)),
+            ignore_ratio=(tc[0] or {}).get("ignore_ratio",
+                                           s1_assigner.get("ignore_ratio",
+                                                           0.5)),
+            pos_iou_thr=s2_assigner.get("pos_iou_thr", 0.7),
+            neg_iou_thr=s2_assigner.get("neg_iou_thr", 0.7),
+            min_pos_iou=s2_assigner.get("min_pos_iou", 0.3),
+            num_samples=s2_sampler.get("num", 256),
+            pos_fraction=s2_sampler.get("pos_fraction", 0.5),
+            loss_bbox_weight=s1.get("loss_bbox", {}).get("loss_weight",
+                                                         7.0),
+            loss_cls_weight=s2.get("loss_cls", {}).get("loss_weight", 0.7),
+        )
+        return module, head_cfg, "cascade_rpn", ag
     if t == "GARPNHead":
         from .models.dense_heads.guided_anchor_head import GACfg, GARPNConvs
 

@@ -148,6 +148,12 @@ class TwoStageNet(nn.Module):
         cls, reg = self.bbox_head(pooled)
         return cls, reg
 
+    def crpn_stage1(self, feats):
+        return self.rpn.stage1(feats)
+
+    def crpn_stage2(self, bridged, offsets):
+        return self.rpn.stage2(bridged, offsets)
+
     def mask_out(self, feats, rois, roi_valid, inference: bool = False,
                  return_pooled: bool = False):
         """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
@@ -289,6 +295,32 @@ class TwoStageDetector:
                 variables, feats, method=TwoStageNet.rpn_bridge_out
             )
             cls_l, reg_l, iou_l = outs
+        elif self.rpn_type == "cascade_rpn":
+            from ..dense_heads.cascade_rpn_head import anchor_offsets
+
+            bridged, s1_reg_l = self.net.apply(
+                variables, feats, method=TwoStageNet.crpn_stage1
+            )
+            from ...ops.box_ops import delta2bbox
+
+            s1_reg = flatten_levels(s1_reg_l, 4)  # (B, A, 4)
+            anchors_c = self._crpn_anchors
+            refined = jax.lax.stop_gradient(jax.vmap(
+                lambda r: delta2bbox(
+                    anchors_c, r, (0.0,) * 4, self.rpn_cfg.stage1_stds)
+            )(s1_reg.astype(jnp.float32)))
+            fsizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+            offsets = jax.vmap(
+                lambda a_: tuple(anchor_offsets(self.rpn_cfg, a_, fsizes))
+            )(refined)
+            cls_l, reg_l = self.net.apply(
+                variables, bridged, list(offsets),
+                method=TwoStageNet.crpn_stage2
+            )
+            self._crpn_refined = refined
+            self._crpn_s1_reg = s1_reg
+            roi_feats = feats
+            iou_l = None
         elif self.rpn_type == "ga_rpn":
             cls_l, reg_l, shape_l, loc_l = self.net.apply(
                 variables, feats, method=TwoStageNet.rpn_out
@@ -312,6 +344,16 @@ class TwoStageDetector:
         return cls, reg, iou
 
     def _proposals(self, cls, reg, iou, anchors, nla, img_shapes, pcfg: ProposalCfg):
+        if self.rpn_type == "cascade_rpn":
+            from ..dense_heads.cascade_rpn_head import crpn_proposals
+
+            fn = lambda c, r, ra, s: crpn_proposals(
+                self.rpn_cfg, c, r, ra, nla, s,
+                nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
+                nms_iou_thr=pcfg.nms_iou_thr,
+                min_bbox_size=pcfg.min_bbox_size,
+            )
+            return jax.vmap(fn)(cls, reg, self._crpn_refined, img_shapes)
         if self.rpn_type == "ga_rpn":
             from ..dense_heads.guided_anchor_head import ga_rpn_proposals
 
@@ -358,6 +400,8 @@ class TwoStageDetector:
         b = images.shape[0]
         rpn_rng, roi_rng = jax.random.split(rng)
         feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        if self.rpn_type == "cascade_rpn":
+            self._crpn_anchors, self._crpn_nla = anchors, num_level_anchors
         cls, reg, iou = self._rpn_flat(variables, feats)
 
         valid = (
@@ -365,7 +409,16 @@ class TwoStageDetector:
             if anchor_valid is not None
             else jnp.ones((b, anchors.shape[0]), bool)
         )
-        if self.rpn_type == "ga_rpn":
+        if self.rpn_type == "cascade_rpn":
+            from ..dense_heads.cascade_rpn_head import crpn_loss
+
+            losses = crpn_loss(
+                self.rpn_cfg, self._crpn_s1_reg, cls, reg,
+                self._crpn_anchors, self._crpn_refined,
+                self._crpn_nla, batch["gt_bboxes"], batch["gt_mask"],
+                rng=rpn_rng, axis_name=axis_name,
+            )
+        elif self.rpn_type == "ga_rpn":
             from ..dense_heads.guided_anchor_head import (
                 approx_anchors,
                 ga_rpn_loss,
@@ -516,6 +569,8 @@ class TwoStageDetector:
         images = batch["images"]
         b = images.shape[0]
         feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        if self.rpn_type == "cascade_rpn":
+            self._crpn_anchors, self._crpn_nla = anchors, num_level_anchors
         cls, reg, iou = self._rpn_flat(variables, feats)
         prop_boxes, prop_scores, prop_valid = self._proposals(
             cls, reg, iou, anchors, num_level_anchors,
