@@ -756,6 +756,68 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_ga_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """GA-RetinaNet (reference configs/guided_anchoring/ga_retinanet_*)."""
+    from .models.dense_heads.guided_anchor_head import GACfg, GARetinaConvs
+    from .models.detectors.single_stage import (
+        GARetinaDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    test_cfg = model_cfg.get("test_cfg") or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    head = model_cfg["bbox_head"]
+    approx = head.get("approx_anchor_generator", {})
+    _, a_stds = _coder_params(head.get("anchor_coder", {}))
+    _, b_stds = _coder_params(head.get("bbox_coder", {}))
+    ga_assigner = train_cfg.get("ga_assigner", {})
+    assigner = train_cfg.get("assigner", {})
+    loss_loc = head.get("loss_loc", {})
+    cfg = GACfg(
+        octave_base_scale=approx.get("octave_base_scale", 4),
+        scales_per_octave=approx.get("scales_per_octave", 3),
+        ratios=tuple(approx.get("ratios", (0.5, 1.0, 2.0))),
+        strides=tuple(approx.get("strides", (8, 16, 32, 64, 128))),
+        anchor_coder_stds=a_stds,
+        bbox_coder_stds=b_stds,
+        loc_filter_thr=head.get("loc_filter_thr", 0.01),
+        center_ratio=train_cfg.get("center_ratio", 0.2),
+        ignore_ratio=train_cfg.get("ignore_ratio", 0.5),
+        ga_pos_iou_thr=ga_assigner.get("pos_iou_thr", 0.5),
+        ga_neg_iou_thr=ga_assigner.get("neg_iou_thr", 0.4),
+        ga_min_pos_iou=ga_assigner.get("min_pos_iou", 0.4),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        loc_loss_weight=loss_loc.get("loss_weight", 1.0),
+        shape_loss_weight=head.get("loss_shape", {}).get("loss_weight",
+                                                         1.0),
+    )
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=GARetinaConvs(
+            num_classes=head.get("num_classes", 80),
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            deform_groups=head.get("deform_groups", 4),
+            dtype=dtype,
+        ),
+    )
+    nms = test_cfg.get("nms", {})
+    return GARetinaDetector(
+        net, cfg, num_classes=head.get("num_classes", 80),
+        smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.04),
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=nms.get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_sabl_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """SABL RetinaNet (reference ``configs/sabl``)."""
     from .models.dense_heads.sabl_head import SABLCfg, SABLRetinaConvs
@@ -1737,6 +1799,8 @@ def build_detector(
         return build_fovea(model_cfg, dtype=dtype)
     if t == "RPN":
         return build_rpn_detector(model_cfg, dtype=dtype)
+    if model_cfg.get("bbox_head", {}).get("type") == "GARetinaHead":
+        return build_ga_retinanet(model_cfg, dtype=dtype)
     if t in ("RetinaNet", "ATSS", "SingleStageDetector"):
         return build_single_stage(model_cfg, dtype=dtype)
     train_cfg = model_cfg.get("train_cfg") or {}

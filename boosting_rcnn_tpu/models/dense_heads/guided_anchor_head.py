@@ -411,3 +411,161 @@ def ga_rpn_proposals(
         props, s, ids, nms_iou_thr, max_per_img, valid=ok
     )
     return boxes, jnp.where(valid, out_s, 0.0), valid
+
+
+class GARetinaConvs(nn.Module):
+    """GA-RetinaNet head (reference ``ga_retina_head.py``): cls/reg towers,
+    loc from the cls tower, shape from the reg tower, per-branch feature
+    adaption, then cls/reg heads (MaskedConv == dense conv + loc mask on
+    TPU)."""
+
+    num_classes: int
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    deform_groups: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        cls_t = [nn.Conv(self.feat_channels, (3, 3),
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                         name=f"cls_conv{i}")
+                 for i in range(self.stacked_convs)]
+        reg_t = [nn.Conv(self.feat_channels, (3, 3),
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                         name=f"reg_conv{i}")
+                 for i in range(self.stacked_convs)]
+        conv_loc = nn.Conv(1, (1, 1), dtype=self.dtype,
+                           bias_init=nn.initializers.constant(-4.595),
+                           name="conv_loc")
+        conv_shape = nn.Conv(2, (1, 1), dtype=self.dtype, name="conv_shape")
+        adapt_cls = FeatureAdaption(self.feat_channels, self.deform_groups,
+                                    dtype=self.dtype, name="adapt_cls")
+        adapt_reg = FeatureAdaption(self.feat_channels, self.deform_groups,
+                                    dtype=self.dtype, name="adapt_reg")
+        head_cls = nn.Conv(self.num_classes, (3, 3),
+                           padding=[(1, 1), (1, 1)],
+                           bias_init=nn.initializers.constant(-4.595),
+                           dtype=self.dtype, name="retina_cls")
+        head_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                           dtype=self.dtype, name="retina_reg")
+        clss, regs, shapes, locs = [], [], [], []
+        for f in feats:
+            c, r = f, f
+            for conv in cls_t:
+                c = nn.relu(conv(c))
+            for conv in reg_t:
+                r = nn.relu(conv(r))
+            loc = conv_loc(c)
+            shp = conv_shape(r)
+            clss.append(head_cls(adapt_cls(c, shp)))
+            regs.append(head_reg(adapt_reg(r, shp)))
+            shapes.append(shp)
+            locs.append(loc)
+        return clss, regs, shapes, locs
+
+
+def ga_retina_loss(
+    cfg: GACfg,
+    num_classes: int,
+    cls_logits,  # (B, A, C)
+    bbox_preds,  # (B, A, 4)
+    shape_preds,  # (B, A, 2)
+    loc_logits,  # (B, A)
+    squares,
+    approxs,
+    featmap_sizes,
+    gt_bboxes,
+    gt_labels,
+    gt_mask,
+    smooth_l1_beta: float = 0.04,
+    axis_name=None,
+):
+    """GA-RetinaNet loss: loc/shape branches as GA-RPN, multi-class focal
+    cls + smooth-L1 reg on the guided anchors (no sampling — focal)."""
+    from ...ops.assigners import max_iou_assign
+
+    b, a, c = cls_logits.shape
+
+    loc_t, loc_w, loc_avg = jax.vmap(
+        lambda gb, gm: ga_loc_targets(cfg, gb, gm, featmap_sizes)
+    )(gt_bboxes, gt_mask)
+    fl = L.sigmoid_focal_loss(
+        loc_logits.astype(jnp.float32).reshape(-1), loc_t.reshape(-1),
+        gamma=cfg.loss_loc_gamma, alpha=cfg.loss_loc_alpha,
+        reduction="none")
+    loss_loc = (fl * loc_w.reshape(-1)).sum() / jnp.maximum(
+        jnp.sum(loc_avg), 1.0)
+
+    ba, bg, bw = jax.vmap(
+        lambda gb, gm: ga_shape_targets(cfg, approxs, squares, gb, gm)
+    )(gt_bboxes, gt_mask)
+    pred_anchors = jax.vmap(
+        lambda sp: guided_anchors(cfg, squares, sp)
+    )(shape_preds.astype(jnp.float32))
+    n_pos_s = jnp.maximum(jnp.sum(bw), 1.0)
+    elem = bounded_iou_loss(
+        pred_anchors.reshape(-1, 4),
+        jnp.where(bw.reshape(-1, 1) > 0, bg.reshape(-1, 4), 1.0))
+    loss_shape = (elem * bw.reshape(-1, 1)).sum() / n_pos_s
+
+    g_anchors = jax.lax.stop_gradient(pred_anchors)
+
+    def targets(anc, gb, gl, gm):
+        assign = max_iou_assign(
+            anc, jnp.ones((a,), bool), gb, gm, gl,
+            pos_iou_thr=cfg.pos_iou_thr, neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou, match_low_quality=True)
+        pos = assign.gt_inds > 0
+        neg = assign.gt_inds == 0
+        safe = jnp.clip(assign.gt_inds - 1, 0, gb.shape[0] - 1)
+        enc = box_ops.bbox2delta(anc, gb[safe], (0.0,) * 4,
+                                 cfg.bbox_coder_stds, eps=1e-6)
+        labels = jnp.where(pos, assign.labels, num_classes)
+        return pos, (pos | neg).astype(jnp.float32), labels, \
+            jnp.where(pos[:, None], enc, 0.0)
+
+    pos, lw, labels, bt = jax.vmap(targets)(g_anchors, gt_bboxes,
+                                            gt_labels, gt_mask)
+    num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+    if axis_name is not None:
+        num_pos = jnp.maximum(
+            jax.lax.pmean(jnp.sum(pos.astype(jnp.float32)), axis_name), 1.0)
+    onehot = jax.nn.one_hot(labels, c)
+    fl2 = L.sigmoid_focal_loss(
+        cls_logits.astype(jnp.float32).reshape(-1, c),
+        onehot.reshape(-1, c), gamma=2.0, alpha=0.25, reduction="none")
+    loss_cls = (fl2.sum(-1) * lw.reshape(-1)).sum() / num_pos
+    diff = jnp.abs(bbox_preds.astype(jnp.float32) - bt)
+    sm = jnp.where(diff < smooth_l1_beta,
+                   0.5 * diff * diff / smooth_l1_beta,
+                   diff - 0.5 * smooth_l1_beta)
+    loss_bbox = (sm * pos[..., None].astype(jnp.float32)).sum() / num_pos
+    return {
+        "loss_cls": loss_cls,
+        "loss_bbox": loss_bbox,
+        "loss_anchor_loc": cfg.loc_loss_weight * loss_loc,
+        "loss_anchor_shape": cfg.shape_loss_weight * loss_shape,
+    }
+
+
+def ga_retina_get_bboxes(cfg: GACfg, cls_logits, bbox_preds, shape_preds,
+                         loc_logits, squares, img_shape, scale_factor,
+                         rescale=True, score_thr=0.05, nms_iou_thr=0.5,
+                         max_per_img=100):
+    """Single-image decode: guided anchors + loc filter + multiclass NMS."""
+    from ...ops.nms import multiclass_nms_padded
+
+    anchors = guided_anchors(cfg, squares, shape_preds.astype(jnp.float32))
+    keep = jax.nn.sigmoid(loc_logits.astype(jnp.float32)) \
+        >= cfg.loc_filter_thr
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    scores = scores * keep[:, None]
+    boxes = box_ops.delta2bbox(
+        anchors, bbox_preds.astype(jnp.float32), (0.0,) * 4,
+        cfg.bbox_coder_stds, max_shape=img_shape)
+    if rescale:
+        boxes = boxes / scale_factor.reshape(1, 4)
+    return multiclass_nms_padded(
+        boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
+        max_per_img=max_per_img)

@@ -1286,3 +1286,75 @@ class SABLDetector:
         )
         return jax.vmap(fn)(cls, bcls, breg, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class GARetinaDetector:
+    """GA-RetinaNet (reference ``detectors/retinanet.py`` +
+    ``ga_retina_head.py``)."""
+
+    def __init__(self, net: SingleStageNet, head_cfg, num_classes: int,
+                 smooth_l1_beta: float = 0.04,
+                 test_cfg: SSTestCfg = SSTestCfg()):
+        self.net = net
+        self.head_cfg = head_cfg  # GACfg
+        self.num_classes = num_classes
+        self.smooth_l1_beta = smooth_l1_beta
+        self.test_cfg = test_cfg
+
+    def featmap_sizes(self, canvas_hw):
+        import math
+
+        return [
+            (math.ceil(canvas_hw[0] / s), math.ceil(canvas_hw[1] / s))
+            for s in self.head_cfg.strides
+        ]
+
+    def anchors_for(self, canvas_hw):
+        from ..dense_heads.guided_anchor_head import square_anchors
+
+        sq, nla = square_anchors(self.head_cfg, self.featmap_sizes(canvas_hw))
+        return sq, tuple(nla)
+
+    def init(self, rng, canvas_hw, batch_size: int = 1):
+        images = jnp.zeros((batch_size, *canvas_hw, 3), jnp.float32)
+        return self.net.init(rng, images)
+
+    def _flat_outs(self, variables, images):
+        cls_l, reg_l, shape_l, loc_l = self.net.apply(variables, images)
+        return (flatten_levels(cls_l, self.num_classes),
+                flatten_levels(reg_l, 4),
+                flatten_levels(shape_l, 2),
+                flatten_levels(loc_l, 1)[..., 0])
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.guided_anchor_head import (
+            approx_anchors,
+            ga_retina_loss,
+        )
+
+        images = batch["images"]
+        cls, reg, shp, loc = self._flat_outs(variables, images)
+        fs = self.featmap_sizes((images.shape[1], images.shape[2]))
+        approxs = approx_anchors(self.head_cfg, fs)
+        return ga_retina_loss(
+            self.head_cfg, self.num_classes, cls, reg, shp, loc,
+            anchors, approxs, fs, batch["gt_bboxes"], batch["gt_labels"],
+            batch["gt_mask"], smooth_l1_beta=self.smooth_l1_beta,
+            axis_name=axis_name,
+        )
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        from ..dense_heads.guided_anchor_head import ga_retina_get_bboxes
+
+        images = batch["images"]
+        cls, reg, shp, loc = self._flat_outs(variables, images)
+        tc = self.test_cfg
+        fn = lambda c_, r_, s_, l_, shp_, sf: ga_retina_get_bboxes(
+            self.head_cfg, c_, r_, s_, l_, anchors, shp_, sf, rescale,
+            score_thr=tc.score_thr, nms_iou_thr=tc.nms_iou_thr,
+            max_per_img=tc.max_per_img,
+        )
+        return jax.vmap(fn)(cls, reg, shp, loc, batch["img_shape"],
+                            batch["scale_factor"])

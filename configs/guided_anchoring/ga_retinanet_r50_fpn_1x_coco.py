@@ -1,0 +1,53 @@
+# GA-RetinaNet (reference configs/guided_anchoring/
+# ga_retinanet_r50_fpn_1x_coco.py).
+_base_ = [
+    "../_base_/datasets/coco_detection.py",
+    "../_base_/default_runtime.py",
+    "../_base_/schedules/schedule_1x.py",
+]
+model = dict(
+    type='RetinaNet',
+    backbone=dict(
+        type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        frozen_stages=1, norm_eval=True),
+    neck=dict(
+        type='FPN', in_channels=[256, 512, 1024, 2048], out_channels=256,
+        start_level=1, add_extra_convs='on_input', num_outs=5),
+    bbox_head=dict(
+        type='GARetinaHead', num_classes=80, in_channels=256,
+        stacked_convs=4, feat_channels=256,
+        approx_anchor_generator=dict(
+            type='AnchorGenerator', octave_base_scale=4,
+            scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+            strides=[8, 16, 32, 64, 128]),
+        square_anchor_generator=dict(
+            type='AnchorGenerator', ratios=[1.0], scales=[4],
+            strides=[8, 16, 32, 64, 128]),
+        anchor_coder=dict(
+            type='DeltaXYWHBBoxCoder', target_means=[0., 0., 0., 0.],
+            target_stds=[1.0, 1.0, 1.0, 1.0]),
+        bbox_coder=dict(
+            type='DeltaXYWHBBoxCoder', target_means=[0., 0., 0., 0.],
+            target_stds=[1.0, 1.0, 1.0, 1.0]),
+        loc_filter_thr=0.01,
+        loss_loc=dict(
+            type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0),
+        loss_shape=dict(type='BoundedIoULoss', beta=0.2, loss_weight=1.0),
+        loss_cls=dict(
+            type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0),
+        loss_bbox=dict(type='SmoothL1Loss', beta=0.04, loss_weight=1.0)),
+    train_cfg=dict(
+        ga_assigner=dict(
+            type='ApproxMaxIoUAssigner', pos_iou_thr=0.5, neg_iou_thr=0.4,
+            min_pos_iou=0.4, ignore_iof_thr=-1),
+        ga_sampler=dict(
+            type='RandomSampler', num=256, pos_fraction=0.5),
+        assigner=dict(
+            type='MaxIoUAssigner', pos_iou_thr=0.5, neg_iou_thr=0.5,
+            min_pos_iou=0.0),
+        center_ratio=0.2, ignore_ratio=0.5),
+    test_cfg=dict(
+        nms_pre=1000, min_bbox_size=0, score_thr=0.05,
+        nms=dict(type='nms', iou_threshold=0.5), max_per_img=100))

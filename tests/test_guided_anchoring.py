@@ -149,3 +149,36 @@ def test_sabl_retinanet_train_and_test():
 
     dets, labels, valid = det.predict(variables, batch, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_ga_retinanet_train_and_test():
+    """GA-RetinaNet (reference ga_retina_head.py): loc/shape + guided
+    anchor focal cls + smooth-L1 reg."""
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    cfg = load_config(os.path.join(
+        REPO, "configs/guided_anchoring/ga_retinanet_r50_fpn_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[8, 16, 32, 64], out_channels=16)
+    mc["bbox_head"].update(feat_channels=16, stacked_convs=1,
+                           num_classes=4, deform_groups=1)
+    mc["test_cfg"].update(max_per_img=8)
+    det = build_detector(mc)
+
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    batch = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_anchor_loc" in losses and "loss_cls" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
