@@ -610,7 +610,8 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
     loss_cls = head.get("loss_cls", {})
     backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
     neck = build_neck(model_cfg["neck"], dtype=dtype)
-    assigner = (model_cfg.get("train_cfg") or {}).get("assigner", {})
+    train_cfg = model_cfg.get("train_cfg") or {}
+    assigner = train_cfg.get("assigner", {})
     if t == "ATSS" or head.get("type") == "ATSSHead":
         module = ATSSConvs(
             num_classes=num_classes,
@@ -650,6 +651,12 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
             pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
             neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
             smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.0),
+            pisa=(head.get("type") == "PISARetinaHead"
+                  or train_cfg.get("isr") is not None),
+            isr_k=(train_cfg.get("isr") or {}).get("k", 2.0),
+            isr_bias=(train_cfg.get("isr") or {}).get("bias", 0.0),
+            carl_k=(train_cfg.get("carl") or {}).get("k", 1.0),
+            carl_bias=(train_cfg.get("carl") or {}).get("bias", 0.2),
         )
         head_type = "retina"
     net = SingleStageNet(backbone=backbone, neck=neck, head=module)

@@ -73,6 +73,12 @@ class RetinaCfg:
     neg_iou_thr: float = 0.4
     min_pos_iou: float = 0.0
     smooth_l1_beta: float = 0.0  # 0 -> plain L1 (modern retinanet default)
+    # PISA (reference pisa_retinanet_head.py): ISR-P reweighting + CARL
+    pisa: bool = False
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
 
 
 def retina_loss(
@@ -102,13 +108,45 @@ def retina_loss(
         enc = box_ops.bbox2delta(anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6)
         bt = jnp.where(pos[:, None], enc, 0.0)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
-        return pos, w, bt, labels
+        return pos, w, bt, labels, jnp.clip(assign.gt_inds - 1, 0, g - 1)
 
-    pos, w, bt, labels = jax.vmap(targets)(valid, gt_bboxes, gt_labels, gt_mask)
+    pos, w, bt, labels, gt_idx = jax.vmap(targets)(
+        valid, gt_bboxes, gt_labels, gt_mask)
     num_pos = jnp.sum(pos.astype(jnp.float32))
     if axis_name is not None:
         num_pos = jax.lax.pmean(num_pos, axis_name)
     num_total = jnp.maximum(num_pos, 1.0)
+
+    if cfg.pisa:
+        # ISR-P: reweight positive anchors by IoU-HLR; CARL on regression
+        # (reference ``pisa_loss.py`` applied by PISARetinaHead).
+        from ...ops.pisa import carl_loss, isr_p_weights
+
+        g = gt_bboxes.shape[1]
+        gt_global = (gt_idx
+                     + jnp.arange(b, dtype=gt_idx.dtype)[:, None] * g)
+        dec_p = jax.vmap(
+            lambda r: box_ops.delta2bbox(anchors, r, cfg.target_means,
+                                         cfg.target_stds)
+        )(bbox_preds.astype(jnp.float32))
+        dec_t = jax.vmap(
+            lambda r: box_ops.delta2bbox(anchors, r, cfg.target_means,
+                                         cfg.target_stds)
+        )(bt)
+        ious = box_ops.bbox_overlaps_aligned(
+            dec_p.reshape(-1, 4), dec_t.reshape(-1, 4))
+        onehot_p = jax.nn.one_hot(labels.reshape(-1), c,
+                                  dtype=jnp.float32)
+        ce = L.sigmoid_focal_loss(
+            jax.lax.stop_gradient(cls_logits).reshape(-1, c), onehot_p,
+            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha,
+            reduction="none",
+        ).sum(-1)
+        w = isr_p_weights(
+            labels.reshape(-1), gt_global.reshape(-1),
+            jax.lax.stop_gradient(ious), w.reshape(-1),
+            pos.reshape(-1), ce, k=cfg.isr_k, bias=cfg.isr_bias,
+        ).reshape(b, a)
 
     onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
     loss_cls = (
@@ -129,10 +167,20 @@ def retina_loss(
             bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
             avg_factor=num_total,
         )
-    return {
+    out = {
         "loss_cls": loss_cls,
         "loss_bbox": loss_bbox * cfg.loss_bbox_weight,
     }
+    if cfg.pisa:
+        from ...ops.pisa import carl_loss
+
+        reg_elem = jnp.abs(bbox_preds.reshape(-1, 4) - bt.reshape(-1, 4))
+        out["loss_carl"] = carl_loss(
+            cls_logits.reshape(-1, c), labels.reshape(-1),
+            pos.reshape(-1), reg_elem, k=cfg.carl_k, bias=cfg.carl_bias,
+            avg_factor=num_total, sigmoid=True,
+        )
+    return out
 
 
 def retina_get_bboxes(

@@ -232,3 +232,34 @@ def test_isr_p_and_carl():
     loss_hi = carl_loss(cls, jnp.asarray([0, 0, 0]),
                         jnp.asarray([True, True, False]), reg)
     assert np.isfinite(float(loss_hi)) and float(loss_hi) > 0
+
+
+def test_pisa_retina_loss_wiring():
+    """PISA (reference pisa_retinanet_head.py): the pisa flag adds a carl
+    term and reweights positives without breaking finiteness."""
+    import jax
+
+    from boosting_rcnn_tpu.models.dense_heads.retina_head import (
+        RetinaCfg,
+        retina_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    a, c = 32, 4
+    anchors = jnp.asarray(
+        np.stack([rng.uniform(0, 80, a), rng.uniform(0, 60, a),
+                  rng.uniform(80, 160, a), rng.uniform(60, 120, a)], -1),
+        jnp.float32)
+    cls = jnp.asarray(rng.randn(1, a, c).astype(np.float32))
+    reg = jnp.asarray(rng.randn(1, a, 4).astype(np.float32) * 0.1)
+    gts = jnp.asarray([[[10.0, 10.0, 90.0, 70.0], [0, 0, 0, 0]]])
+    gls = jnp.asarray([[2, 0]])
+    gm = jnp.asarray([[True, False]])
+    valid = jnp.ones((1, a), bool)
+    base = retina_loss(RetinaCfg(num_classes=c), cls, reg, anchors, valid,
+                       gts, gls, gm)
+    pisa = retina_loss(RetinaCfg(num_classes=c, pisa=True), cls, reg,
+                       anchors, valid, gts, gls, gm)
+    assert "loss_carl" in pisa and "loss_carl" not in base
+    for v in pisa.values():
+        assert np.isfinite(float(v))
