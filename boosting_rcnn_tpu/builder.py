@@ -668,6 +668,7 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -819,6 +820,7 @@ def build_ga_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=nms.get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -878,6 +880,7 @@ def build_sabl_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=nms.get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1327,6 +1330,7 @@ def build_vfnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1373,6 +1377,7 @@ def build_fsaf(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1429,6 +1434,7 @@ def build_paa(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1489,6 +1495,7 @@ def build_yolof(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1578,6 +1585,7 @@ def build_reppoints(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1721,6 +1729,7 @@ def build_free_anchor(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -1765,6 +1774,7 @@ def build_autoassign(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -2054,6 +2064,7 @@ def build_fcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -2097,6 +2108,7 @@ def build_gfl(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.6),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -2205,6 +2217,7 @@ def build_yolo(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.45),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),
@@ -2425,6 +2438,7 @@ def build_fovea(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_cfg=SSTestCfg(
             nms_pre=test_cfg.get("nms_pre", 1000),
             score_thr=test_cfg.get("score_thr", 0.05),
+            pre_nms_top_k=test_cfg.get("pre_nms_top_k", 2048),
             nms_iou_thr=test_cfg.get("nms", {}).get("iou_threshold", 0.5),
             max_per_img=test_cfg.get("max_per_img", 100),
         ),

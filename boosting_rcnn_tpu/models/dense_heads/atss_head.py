@@ -165,6 +165,7 @@ def atss_get_bboxes(
     score_thr: float = 0.05,
     nms_iou_thr: float = 0.6,
     max_per_img: int = 100,
+    pre_nms_top_k: int = 2048,
 ):
     scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     ctr_all = jax.nn.sigmoid(ctr_logits.astype(jnp.float32))
@@ -193,4 +194,5 @@ def atss_get_bboxes(
     return multiclass_nms_padded(
         boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
         max_per_img=max_per_img, score_factors=ctr,
+        pre_nms_top_k=pre_nms_top_k,
     )

@@ -196,6 +196,7 @@ def retina_get_bboxes(
     score_thr: float = 0.05,
     nms_iou_thr: float = 0.5,
     max_per_img: int = 100,
+    pre_nms_top_k: int = 2048,
 ):
     """Single-image detection decode (``anchor_head.py`` ``_get_bboxes``)."""
     scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
@@ -221,5 +222,5 @@ def retina_get_bboxes(
     # append a dummy bg column: multiclass_nms_padded takes fg-only scores
     return multiclass_nms_padded(
         boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
-        max_per_img=max_per_img,
+        max_per_img=max_per_img, pre_nms_top_k=pre_nms_top_k,
     )

@@ -24,6 +24,9 @@ class SSTestCfg:
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
+    # static cap on thresholded candidates entering NMS (exact mmdet keeps
+    # all of them); raise via test_cfg for ultra-dense scenes
+    pre_nms_top_k: int = 2048
 
 
 class SingleStageNet(nn.Module):
@@ -118,12 +121,14 @@ class SingleStageDetector:
                 self.head_cfg, c_, r_, e_, anchors, num_level_anchors, shp, sf,
                 rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
                 nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+                pre_nms_top_k=tc.pre_nms_top_k,
             )
             return jax.vmap(fn)(cls, reg, extra, batch["img_shape"], batch["scale_factor"])
         fn = lambda c_, r_, shp, sf: retina_get_bboxes(
             self.head_cfg, c_, r_, anchors, num_level_anchors, shp, sf,
             rescale, nms_pre=tc.nms_pre, score_thr=tc.score_thr,
             nms_iou_thr=tc.nms_iou_thr, max_per_img=tc.max_per_img,
+            pre_nms_top_k=tc.pre_nms_top_k,
         )
         return jax.vmap(fn)(cls, reg, batch["img_shape"], batch["scale_factor"])
 
