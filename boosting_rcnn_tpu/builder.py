@@ -887,6 +887,73 @@ def build_sabl_retinanet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+def build_yolact(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """YOLACT (reference ``detectors/yolact.py`` + ``yolact_head.py``)."""
+    from .models.dense_heads.ssd_head import SSDCfg
+    from .models.detectors.yolact import (
+        YOLACTCfg,
+        YOLACTDetector,
+        YOLACTHeadConvs,
+        YOLACTNet,
+        YOLACTProtonet,
+        YOLACTSegmHead,
+    )
+
+    head = model_cfg["bbox_head"]
+    mask_head = model_cfg.get("mask_head", {}) or {}
+    segm_head = model_cfg.get("segm_head", {}) or {}
+    train_cfg = model_cfg.get("train_cfg") or {}
+    test_cfg = model_cfg.get("test_cfg") or {}
+    ag = build_anchor_generator(head["anchor_generator"])
+    num_anchors = len(ag.base_anchors[0])
+    means, stds = _coder_params(head.get("bbox_coder", {}))
+    num_classes = head.get("num_classes", 80)
+    assigner = train_cfg.get("assigner", {})
+    ssd_cfg = SSDCfg(
+        num_classes=num_classes,
+        target_means=means,
+        target_stds=stds,
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        neg_pos_ratio=train_cfg.get("sampler", {}).get(
+            "neg_pos_ratio", 3),
+        loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.5),
+        smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 1.0),
+    )
+    cfg = YOLACTCfg(
+        num_classes=num_classes,
+        num_protos=head.get("num_protos", 32),
+        max_masks_to_train=mask_head.get("max_masks_to_train", 100),
+        loss_mask_weight=mask_head.get("loss_mask_weight", 1.0),
+        score_thr=test_cfg.get("score_thr", 0.05),
+        iou_thr=test_cfg.get("iou_thr", 0.5),
+        top_k=test_cfg.get("top_k", 200),
+        max_per_img=test_cfg.get("max_per_img", 100),
+    )
+    net = YOLACTNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=YOLACTHeadConvs(
+            num_classes=num_classes,
+            num_anchors=num_anchors,
+            num_protos=cfg.num_protos,
+            feat_channels=head.get("feat_channels", 256),
+            num_head_convs=head.get("num_head_convs", 1),
+            dtype=dtype,
+        ),
+        protonet=YOLACTProtonet(
+            num_protos=cfg.num_protos,
+            channels=mask_head.get("proto_channels", [256])[0]
+            if isinstance(mask_head.get("proto_channels"), (list, tuple))
+            else 256,
+            dtype=dtype,
+        ),
+        segm_head=YOLACTSegmHead(num_classes=num_classes, dtype=dtype),
+    )
+    return YOLACTDetector(net, ag, ssd_cfg, cfg)
+
+
 def build_trident(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """TridentNet (reference ``detectors/trident_faster_rcnn.py``): C4
     Faster R-CNN over a branch-folded trident backbone."""
@@ -1827,6 +1894,8 @@ def build_detector(
     if t == "SABLRetinaNet" or model_cfg.get("bbox_head", {}).get(
             "type") == "SABLRetinaHead":
         return build_sabl_retinanet(model_cfg, dtype=dtype)
+    if t == "YOLACT":
+        return build_yolact(model_cfg, dtype=dtype)
     if t == "TridentFasterRCNN":
         return build_trident(model_cfg, dtype=dtype)
     if t == "SCNet":

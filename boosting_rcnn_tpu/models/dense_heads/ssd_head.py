@@ -103,6 +103,7 @@ class SSDCfg:
     min_pos_iou: float = 0.0
     neg_pos_ratio: int = 3
     smooth_l1_beta: float = 1.0
+    loss_bbox_weight: float = 1.0  # YOLACT uses 1.5
 
 
 def ssd_loss(
@@ -164,7 +165,8 @@ def ssd_loss(
         bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
         beta=cfg.smooth_l1_beta, avg_factor=num_total,
     )
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+    return {"loss_cls": loss_cls,
+            "loss_bbox": loss_bbox * cfg.loss_bbox_weight}
 
 
 def ssd_get_bboxes(
