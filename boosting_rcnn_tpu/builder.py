@@ -638,6 +638,7 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
             num_anchors=num_anchors,
             feat_channels=head.get("feat_channels", 256),
             stacked_convs=head.get("stacked_convs", 4),
+            sep_bn=(head.get("type") == "RetinaSepBNHead"),
             dtype=dtype,
         )
         hc = RetinaCfg(

@@ -20,14 +20,30 @@ from ...ops.nms import multiclass_nms_padded
 
 
 class RetinaConvs(nn.Module):
+    """RetinaNet towers.  ``sep_bn=True`` gives RetinaSepBNHead (reference
+    ``retina_sepbn_head.py``, the NAS-FPN pairing): conv weights shared
+    across levels, BatchNorm statistics separate per level."""
+
     num_classes: int = 80
     num_anchors: int = 9
     feat_channels: int = 256
     stacked_convs: int = 4
+    sep_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
+        if self.sep_bn:
+            from ..layers import LiveBatchNorm
+
+            bns_cls = [[LiveBatchNorm(dtype=self.dtype,
+                                      name=f"cls_bn_l{l}_{i}")
+                        for i in range(self.stacked_convs)]
+                       for l in range(len(feats))]
+            bns_reg = [[LiveBatchNorm(dtype=self.dtype,
+                                      name=f"reg_bn_l{l}_{i}")
+                        for i in range(self.stacked_convs)]
+                       for l in range(len(feats))]
         cls_tower = [
             nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name=f"cls_conv_{i}")
@@ -48,13 +64,19 @@ class RetinaConvs(nn.Module):
             dtype=self.dtype, name="retina_reg",
         )
         cls_out, reg_out = [], []
-        for x in feats:
+        for li, x in enumerate(feats):
             c = x
             r = x
-            for conv in cls_tower:
-                c = nn.relu(conv(c))
-            for conv in reg_tower:
-                r = nn.relu(conv(r))
+            for i, conv in enumerate(cls_tower):
+                c = conv(c)
+                if self.sep_bn:
+                    c = bns_cls[li][i](c)
+                c = nn.relu(c)
+            for i, conv in enumerate(reg_tower):
+                r = conv(r)
+                if self.sep_bn:
+                    r = bns_reg[li][i](r)
+                r = nn.relu(r)
             cls_out.append(conv_cls(c))
             reg_out.append(conv_reg(r).astype(jnp.float32))
         return cls_out, reg_out, None

@@ -294,8 +294,8 @@ class _MergeCell(nn.Module):
             return x
         if h < th:  # upsample
             return jax.image.resize(x, (b, th, tw, c), "nearest")
-        k = max(h // th, 1)
-        return nn.max_pool(x, (k, k), strides=(k, k))
+        k = max(h // max(th, 1), 1)
+        return nn.max_pool(x, (k, k), strides=(k, k), padding="SAME")
 
     @nn.compact
     def __call__(self, x1, x2, out_hw):
@@ -338,7 +338,8 @@ class NASFPN(nn.Module):
             i = len(feats)
             y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name=f"extra_{i}")(feats[-1])
-            feats.append(nn.max_pool(y, (2, 2), strides=(2, 2)))
+            feats.append(nn.max_pool(y, (2, 2), strides=(2, 2),
+                                     padding="SAME"))
         p3, p4, p5, p6, p7 = feats
 
         def cell(kind, name, with_out=True):

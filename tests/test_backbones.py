@@ -337,3 +337,25 @@ def test_fpg_shapes_and_train_stats():
     assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
     assert all(o.shape[-1] == 16 for o in outs)
     assert "batch_stats" in v
+
+
+def test_retina_sepbn_shares_convs_separates_bn():
+    """RetinaSepBN (reference retina_sepbn_head.py): conv kernels shared
+    across levels, one BN stats set per level."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.dense_heads.retina_head import RetinaConvs
+
+    head = RetinaConvs(num_classes=4, num_anchors=1, feat_channels=8,
+                       stacked_convs=2, sep_bn=True)
+    feats = tuple(jnp.ones((1, s, s, 8)) for s in (16, 8, 4))
+    v = head.init(jax.random.PRNGKey(0), feats)
+    params = v["params"]
+    assert "batch_stats" in v
+    # one shared conv kernel, per-level bn stats
+    assert "cls_conv_0" in params
+    bn_names = [k for k in v["batch_stats"] if k.startswith("cls_bn_l")]
+    assert len(bn_names) == 2 * 3  # levels x stacked
+    outs = head.apply(v, feats)
+    assert len(outs[0]) == 3
