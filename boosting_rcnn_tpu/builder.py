@@ -1702,6 +1702,61 @@ def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_centripetalnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """CentripetalNet (reference ``detectors/cornernet.py`` +
+    ``centripetal_head.py``: CornerNet detector with a CentripetalHead)."""
+    from .models.dense_heads.centripetal_head import (
+        CentripetalCfg,
+        CentripetalConvs,
+        centripetal_decode_single,
+        centripetal_loss_single,
+    )
+    from .models.backbones.hourglass import HourglassNet
+    from .models.detectors.single_stage import (
+        CornerNetDetector,
+        SingleStageNet,
+    )
+
+    head = model_cfg.get("bbox_head", {})
+    bb = model_cfg["backbone"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    import flax.linen as nn_
+
+    class _IdNeck(nn_.Module):
+        def __call__(self, x):
+            return x
+
+    net = SingleStageNet(
+        backbone=HourglassNet(
+            num_stacks=bb.get("num_stacks", 2),
+            depth=bb.get("downsample_times", 5),
+            feat_channel=bb.get("feat_channel", 256),
+            dtype=dtype,
+        ),
+        neck=_IdNeck(),
+        head=CentripetalConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 256),
+            dtype=dtype,
+        ),
+    )
+    cfg = CentripetalCfg(
+        num_classes=num_classes,
+        corner_topk=test_cfg.get("corner_topk", 100),
+        max_per_img=test_cfg.get("max_per_img", 100),
+        score_thr=test_cfg.get("score_thr", 0.05),
+        guiding_weight=head.get("loss_guiding_shift", {}).get(
+            "loss_weight", 0.05),
+        centripetal_weight=head.get("loss_centripetal_shift", {}).get(
+            "loss_weight", 1.0),
+    )
+    det = CornerNetDetector(net, cfg)
+    det._loss_single = centripetal_loss_single
+    det._decode_single = centripetal_decode_single
+    return det
+
+
 def build_cornernet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """CornerNet (reference ``detectors/cornernet.py``)."""
     from .models.backbones.hourglass import HourglassNet
@@ -1870,6 +1925,9 @@ def build_detector(
         return build_deformable_detr(model_cfg, dtype=dtype)
     if t == "CornerNet":
         return build_cornernet(model_cfg, dtype=dtype)
+    if t == "CentripetalNet" or model_cfg.get("bbox_head", {}).get(
+            "type") == "CentripetalHead":
+        return build_centripetalnet(model_cfg, dtype=dtype)
     if t == "FreeAnchor":
         return build_free_anchor(model_cfg, dtype=dtype)
     if t == "AutoAssign":

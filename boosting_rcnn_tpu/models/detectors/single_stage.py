@@ -1016,11 +1016,12 @@ class CornerNetDetector:
              anchor_valid=None, axis_name=None):
         from ..dense_heads.corner_head import corner_loss_single
 
+        loss_single = getattr(self, "_loss_single", None)             or corner_loss_single
         outs = self.net.apply(variables, batch["images"])
         losses = {}
         for si, out in enumerate(outs):
             per = jax.vmap(
-                lambda o, gb, gl, gm: corner_loss_single(
+                lambda o, gb, gl, gm: loss_single(
                     self.head_cfg, o, gb, gl, gm
                 )
             )(out, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"])
@@ -1032,9 +1033,10 @@ class CornerNetDetector:
     def predict(self, variables, batch, pack, num_level_points, rescale=True):
         from ..dense_heads.corner_head import corner_decode_single
 
+        decode_single = getattr(self, "_decode_single", None)             or corner_decode_single
         outs = self.net.apply(variables, batch["images"])
         out = outs[-1]
-        fn = lambda o, shp, sf: corner_decode_single(
+        fn = lambda o, shp, sf: decode_single(
             self.head_cfg, o, shp, sf, rescale
         )
         return jax.vmap(fn)(out, batch["img_shape"], batch["scale_factor"])
