@@ -1702,6 +1702,38 @@ def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_ld(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """LD (reference ``configs/ld``): GFL student + frozen GFL teacher.
+
+    The teacher is built from ``teacher_config`` (a model dict or config
+    path); its weights are supplied at train time via
+    ``detector.set_teacher_variables`` (offline: no released ckpt)."""
+    from .models.detectors.single_stage import LDDetector
+
+    student_cfg = dict(model_cfg)
+    student_cfg["type"] = "GFL"
+    head = student_cfg.get("bbox_head", {})
+    ld_cfg = head.get("loss_ld", {}) or {}
+    student = build_gfl(student_cfg, dtype=dtype)
+    teacher = None
+    tcfg = model_cfg.get("teacher_config")
+    if tcfg is not None:
+        if isinstance(tcfg, str):
+            from .config import load_config
+
+            tcfg = load_config(tcfg).model.to_dict()
+        tcfg = dict(tcfg)
+        tcfg["type"] = "GFL"
+        teacher = build_gfl(tcfg, dtype=dtype)
+    return LDDetector(
+        student.net, student.anchor_generator, student.head_cfg,
+        teacher=teacher,
+        ld_weight=ld_cfg.get("loss_weight", 0.25),
+        ld_T=ld_cfg.get("T", 10.0),
+        test_cfg=student.test_cfg,
+    )
+
+
 def build_centripetalnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """CentripetalNet (reference ``detectors/cornernet.py`` +
     ``centripetal_head.py``: CornerNet detector with a CentripetalHead)."""
@@ -1913,6 +1945,8 @@ def build_detector(
     t = model_cfg["type"]
     if t == "FCOS":
         return build_fcos(model_cfg, dtype=dtype)
+    if t == "LD" or t == "KnowledgeDistillationSingleStageDetector":
+        return build_ld(model_cfg, dtype=dtype)
     if t == "GFL":
         return build_gfl(model_cfg, dtype=dtype)
     if t == "SingleStageSSD" or t == "SSD":

@@ -115,6 +115,9 @@ def gfl_loss(
     gt_mask: jnp.ndarray,
     num_level_anchors: Tuple[int, ...],
     axis_name: Optional[str] = None,
+    soft_reg: Optional[jnp.ndarray] = None,  # teacher dist logits (LD)
+    ld_weight: float = 0.25,
+    ld_T: float = 10.0,
 ):
     b, a, c = cls_logits.shape
 
@@ -174,11 +177,26 @@ def gfl_loss(
         loss_dfl = loss_dfl + L.distribution_focal_loss(
             dl[:, k], t_ltrb[:, k], weight=w, avg_factor=w_sum * 4.0
         )
-    return {
+    out = {
         "loss_cls": loss_cls,
         "loss_bbox": loss_bbox,
         "loss_dfl": loss_dfl * cfg.loss_dfl_weight,
     }
+    if soft_reg is not None:
+        # Localization distillation (reference ``ld_head.py:loss_single``):
+        # KD-KL between student and teacher corner distributions on
+        # positives, weighted by the quality score like the DFL term.
+        from .. import dense_heads  # noqa: F401  (package anchor)
+        from ...ops.losses import kd_kl_div_loss
+
+        sl = soft_reg.reshape(-1, 4, cfg.reg_max + 1)
+        ld = 0.0
+        for k in range(4):
+            ld = ld + (
+                kd_kl_div_loss(dl[:, k], sl[:, k], T=ld_T) * w
+            ).sum() / (w_sum * 4.0)
+        out["loss_ld"] = ld * ld_weight
+    return out
 
 
 def gfl_get_bboxes(

@@ -1365,3 +1365,43 @@ class GARetinaDetector:
         )
         return jax.vmap(fn)(cls, reg, shp, loc, batch["img_shape"],
                             batch["scale_factor"])
+
+
+class LDDetector(GFLDetector):
+    """LD: localization distillation (reference ``detectors/kd_one_stage.py``
+    + ``dense_heads/ld_head.py``).  A GFL student whose DFL corner
+    distributions are distilled from a frozen GFL teacher with a
+    temperature-T KL term on positives."""
+
+    def __init__(self, net, anchor_generator, head_cfg, teacher=None,
+                 teacher_variables=None, ld_weight: float = 0.25,
+                 ld_T: float = 10.0, test_cfg: SSTestCfg = SSTestCfg()):
+        super().__init__(net, anchor_generator, head_cfg, test_cfg=test_cfg)
+        self.teacher = teacher  # GFLDetector (same head geometry)
+        self.teacher_variables = teacher_variables
+        self.ld_weight = ld_weight
+        self.ld_T = ld_T
+
+    def set_teacher_variables(self, variables):
+        self.teacher_variables = variables
+
+    def loss(self, variables, rng, batch, pack, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        from ..dense_heads.gfl_head import gfl_loss
+
+        anchors, strides = pack
+        cls, reg = self._flat_outs(variables, batch["images"])
+        b = cls.shape[0]
+        valid = (anchor_valid if anchor_valid is not None
+                 else jnp.ones((b, anchors.shape[0]), bool))
+        soft_reg = None
+        if self.teacher is not None and self.teacher_variables is not None:
+            _, soft_reg = self.teacher._flat_outs(
+                self.teacher_variables, batch["images"])
+            soft_reg = jax.lax.stop_gradient(soft_reg)
+        return gfl_loss(
+            self.head_cfg, cls, reg, anchors, strides, valid,
+            batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            num_level_anchors, axis_name=axis_name,
+            soft_reg=soft_reg, ld_weight=self.ld_weight, ld_T=self.ld_T,
+        )

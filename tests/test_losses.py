@@ -263,3 +263,63 @@ def test_pisa_retina_loss_wiring():
     assert "loss_carl" in pisa and "loss_carl" not in base
     for v in pisa.values():
         assert np.isfinite(float(v))
+
+
+def test_ld_distillation_term():
+    """LD (reference ld_head.py): with a teacher, gfl_loss gains a KL term
+    that is zero when student == teacher and positive otherwise."""
+    import jax
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    mc = dict(
+        type="LD",
+        backbone=dict(type="ResNet", depth=18, base_channels=8,
+                      frozen_stages=-1),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_output", num_outs=5),
+        bbox_head=dict(
+            type="LDHead", num_classes=4, in_channels=32,
+            feat_channels=32, stacked_convs=1, reg_max=8,
+            loss_ld=dict(type="LocalizationDistillationLoss",
+                         loss_weight=0.25, T=2),
+            anchor_generator=dict(
+                type="AnchorGenerator", ratios=[1.0], octave_base_scale=8,
+                scales_per_octave=1, strides=[8, 16, 32, 64, 128])),
+        teacher_config=dict(
+            backbone=dict(type="ResNet", depth=18, base_channels=8,
+                          frozen_stages=-1),
+            neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                      out_channels=32, start_level=1,
+                      add_extra_convs="on_output", num_outs=5),
+            bbox_head=dict(
+                type="GFLHead", num_classes=4, in_channels=32,
+                feat_channels=32, stacked_convs=1, reg_max=8,
+                anchor_generator=dict(
+                    type="AnchorGenerator", ratios=[1.0],
+                    octave_base_scale=8, scales_per_octave=1,
+                    strides=[8, 16, 32, 64, 128]))),
+    )
+    det = build_detector(mc)
+    assert det.teacher is not None
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    tvars = det.teacher.init(jax.random.PRNGKey(7), canvas)
+    pack, nla = det.anchors_for(canvas)
+    batch = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # teacher == student -> KL exactly 0
+    det.set_teacher_variables(variables)
+    l_same = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nla)
+    assert "loss_ld" in l_same
+    np.testing.assert_allclose(float(l_same["loss_ld"]), 0.0, atol=1e-5)
+
+    det.set_teacher_variables(tvars)
+    l_diff = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nla)
+    assert float(l_diff["loss_ld"]) > 0
+    for k, v in l_diff.items():
+        assert np.isfinite(float(v)), (k, float(v))
