@@ -2329,6 +2329,16 @@ def build_ssd(model_cfg: Dict[str, Any], dtype=jnp.float32):
         neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
         min_pos_iou=assigner.get("min_pos_iou", 0.0),
         neg_pos_ratio=(model_cfg.get("train_cfg") or {}).get("neg_pos_ratio", 3),
+        pisa=(head.get("type") == "PISASSDHead"
+              or (model_cfg.get("train_cfg") or {}).get("isr") is not None),
+        isr_k=((model_cfg.get("train_cfg") or {}).get("isr") or {}).get(
+            "k", 2.0),
+        isr_bias=((model_cfg.get("train_cfg") or {}).get("isr") or {}).get(
+            "bias", 0.0),
+        carl_k=((model_cfg.get("train_cfg") or {}).get("carl") or {}).get(
+            "k", 1.0),
+        carl_bias=((model_cfg.get("train_cfg") or {}).get("carl")
+                   or {}).get("bias", 0.2),
     )
     return SSDDetector(
         net, gens, hc, input_size=input_size,

@@ -104,6 +104,12 @@ class SSDCfg:
     neg_pos_ratio: int = 3
     smooth_l1_beta: float = 1.0
     loss_bbox_weight: float = 1.0  # YOLACT uses 1.5
+    # PISA (reference pisa_ssd_head.py): ISR-P + CARL on top of OHEM
+    pisa: bool = False
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
 
 
 def ssd_loss(
@@ -134,9 +140,10 @@ def ssd_loss(
         )
         bt = jnp.where(pos[:, None], enc, 0.0)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
-        return pos, neg, bt, labels
+        return pos, neg, bt, labels, jnp.clip(assign.gt_inds - 1, 0, g - 1)
 
-    pos, neg, bt, labels = jax.vmap(targets)(valid, gt_bboxes, gt_labels, gt_mask)
+    pos, neg, bt, labels, gt_idx = jax.vmap(targets)(
+        valid, gt_bboxes, gt_labels, gt_mask)
     num_pos = jnp.sum(pos.astype(jnp.float32))
     if axis_name is not None:
         num_pos = jax.lax.pmean(num_pos, axis_name)
@@ -159,14 +166,46 @@ def ssd_loss(
 
     hard_neg = jax.vmap(mine)(ce, pos, neg)
     w = (pos | hard_neg).astype(jnp.float32)
+    if cfg.pisa:
+        # ISR-P reweighting of positives (reference ``pisa_ssd_head.py``).
+        from ...ops.pisa import isr_p_weights
+
+        g = gt_bboxes.shape[1]
+        gt_global = gt_idx + jnp.arange(b, dtype=gt_idx.dtype)[:, None] * g
+        dec_p = jax.vmap(
+            lambda r: box_ops.delta2bbox(anchors, r, cfg.target_means,
+                                         cfg.target_stds)
+        )(bbox_preds.astype(jnp.float32))
+        dec_t = jax.vmap(
+            lambda r: box_ops.delta2bbox(anchors, r, cfg.target_means,
+                                         cfg.target_stds)
+        )(bt)
+        ious = box_ops.bbox_overlaps_aligned(
+            dec_p.reshape(-1, 4), dec_t.reshape(-1, 4))
+        w = isr_p_weights(
+            labels.reshape(-1), gt_global.reshape(-1),
+            jax.lax.stop_gradient(ious), w.reshape(-1), pos.reshape(-1),
+            jax.lax.stop_gradient(ce).reshape(-1),
+            k=cfg.isr_k, bias=cfg.isr_bias,
+        ).reshape(b, a)
     loss_cls = jnp.sum(ce * w) / num_total
     posf = pos.reshape(-1, 1).astype(jnp.float32)
     loss_bbox = L.smooth_l1_loss(
         bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
         beta=cfg.smooth_l1_beta, avg_factor=num_total,
     )
-    return {"loss_cls": loss_cls,
-            "loss_bbox": loss_bbox * cfg.loss_bbox_weight}
+    out = {"loss_cls": loss_cls,
+           "loss_bbox": loss_bbox * cfg.loss_bbox_weight}
+    if cfg.pisa:
+        from ...ops.pisa import carl_loss
+
+        reg_elem = jnp.abs(bbox_preds.reshape(-1, 4) - bt.reshape(-1, 4))
+        out["loss_carl"] = carl_loss(
+            cls_logits.reshape(-1, c1)[:, :-1], labels.reshape(-1),
+            pos.reshape(-1), reg_elem, k=cfg.carl_k, bias=cfg.carl_bias,
+            avg_factor=num_total, sigmoid=False,
+        )
+    return out
 
 
 def ssd_get_bboxes(

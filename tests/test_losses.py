@@ -323,3 +323,29 @@ def test_ld_distillation_term():
     assert float(l_diff["loss_ld"]) > 0
     for k, v in l_diff.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_pisa_ssd_loss_wiring():
+    """PISA-SSD (reference pisa_ssd_head.py): pisa flag adds carl + keeps
+    losses finite with the OHEM CE."""
+    import jax
+
+    from boosting_rcnn_tpu.models.dense_heads.ssd_head import SSDCfg, ssd_loss
+
+    rng = np.random.RandomState(0)
+    a, c = 24, 4
+    anchors = jnp.asarray(
+        np.stack([rng.uniform(0, 60, a), rng.uniform(0, 40, a),
+                  rng.uniform(60, 120, a), rng.uniform(40, 90, a)], -1),
+        jnp.float32)
+    cls = jnp.asarray(rng.randn(1, a, c + 1).astype(np.float32))
+    reg = jnp.asarray(rng.randn(1, a, 4).astype(np.float32) * 0.1)
+    gts = jnp.asarray([[[10.0, 10.0, 70.0, 50.0], [0, 0, 0, 0]]])
+    gls = jnp.asarray([[1, 0]])
+    gm = jnp.asarray([[True, False]])
+    valid = jnp.ones((1, a), bool)
+    out = ssd_loss(SSDCfg(num_classes=c, pisa=True), cls, reg, anchors,
+                   valid, gts, gls, gm)
+    assert "loss_carl" in out
+    for v in out.values():
+        assert np.isfinite(float(v))
