@@ -297,6 +297,15 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "NASFCOS_FPN":
+        from .models.dense_heads.nasfcos import NASFCOSFPN
+
+        return NASFCOSFPN(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            start_level=cfg.get("start_level", 1),
+            dtype=dtype,
+        )
     if t == "RFP":
         from .models.necks.fpn import RFP
 
@@ -1702,6 +1711,44 @@ def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
 
 
 
+def build_nasfcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
+    """NAS-FCOS (reference ``detectors/nasfcos.py``): FCOS with the
+    searched head tower + NASFCOS_FPN neck."""
+    from .models.dense_heads.fcos_head import FCOSCfg
+    from .models.dense_heads.nasfcos import NASFCOSConvs
+    from .models.detectors.single_stage import (
+        FCOSDetector,
+        SingleStageNet,
+        SSTestCfg,
+    )
+
+    head = model_cfg["bbox_head"]
+    test_cfg = model_cfg.get("test_cfg") or {}
+    num_classes = head.get("num_classes", 80)
+    strides = tuple(head.get("strides", (8, 16, 32, 64, 128)))
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=NASFCOSConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 256),
+            num_levels=len(strides),
+            dtype=dtype,
+        ),
+    )
+    hc = FCOSCfg(num_classes=num_classes, strides=strides)
+    nms = test_cfg.get("nms", {})
+    return FCOSDetector(
+        net, hc,
+        test_cfg=SSTestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=nms.get("iou_threshold", 0.6),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+    )
+
+
 def build_ld(model_cfg: Dict[str, Any], dtype=jnp.float32):
     """LD (reference ``configs/ld``): GFL student + frozen GFL teacher.
 
@@ -1945,6 +1992,9 @@ def build_detector(
     t = model_cfg["type"]
     if t == "FCOS":
         return build_fcos(model_cfg, dtype=dtype)
+    if t == "NASFCOS" or model_cfg.get("bbox_head", {}).get(
+            "type") == "NASFCOSHead":
+        return build_nasfcos(model_cfg, dtype=dtype)
     if t == "LD" or t == "KnowledgeDistillationSingleStageDetector":
         return build_ld(model_cfg, dtype=dtype)
     if t == "GFL":

@@ -359,3 +359,38 @@ def test_retina_sepbn_shares_convs_separates_bn():
     assert len(bn_names) == 2 * 3  # levels x stacked
     outs = head.apply(v, feats)
     assert len(outs[0]) == 3
+
+
+def test_nasfcos_fpn_and_head():
+    """NAS-FCOS (reference nasfcos_fpn.py + nasfcos_head.py): concat-cell
+    pyramid shapes + searched DCNv2 tower detector smoke."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    mc = dict(
+        type="NASFCOS",
+        backbone=dict(type="ResNet", depth=18, base_channels=8,
+                      frozen_stages=-1),
+        neck=dict(type="NASFCOS_FPN", out_channels=32, num_outs=5,
+                  start_level=1),
+        bbox_head=dict(type="NASFCOSHead", num_classes=4,
+                       feat_channels=32),
+        test_cfg=dict(score_thr=0.05, max_per_img=8,
+                      nms=dict(iou_threshold=0.6)),
+    )
+    det = build_detector(mc)
+    canvas = (64, 96)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    pack, nlp = det.anchors_for(canvas)
+    batch = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, pack, nlp)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, pack, nlp)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
