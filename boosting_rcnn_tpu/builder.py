@@ -297,6 +297,15 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return FPN(**common)
     if t == "PAFPN":
         return PAFPN(**common)
+    if t == "FPT":
+        from .models.necks.fpt import FPT
+
+        return FPT(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            fpt_rendering=cfg.get("fpt_rendering", True),
+            dtype=dtype,
+        )
     if t == "NASFCOS_FPN":
         from .models.dense_heads.nasfcos import NASFCOSFPN
 

@@ -394,3 +394,22 @@ def test_nasfcos_fpn_and_head():
         assert np.isfinite(float(v)), (k, float(v))
     dets, labels, valid = det.predict(variables, batch, pack, nlp)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_fpt_shapes():
+    """FPT (fork necks/fpt.py): attention pyramid keeps standard levels,
+    fine->coarse order."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.models.necks.fpt import FPT
+
+    neck = FPT(out_channels=32, num_outs=5)
+    ins = tuple(
+        jnp.ones((1, s, s + s // 2, c))
+        for s, c in ((32, 8), (16, 16), (8, 32), (4, 64))
+    )
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs, _ = neck.apply(v, ins, mutable=["batch_stats"])
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    assert all(o.shape[-1] == 32 for o in outs)
