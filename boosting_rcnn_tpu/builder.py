@@ -2160,6 +2160,11 @@ def build_detector(
                 "output_size", 14
             ),
             roi_finest_scale=extractor.get("finest_scale", 56),
+            roi_aggregation=(
+                extractor.get("aggregation", "sum")
+                if extractor.get("type") == "GenericRoIExtractor"
+                else "route"
+            ),
         )
         rcnn_train = train_cfg.get("rcnn", {})
         sampler = rcnn_train.get("sampler", {})

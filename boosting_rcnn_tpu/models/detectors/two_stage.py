@@ -81,6 +81,9 @@ class TwoStageNet(nn.Module):
     mask_roi_out_size: int = 14
     roi_sample_num: int = 2
     roi_finest_scale: int = 56
+    # 'route' (SingleRoIExtractor level routing) or GRoIE 'sum'/'concat'
+    # (GenericRoIExtractor, reference generic_roi_extractor.py)
+    roi_aggregation: str = "route"
     bridge: bool = False  # ProbTwoStage fusion (reference prob_two_stage.py)
 
     def features(self, images):
@@ -131,6 +134,20 @@ class TwoStageNet(nn.Module):
         """feats: L x (B, H, W, C); rois: (B, R, 4). One fused RoIAlign +
         head over the flattened (B*R) axis."""
         b, r, _ = rois.shape
+        if self.roi_aggregation != "route":
+            from ...ops.roi_align import multilevel_roi_align_all
+
+            pooled = jax.vmap(
+                lambda fl, rb, vb: multilevel_roi_align_all(
+                    fl, rb, vb, self.roi_strides, out_size=self.roi_out_size,
+                    sample_num=self.roi_sample_num,
+                    aggregation=self.roi_aggregation,
+                )
+            )(feats, rois, roi_valid)
+            pooled = pooled.reshape(
+                b * r, self.roi_out_size, self.roi_out_size, -1)
+            cls, reg = self.bbox_head(pooled)
+            return cls, reg
         align = self._roi_align_fn(inference)
         pooled = jax.vmap(
             lambda fl, rb, vb: align(

@@ -286,3 +286,28 @@ def multilevel_roi_align_fast(
     return (pooled * roi_valid[:, None, None, None].astype(pooled.dtype)).astype(
         feats[0].dtype
     )
+
+
+def multilevel_roi_align_all(
+    feats,
+    rois: jnp.ndarray,
+    roi_valid: jnp.ndarray,
+    strides,
+    out_size: int = 7,
+    sample_num: int = 2,
+    aggregation: str = "sum",
+) -> jnp.ndarray:
+    """GRoIE GenericRoIExtractor (reference
+    ``roi_extractors/generic_roi_extractor.py``): pool every RoI from ALL
+    pyramid levels and aggregate ('sum' | 'concat') instead of routing by
+    scale.  Single image; vmap over batch."""
+    pooled = [
+        roi_align(f, rois, 1.0 / s, out_size=out_size,
+                  sample_num=sample_num)
+        for f, s in zip(feats, strides)
+    ]
+    if aggregation == "concat":
+        out = jnp.concatenate(pooled, axis=-1)
+    else:
+        out = sum(pooled)
+    return out * roi_valid[:, None, None, None].astype(out.dtype)

@@ -202,3 +202,32 @@ def test_pallas_trainable_gradient_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
     assert sum(float(jnp.abs(g).sum()) for g in gp) > 0
+
+
+def test_generic_roi_extractor_all_levels():
+    """GRoIE (reference generic_roi_extractor.py): sum aggregation equals
+    the sum of single-level aligns; concat stacks channels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.ops.roi_align import (
+        multilevel_roi_align_all,
+        roi_align,
+    )
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(16 // (2 ** i), 24 // (2 ** i), 4)
+                         .astype(np.float32)) for i in range(3)]
+    strides = (8, 16, 32)
+    rois = jnp.asarray([[8.0, 8.0, 96.0, 96.0]])
+    valid = jnp.asarray([True])
+    out = multilevel_roi_align_all(feats, rois, valid, strides, out_size=7)
+    want = sum(
+        roi_align(f, rois, 1.0 / s, out_size=7)
+        for f, s in zip(feats, strides)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    cat = multilevel_roi_align_all(feats, rois, valid, strides, out_size=7,
+                                   aggregation="concat")
+    assert cat.shape[-1] == 12
