@@ -81,3 +81,41 @@ def test_cityscapes_dataset_and_protocol(tmp_path):
 
     png = cv2.imread(str(tmp_path / "dump" / line[0]), 0)
     assert png.shape == (48, 64) and (png > 0).sum() > 200
+
+
+def test_cityscapes_converter(tmp_path):
+    """tools/dataset_converters/cityscapes.py: polygons json -> COCO json
+    with group->iscrowd handling."""
+    import json
+    import subprocess
+    import sys
+
+    root = tmp_path / "cs"
+    d = root / "gtFine" / "val" / "munich"
+    d.mkdir(parents=True)
+    ann = dict(
+        imgWidth=100, imgHeight=80,
+        objects=[
+            dict(label="car", polygon=[[10, 10], [40, 10], [40, 30],
+                                       [10, 30]]),
+            dict(label="persongroup", polygon=[[50, 50], [70, 50],
+                                               [70, 70]]),
+            dict(label="sky", polygon=[[0, 0], [100, 0], [100, 10]]),
+        ])
+    (d / "munich_000000_000019_gtFine_polygons.json").write_text(
+        json.dumps(ann))
+    out = tmp_path / "ann"
+    r = subprocess.run(
+        [sys.executable, "tools/dataset_converters/cityscapes.py",
+         str(root), "--out-dir", str(out), "--splits", "val"],
+        capture_output=True, text=True, cwd=REPO if 'REPO' in dir() else '.')
+    assert r.returncode == 0, r.stderr
+    data = json.loads(
+        (out / "instancesonly_filtered_gtFine_val.json").read_text())
+    assert len(data["images"]) == 1
+    assert len(data["annotations"]) == 2  # sky skipped
+    car = data["annotations"][0]
+    assert car["bbox"] == [10, 10, 30, 20]
+    assert abs(car["area"] - 600.0) < 1e-6
+    grp = data["annotations"][1]
+    assert grp["iscrowd"] == 1
