@@ -2069,11 +2069,22 @@ def build_detector(
     if t == "RepPointsDetector" or t == "RepPoints":
         return build_reppoints(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
-             "TwoStageDetector", "PointRend", "GridRCNN"):
+             "TwoStageDetector", "PointRend", "GridRCNN", "FastRCNN"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         neck = build_neck(model_cfg["neck"], dtype=dtype)
+        rpn_head_cfg = model_cfg.get("rpn_head")
+        if rpn_head_cfg is None:  # FastRCNN: external proposals, no RPN
+            rpn_head_cfg = {
+                "type": "RPNHead",
+                "anchor_generator": {
+                    "type": "AnchorGenerator", "scales": [8],
+                    "ratios": [0.5, 1.0, 2.0],
+                    "strides": [4, 8, 16, 32, 64],
+                },
+                "bbox_coder": {"type": "DeltaXYWHBBoxCoder"},
+            }
         rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
-            model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
+            rpn_head_cfg, train_cfg.get("rpn", {}), dtype=dtype
         )
         roi = model_cfg["roi_head"]
         bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
@@ -2153,7 +2164,7 @@ def build_detector(
             point_head=point_module,
             grid_head=grid_module,
             bridge=(t == "ProbTwoStage")
-            or model_cfg["rpn_head"].get("bridge", False),
+            or (model_cfg.get("rpn_head") or {}).get("bridge", False),
             roi_strides=strides,
             roi_out_size=roi_layer.get("output_size", 7),
             mask_roi_out_size=mask_extractor.get("roi_layer", {}).get(
@@ -2191,6 +2202,10 @@ def build_detector(
         rcnn_test = test_cfg.get("rcnn", {})
         det_cls = TwoStageDetector
         det_kwargs = {}
+        if t == "FastRCNN":
+            from .models.detectors.two_stage import FastRCNNDetector
+
+            det_cls = FastRCNNDetector
         if t == "GridRCNN":
             from .models.detectors.grid_rcnn import GridRCNN as _GridRCNN
             from .models.roi_heads.grid_head import GridCfg

@@ -847,3 +847,69 @@ class RPNDetector(TwoStageDetector):
         dets = jnp.concatenate([boxes, scores[..., None]], -1)
         labels = jnp.zeros(dets.shape[:2], jnp.int32)
         return dets, labels, valid
+
+
+class FastRCNNDetector(TwoStageDetector):
+    """Fast R-CNN (reference ``detectors/fast_rcnn.py``): the RoI stages of
+    the two-stage detector driven by EXTERNAL proposals — the batch must
+    carry ``proposals`` (B, P, 4) and ``proposals_valid`` (B, P) (the
+    reference's precomputed-proposal workflow)."""
+
+    def _external_proposals(self, batch):
+        boxes = batch["proposals"]
+        valid = batch.get(
+            "proposals_valid",
+            jnp.ones(boxes.shape[:2], bool),
+        )
+        scores = batch.get("proposals_score", valid.astype(jnp.float32))
+        return boxes, scores, valid
+
+    def loss(self, variables, rng, batch, anchors, num_level_anchors,
+             anchor_valid=None, axis_name=None):
+        images = batch["images"]
+        b = images.shape[0]
+        _, roi_rng = jax.random.split(rng)
+        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        prop_boxes, prop_scores, prop_valid = self._external_proposals(batch)
+        rngs = jax.random.split(roi_rng, b)
+        sample: RoISample = jax.vmap(
+            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+            )
+        )(rngs, prop_boxes, prop_scores, prop_valid,
+          batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"])
+        cls_s, reg_s = self.net.apply(
+            variables, feats, sample.boxes, sample.valid,
+            method=TwoStageNet.roi_out,
+        )
+        flat = RoISample(*[x.reshape((-1,) + x.shape[2:]) for x in sample])
+        roi_losses = prob_roi_loss(
+            self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
+        return {
+            "loss_cls": roi_losses["loss_cls"],
+            "loss_bbox": roi_losses["loss_bbox"],
+        }
+
+    def predict(self, variables, batch, anchors, num_level_anchors,
+                rescale=True):
+        images = batch["images"]
+        b = images.shape[0]
+        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        prop_boxes, prop_scores, prop_valid = self._external_proposals(batch)
+        cls_s, reg_s = self.net.apply(
+            variables, feats, prop_boxes, prop_valid, inference=True,
+            method=TwoStageNet.roi_out,
+        )
+        r = prop_boxes.shape[1]
+        cls_s = cls_s.reshape(b, r, -1)
+        reg_s = reg_s.reshape(b, r, -1)
+        probs = jax.nn.softmax(cls_s.astype(jnp.float32), axis=-1)
+        tc = self.rcnn_test_cfg
+        return jax.vmap(
+            lambda ro, sc, bp, rv, shp, sf: bbox_head_decode(
+                self.bbox_cfg, ro, sc, bp, shp, sf, rescale,
+                tc.score_thr, tc.nms_iou_thr, tc.max_per_img, roi_valid=rv,
+                nms_type=tc.nms_type, pre_nms_top_k=tc.pre_nms_top_k,
+            )
+        )(prop_boxes, probs, reg_s, prop_valid,
+          batch["img_shape"], batch["scale_factor"])

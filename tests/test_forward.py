@@ -901,3 +901,45 @@ def test_autoassign_forward():
     assert np.isfinite(cp) and cp > 0
     dets, labels, valid = det.predict(variables, batch, pack, nlp)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_fast_rcnn_external_proposals():
+    """Fast R-CNN (reference detectors/fast_rcnn.py): RoI stages on
+    externally supplied proposals, no RPN in the loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    mc = dict(
+        type="FastRCNN",
+        backbone=dict(type="ResNet", depth=18, base_channels=8,
+                      frozen_stages=-1),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  num_outs=5),
+        roi_head=dict(
+            type="StandardRoIHead",
+            bbox_roi_extractor=dict(roi_layer=dict(output_size=7),
+                                    featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(type="Shared2FCBBoxHead", fc_out_channels=16,
+                           num_classes=4)),
+        train_cfg=dict(rcnn=dict(sampler=dict(num=8))),
+        test_cfg=dict(rcnn=dict(score_thr=0.05, max_per_img=8)),
+    )
+    det = build_detector(mc)
+    canvas = (64, 96)
+    v = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    b = next(FakeDetLoader(1, canvas, 4, num_batches=1).epoch_iter(0))
+    b.pop("ori_shape")
+    b = {k: jnp.asarray(x) for k, x in b.items()}
+    b["proposals"] = b["gt_bboxes"] + 2.0
+    b["proposals_valid"] = b["gt_mask"]
+    losses = det.loss(v, jax.random.PRNGKey(1), b, anchors, nla)
+    assert set(losses) == {"loss_cls", "loss_bbox"}  # no RPN terms
+    for k, val in losses.items():
+        assert np.isfinite(float(val)), (k, float(val))
+    dets, labels, valid = det.predict(v, b, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
