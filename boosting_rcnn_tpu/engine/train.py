@@ -171,29 +171,56 @@ def make_train_step(
     anchors,
     num_level_anchors,
     loss_weights: Optional[Dict[str, float]] = None,
+    proposal_mode: str = "fused",
 ):
     """Build the pure train step.  Global-batch semantics: under pjit with a
     sharded batch axis, every sum/mean inside the loss is a global reduction
     — this reproduces DDP + ``reduce_mean`` numerics (SURVEY.md §2.4) with
     compiler-scheduled collectives.  Live-BN layers (LiveBatchNorm) update
     their running stats through the step; their batch-stat reductions are
-    global under the sharded batch axis, i.e. SyncBN."""
+    global under the sharded batch axis, i.e. SyncBN.
 
-    def train_step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+    ``proposal_mode`` (two-stage detectors with a ``train_sample`` method
+    only; docs/TRAIN_PERF.md round-3 split experiment):
 
+    - ``"fused"``: proposals computed inside the differentiated program
+      (reference semantics, single dispatch — the default).
+    - ``"outside_grad"``: one dispatch, but a second non-grad forward
+      computes proposals + RoI sampling *before* ``value_and_grad``, so the
+      sequential NMS chain never sits inside the grad program.  Numerically
+      identical to ``fused`` (same rng split); costs one extra backbone+RPN
+      forward.
+    - ``"external"``: the step takes a precomputed ``RoISample`` as a 4th
+      argument (produced by :func:`make_sample_step` in a separate
+      dispatch).  Numerically identical to ``fused``.
+    - ``"stale"``: the step takes the *previous* step's ``RoISample`` and
+      returns the next one, computed after the grad region from this
+      step's (detached) RPN outputs — no duplicate forward, NMS outside
+      grad, but proposals lag the params by one step (documented deviation;
+      opt-in only).
+    """
+    if proposal_mode not in ("fused", "outside_grad", "external", "stale"):
+        raise ValueError(f"unknown proposal_mode {proposal_mode!r}")
+
+    def _grad_part(state: TrainState, batch, rng, sample):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            kwargs = {} if proposal_mode == "fused" else {"sample": sample}
             losses, new_stats = loss_with_live_bn(
-                detector, variables, rng, batch, anchors, num_level_anchors
+                detector, variables, rng, batch, anchors, num_level_anchors,
+                **kwargs,
+            )
+            rpn_outs = (
+                getattr(detector, "_last_rpn_outs", None)
+                if proposal_mode == "stale" else None
             )
             total = jnp.asarray(0.0)
             for k, v in losses.items():
                 w = (loss_weights or {}).get(k, 1.0)
                 total = total + w * jnp.sum(v)
-            return total, (losses, new_stats)
+            return total, (losses, new_stats, rpn_outs)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
+        (total, (losses, new_stats, rpn_outs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads).replace(
@@ -201,6 +228,52 @@ def make_train_step(
         )
         metrics = {"loss": total, **{k: jnp.sum(v) for k, v in losses.items()}}
         metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        return new_state, metrics, rpn_outs
+
+    if proposal_mode in ("fused", "outside_grad"):
+
+        def train_step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            sample = None
+            if proposal_mode == "outside_grad":
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                sample = detector.train_sample(
+                    variables, rng, batch, anchors, num_level_anchors)
+            new_state, metrics, _ = _grad_part(state, batch, rng, sample)
+            return new_state, metrics
+
+    elif proposal_mode == "external":
+
+        def train_step(state: TrainState, batch, rng, sample):
+            rng = jax.random.fold_in(rng, state.step)
+            new_state, metrics, _ = _grad_part(state, batch, rng, sample)
+            return new_state, metrics
+
+    else:  # stale
+
+        def train_step(state: TrainState, batch, rng, sample):
+            rng = jax.random.fold_in(rng, state.step)
+            new_state, metrics, rpn_outs = _grad_part(
+                state, batch, rng, sample)
+            next_rng = jax.random.fold_in(rng, 1)
+            next_sample = detector.sample_from_rpn_outs(
+                next_rng, rpn_outs, batch, anchors, num_level_anchors)
+            return new_state, metrics, next_sample
 
     return train_step
+
+
+def make_sample_step(detector, anchors, num_level_anchors):
+    """Non-grad dispatch producing the ``RoISample`` consumed by a
+    ``proposal_mode="external"`` train step (same per-step rng fold)."""
+
+    def sample_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return detector.train_sample(
+            variables, rng, batch, anchors, num_level_anchors)
+
+    return sample_step

@@ -398,6 +398,58 @@ class TwoStageDetector:
         return jax.vmap(fn)(cls, reg, img_shapes)
 
     # ---------- training ----------
+    def sample_from_rpn_outs(
+        self, rng, rpn_outs, batch, anchors, num_level_anchors
+    ) -> "RoISample":
+        """Train-cfg proposals + RoI sampling from flat RPN outputs.
+
+        Pure post-processing (no params consumed beyond ``rpn_outs``); uses
+        the same rng split structure as :meth:`loss` so the produced
+        :class:`RoISample` is bit-identical to the one ``loss`` would build
+        internally from the same ``rng`` and RPN outputs.
+        """
+        cls, reg, iou = rpn_outs
+        if self.rpn_type not in ("atss_rpn", "rpn"):
+            raise NotImplementedError(
+                "split proposal generation only supports rpn/atss_rpn")
+        _, roi_rng = jax.random.split(rng)
+        b = cls.shape[0]
+        prop_boxes, prop_scores, prop_valid = jax.tree.map(
+            jax.lax.stop_gradient,
+            self._proposals(
+                cls, reg, iou, anchors, num_level_anchors,
+                batch["img_shape"], self.train_proposal_cfg,
+            ),
+        )
+        rngs = jax.random.split(roi_rng, b)
+        sample = jax.vmap(
+            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+            )
+        )(
+            rngs, prop_boxes, prop_scores, prop_valid,
+            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
+        )
+        return jax.tree.map(jax.lax.stop_gradient, sample)
+
+    def train_sample(
+        self, variables, rng, batch, anchors, num_level_anchors
+    ) -> "RoISample":
+        """Full non-grad forward -> train-cfg RoISample.
+
+        Used by the ``outside_grad``/``external`` train-step variants
+        (engine/train.py) to keep the proposal NMS chain out of the
+        differentiated program; ``loss(..., sample=...)`` with the same
+        ``rng`` then reproduces the fused step's numerics exactly.
+        """
+        feats = self.net.apply(
+            variables, batch["images"], method=TwoStageNet.features)
+        cls, reg, iou = self._rpn_flat(variables, feats)
+        if iou is None:
+            iou = jnp.zeros_like(cls)
+        return self.sample_from_rpn_outs(
+            rng, (cls, reg, iou), batch, anchors, num_level_anchors)
+
     def loss(
         self,
         variables,
@@ -407,11 +459,18 @@ class TwoStageDetector:
         num_level_anchors: Tuple[int, ...],
         anchor_valid: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
+        sample: Optional["RoISample"] = None,
     ) -> Dict[str, jnp.ndarray]:
         """One full forward + loss on a padded batch.
 
         batch: images (B,H,W,3), gt_bboxes (B,G,4), gt_labels (B,G),
         gt_mask (B,G), img_shape (B,2).
+
+        ``sample``: optionally a precomputed :class:`RoISample` (from
+        :meth:`train_sample`) — skips the internal proposal generation +
+        sampling so the sequential NMS chain stays out of the
+        differentiated program (docs/TRAIN_PERF.md round-3 split
+        experiment).  Numerically identical when built with the same rng.
         """
         images = batch["images"]
         b = images.shape[0]
@@ -461,24 +520,33 @@ class TwoStageDetector:
                 axis_name=axis_name,
             )
 
-        # Proposals (detached, reference get_bboxes uses .detach()).
-        prop_boxes, prop_scores, prop_valid = jax.tree.map(
+        # RPN outputs exposed (detached) for the stale-proposal train-step
+        # variant: the next step's proposals are computed from these in the
+        # same program, after the grad region (engine/train.py).
+        self._last_rpn_outs = jax.tree.map(
             jax.lax.stop_gradient,
-            self._proposals(
-                cls, reg, iou, anchors, num_level_anchors,
-                batch["img_shape"], self.train_proposal_cfg,
-            ),
+            (cls, reg, iou if iou is not None else jnp.zeros_like(cls)),
         )
 
-        rngs = jax.random.split(roi_rng, b)
-        sample: RoISample = jax.vmap(
-            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
-                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+        if sample is None:
+            # Proposals (detached, reference get_bboxes uses .detach()).
+            prop_boxes, prop_scores, prop_valid = jax.tree.map(
+                jax.lax.stop_gradient,
+                self._proposals(
+                    cls, reg, iou, anchors, num_level_anchors,
+                    batch["img_shape"], self.train_proposal_cfg,
+                ),
             )
-        )(
-            rngs, prop_boxes, prop_scores, prop_valid,
-            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
-        )
+
+            rngs = jax.random.split(roi_rng, b)
+            sample = jax.vmap(
+                lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                    self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+                )
+            )(
+                rngs, prop_boxes, prop_scores, prop_valid,
+                batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
+            )
 
         roi_feats = getattr(self, "_roi_feats", feats)
         cls_s, reg_s = self.net.apply(
