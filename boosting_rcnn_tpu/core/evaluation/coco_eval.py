@@ -253,7 +253,9 @@ class SegmCocoStyleEval(CocoStyleEval):
         h, w = int(gt["height"]), int(gt["width"])
         return np.asarray(
             [
-                float(paste_mask(res[2][j], det_boxes[i], h, w).sum())
+                float(res[2][j].sum())
+                if res[2][j].shape == (h, w)  # full-image mask (SOLO)
+                else float(paste_mask(res[2][j], det_boxes[i], h, w).sum())
                 for i, j in enumerate(det_sel)
             ],
             np.float64,

@@ -22,6 +22,16 @@ def build_dataset(cfg: Dict[str, Any], test_mode: bool = False):
             build_dataset(cfg["dataset"], test_mode),
             cfg.get("oversample_thr", 1e-3),
         )
+    if t == "CocoPanopticDataset":
+        from .coco_panoptic import CocoPanopticDataset
+
+        return CocoPanopticDataset(
+            ann_file=cfg["ann_file"],
+            img_prefix=cfg.get("img_prefix", ""),
+            seg_prefix=cfg.get("seg_prefix", ""),
+            classes=cfg.get("classes"),
+            test_mode=test_mode,
+        )
     if t == "CityscapesDataset":
         from .cityscapes import CityscapesDataset
 
@@ -64,4 +74,5 @@ def build_dataset(cfg: Dict[str, Any], test_mode: bool = False):
         img_prefix=cfg.get("img_prefix", ""),
         classes=classes,
         test_mode=test_mode,
+        seg_prefix=cfg.get("seg_prefix"),
     )

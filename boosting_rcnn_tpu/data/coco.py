@@ -81,9 +81,11 @@ class CocoDataset:
         test_mode: bool = False,
         filter_empty_gt: bool = True,
         min_size: int = 32,
+        seg_prefix: Optional[str] = None,
     ):
         self.ann_file = ann_file
         self.img_prefix = img_prefix
+        self.seg_prefix = seg_prefix
         self.test_mode = test_mode
         with open(ann_file) as f:
             coco = json.load(f)
@@ -152,6 +154,27 @@ class CocoDataset:
 
     def img_path(self, idx: int) -> str:
         return os.path.join(self.img_prefix, self.data_infos[idx]["filename"])
+
+    def semantic_map(self, idx: int) -> np.ndarray:
+        """Per-pixel stuff/semantic class map (H, W) int.
+
+        Loads ``<seg_prefix>/<filename>.png`` — COCO-stuff ``stuffthingmaps``
+        layout, the reference's ``LoadAnnotations(with_seg=True)`` +
+        ``seg_prefix`` contract (``mmdet/datasets/pipelines/loading.py:378``;
+        consumed by HTC's FusedSemanticHead).  Pixel values are class ids;
+        255 = ignore."""
+        if self.seg_prefix is None:
+            raise ValueError(
+                "semantic_map() needs the dataset built with seg_prefix= "
+                "(COCO-stuff stuffthingmaps directory)")
+        import cv2
+
+        fn = os.path.splitext(self.data_infos[idx]["filename"])[0] + ".png"
+        m = cv2.imread(os.path.join(self.seg_prefix, fn),
+                       cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(os.path.join(self.seg_prefix, fn))
+        return m.astype(np.int32)
 
     # ---------- results export / evaluation ----------
     def results_to_coco_json(self, results: List[Tuple[np.ndarray, np.ndarray]]):

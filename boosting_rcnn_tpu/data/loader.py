@@ -36,6 +36,8 @@ class DetDataLoader:
         prefetch: int = 4,
         mstrain_range: Optional[Tuple[int, int]] = None,
         with_masks: bool = False,
+        with_semantic: bool = False,
+        semantic_stride: int = 8,
         mosaic_prob: float = 0.0,
         mixup_prob: float = 0.0,
         autoaugment: bool = False,
@@ -55,6 +57,8 @@ class DetDataLoader:
         self.prefetch = prefetch
         self.mstrain_range = mstrain_range
         self.with_masks = with_masks
+        self.with_semantic = with_semantic
+        self.semantic_stride = semantic_stride
         self.mosaic_prob = mosaic_prob if train else 0.0
         self.mixup_prob = mixup_prob if train else 0.0
         self.autoaugment = autoaugment and train
@@ -113,9 +117,15 @@ class DetDataLoader:
     def _load(self, i: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         info = self.ds.data_infos[i]
         segs = info.get("segmentations") if self.with_masks else None
+        # semantic/stuff raster for HTC-semantic / PanopticFPN training
+        # (reference seg_prefix + LoadAnnotations(with_seg=True) +
+        # SegRescale chain) — geometry-preserving path only
+        sem = self.ds.semantic_map(i) if self.with_semantic else None
+        composed = False
         if self.mosaic_prob > 0 and rng.rand() < self.mosaic_prob:
             img, bboxes, labels = self._compose_mosaic_mixup(i, rng)
             segs = None  # mosaic is a box-only recipe (YOLOX)
+            composed = True
         else:
             img, bboxes, labels = self._raw(i)
         if self.autoaugment:
@@ -123,6 +133,11 @@ class DetDataLoader:
 
             img, bboxes, labels = apply_policy(img, bboxes, labels, rng)
             segs = None  # geometric policies invalidate polygon anns
+            composed = True
+        if composed and sem is not None:
+            # the composed image no longer matches the raster geometry —
+            # emit a full-ignore map so the batch keeps a fixed key set
+            sem = np.full(img.shape[:2], 255, np.int32)
         domain = None
         if self.domain_map is not None:
             domain = self.domain_map.one_hot(self.ds.img_path(i))
@@ -141,6 +156,8 @@ class DetDataLoader:
             max_gt=self.max_gt,
             short_side_override=short,
             segmentations=segs,
+            semantic_map=sem,
+            semantic_stride=self.semantic_stride,
         )
         if domain is not None:
             out["domain_label"] = domain
@@ -196,6 +213,9 @@ class FakeDetLoader:
         num_batches: int = 10,
         with_masks: bool = False,
         mask_crop_size: int = 28,
+        with_semantic: bool = False,
+        num_semantic_classes: int = 8,
+        semantic_stride: int = 8,
     ):
         self.batch_size = batch_size
         self.canvas = canvas
@@ -205,6 +225,9 @@ class FakeDetLoader:
         self.num_batches = num_batches
         self.with_masks = with_masks
         self.mask_crop_size = mask_crop_size
+        self.with_semantic = with_semantic
+        self.num_semantic_classes = num_semantic_classes
+        self.semantic_stride = semantic_stride
 
     def __len__(self):
         return self.num_batches
@@ -245,4 +268,27 @@ class FakeDetLoader:
                 out["gt_mask_crops"] = np.broadcast_to(
                     circle, (b, g, s, s)
                 ).copy()
+            if self.with_semantic:
+                # non-trivial stuff raster at 1/stride canvas resolution:
+                # stuff-class stripes + each gt box painted with its thing
+                # label (a learnable image->class mapping for smoke tests)
+                st = self.semantic_stride
+                sh, sw = (h + st - 1) // st, (w + st - 1) // st
+                sem = np.zeros((b, sh, sw), np.int32)
+                for bi in range(b):
+                    nstripe = rng.randint(2, 5)
+                    edges = np.sort(rng.randint(0, sh, nstripe - 1))
+                    cls = rng.randint(
+                        self.num_classes,
+                        self.num_classes + max(self.num_semantic_classes, 1),
+                        nstripe,
+                    )
+                    prev = 0
+                    for e, c in zip(list(edges) + [sh], cls):
+                        sem[bi, prev:e] = c
+                        prev = e
+                    for gi in range(int(n[bi])):
+                        x1, y1, x2, y2 = (boxes[bi, gi] / st).astype(int)
+                        sem[bi, y1:y2, x1:x2] = out["gt_labels"][bi, gi]
+                out["gt_semantic_seg"] = sem
             yield out

@@ -131,7 +131,12 @@ def crop_mask_iou(
     if n == 0 or m == 0:
         return np.zeros((n, m))
     det_full = [
-        paste_mask(crops1[i], boxes1[i], img_h, img_w, thr) for i in range(n)
+        # full-image det masks (SOLO native output) pass straight through;
+        # box-relative crops (R-CNN families) get pasted
+        crops1[i]
+        if crops1[i].shape == (img_h, img_w)
+        else paste_mask(crops1[i], boxes1[i], img_h, img_w, thr)
+        for i in range(n)
     ]
     a1 = np.array([d.sum() for d in det_full], np.float64)
     a2 = np.array([g.sum() for g in bitmaps2], np.float64)
@@ -141,6 +146,34 @@ def crop_mask_iou(
             inter = np.logical_and(det_full[i], bitmaps2[j]).sum()
             union = a1[i] if iscrowd[j] else a1[i] + a2[j] - inter
             out[i, j] = inter / union if union > 0 else 0.0
+    return out
+
+
+def full_masks_to_bitmaps(
+    masks: np.ndarray,  # (K, oh, ow) prob/binary at 1/stride padded canvas
+    img_shape,  # (nh, nw) valid (unpadded) region in canvas coords
+    ori_shape,  # (H0, W0) original image size
+    stride: int = 4,
+    thr: float = 0.5,
+) -> List[np.ndarray]:
+    """SOLO eval adapter: native 1/stride-canvas masks -> original-image
+    binary bitmaps (reference ``solo_head.py:854`` ``get_results``:
+    interpolate to the padded canvas, crop to ``img_shape``, interpolate to
+    ``ori_shape``, threshold)."""
+    import cv2
+
+    nh = int(round(float(img_shape[0])))
+    nw = int(round(float(img_shape[1])))
+    h0, w0 = int(ori_shape[0]), int(ori_shape[1])
+    out = []
+    for m in np.asarray(masks, np.float32):
+        full = cv2.resize(
+            m, (m.shape[1] * stride, m.shape[0] * stride),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        crop = full[:nh, :nw]
+        r = cv2.resize(crop, (w0, h0), interpolation=cv2.INTER_LINEAR)
+        out.append((r > thr).astype(np.uint8))
     return out
 
 

@@ -57,6 +57,8 @@ def preprocess(
     short_side_override: Optional[int] = None,
     segmentations: Optional[list] = None,
     mask_crop_size: Optional[int] = None,
+    semantic_map: Optional[np.ndarray] = None,
+    semantic_stride: int = 8,
 ) -> Dict[str, np.ndarray]:
     h0, w0 = img.shape[:2]
     sc = (max(scale), short_side_override) if short_side_override else scale
@@ -112,6 +114,28 @@ def preprocess(
     gt_mask[:n] = True
 
     extra = {}
+    if semantic_map is not None:
+        # Stuff/semantic raster: nearest resize with the image scale, flip,
+        # pad with 255 (ignore), then rescale to 1/``semantic_stride`` of the
+        # canvas — the reference's LoadAnnotations(with_seg=True) -> Resize
+        # (nearest) -> Pad(255) -> SegRescale(1/8) chain
+        # (``mmdet/datasets/pipelines/loading.py:378``,
+        # ``transforms.py:694`` SegRescale), emitted as a fixed-shape
+        # padded array for the TPU batch.
+        sem = semantic_map
+        if sem.dtype != np.uint8:
+            sem = np.clip(sem, 0, 255).astype(np.uint8)
+        sem_r = cv2.resize(sem, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        if flip:
+            sem_r = sem_r[:, ::-1]
+        sem_canvas = np.full(canvas, 255, np.uint8)
+        sem_canvas[:nh, :nw] = sem_r
+        st = semantic_stride
+        sh = (canvas[0] + st - 1) // st
+        sw = (canvas[1] + st - 1) // st
+        extra["gt_semantic_seg"] = cv2.resize(
+            sem_canvas, (sw, sh), interpolation=cv2.INTER_NEAREST
+        ).astype(np.int32)
     if segmentations is not None:
         from .mask_utils import MASK_CROP_SIZE, polygons_to_box_crop, rle_to_box_crop
 

@@ -31,11 +31,12 @@ def run_eval(
     def predict(v, batch):
         return detector.predict(v, batch, anchors, num_level_anchors, rescale=True)
 
+    full_image_masks = getattr(detector, "full_image_masks", False)
     results: List[Tuple[np.ndarray, np.ndarray]] = []
     t0 = time.time()
     n_batches = 0
     for batch in loader.epoch_iter(0):
-        batch.pop("ori_shape", None)
+        ori_shape = batch.pop("ori_shape", None)
         from ..utils.transfer import chunked_device_put
 
         jb = {
@@ -54,7 +55,17 @@ def run_eval(
                     (dets[i][m], labels[i][m], masks[i][m], mask_scores[i][m])
                 )
             elif masks is not None:
-                results.append((dets[i][m], labels[i][m], masks[i][m]))
+                mi = masks[i][m]
+                if full_image_masks and ori_shape is not None:
+                    # SOLO native rasters -> original-image bitmaps
+                    from ..data.mask_utils import full_masks_to_bitmaps
+
+                    mi = full_masks_to_bitmaps(
+                        mi, np.asarray(batch["img_shape"][i]),
+                        np.asarray(ori_shape[i]),
+                        stride=getattr(detector, "mask_stride", 4),
+                    )
+                results.append((dets[i][m], labels[i][m], mi))
             else:
                 results.append((dets[i][m], labels[i][m]))
         n_batches += 1

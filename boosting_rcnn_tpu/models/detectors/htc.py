@@ -189,8 +189,17 @@ class HTCDetector(CascadeDetector):
             seg_logits, sem_feat = self.net.apply(
                 variables, feats, method=HTCNet.semantic_out
             )
+            gt_sem = batch["gt_semantic_seg"]
+            if gt_sem.shape[1:3] != seg_logits.shape[1:3]:
+                # align the label raster to the logit grid (nearest) — the
+                # loader emits at 1/semantic_stride of the canvas, which
+                # matches fusion_level=1 (stride 8) by default
+                b_, h_, w_, _ = seg_logits.shape
+                gt_sem = jax.image.resize(
+                    gt_sem.astype(jnp.float32), (b_, h_, w_), "nearest"
+                ).astype(jnp.int32)
             losses["loss_semantic_seg"] = 0.2 * semantic_seg_loss(
-                seg_logits, batch["gt_semantic_seg"]
+                seg_logits, gt_sem
             )
 
         prop_boxes, prop_scores, prop_valid = jax.tree.map(

@@ -162,6 +162,12 @@ def main():
         num_classes = mc["bbox_head"]["num_classes"]
     else:
         num_classes = 1  # RPN-only: class-agnostic proposals
+    # HTC's fused semantic branch / PanopticFPN's stuff head train against
+    # per-pixel rasters — thread them through the loader when configured
+    with_semantic = bool(
+        mc.get("roi_head", {}).get("semantic_head")
+        or mc.get("semantic_head")
+    )
     if args.fake_data:
         loader = FakeDetLoader(
             batch_size=batch_per_host,
@@ -170,6 +176,7 @@ def main():
             num_batches=args.iters or 10,
             seed=args.seed,
             with_masks=bool(mc.get("roi_head", {}).get("mask_head")),
+            with_semantic=with_semantic,
         )
         steps_per_epoch = len(loader)
         val_ds = None
@@ -192,6 +199,8 @@ def main():
             mosaic_prob=pipeline.get("mosaic_prob", 0.0),
             mixup_prob=pipeline.get("mixup_prob", 0.0),
             autoaugment=pipeline.get("autoaugment", False),
+            with_semantic=with_semantic,
+            semantic_stride=pipeline.get("semantic_stride", 8),
         )
         steps_per_epoch = max(len(loader), 1)
         val_ds = None
