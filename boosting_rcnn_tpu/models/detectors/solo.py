@@ -3,10 +3,12 @@ instance segmenter = backbone + FPN + SOLOHead).
 
 API adaptation (documented deviation): the reference emits only masks; here
 boxes are derived from the binary masks' extents so SOLO fits the common
-``predict -> (dets, labels, valid, mask_crops)`` surface (enabling both the
-bbox and segm eval paths).  Mask crops are fixed-size box-relative resamples
-of the 1/4-resolution mask — the same representation the segm evaluator
-consumes for the R-CNN families.
+``predict -> (dets, labels, valid, masks)`` surface (enabling both the
+bbox and segm eval paths).  Masks are emitted at their native full-image
+1/4-canvas resolution (reference ``solo_head.py:854`` ``get_results``
+interpolates to the padded canvas and crops); the host-side eval adapter
+(``data/mask_utils.full_masks_to_bitmaps``) upsamples to original image
+coordinates directly — no lossy box-crop round trip.
 """
 from __future__ import annotations
 
@@ -66,6 +68,11 @@ def mask_to_box_crop(mask: jnp.ndarray, box: jnp.ndarray, size: int,
 
 
 class SOLODetector:
+    # masks from predict are full-image (1/mask_stride canvas) rasters —
+    # run_eval converts them host-side via full_masks_to_bitmaps
+    full_image_masks = True
+    mask_stride = 4
+
     def __init__(self, net: SOLONet, cfg: SOLOCfg, crop_size: int = 56):
         self.net = net
         self.cfg = cfg
@@ -111,13 +118,12 @@ class SOLODetector:
                 self.cfg, mps, cps, (oh, ow)
             )
             boxes = masks_to_boxes(masks, 4.0)  # padded-image coords
-            crops = jax.vmap(
-                lambda m, bx: mask_to_box_crop(m, bx, self.crop_size, 4.0)
-            )(masks, boxes)
             if rescale:
                 boxes = boxes / sf
             dets = jnp.concatenate([boxes, sc[:, None]], axis=-1)
-            return dets, lab, valid, crops
+            # native full-image masks at 1/4 canvas (reference get_results
+            # emits image-size masks; the upsample happens host-side)
+            return dets, lab, valid, masks.astype(jnp.uint8)
 
         return jax.vmap(decode_one)(
             mask_preds, cls_preds, batch["scale_factor"]

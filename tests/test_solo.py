@@ -6,6 +6,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -117,9 +118,56 @@ def test_solo_forward_train_and_predict():
     gs = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gs) and gs > 0
 
-    dets, labels, valid, crops = det.predict(variables, batch, pack, nlp)
+    dets, labels, valid, masks = det.predict(variables, batch, pack, nlp)
     dets = np.asarray(dets)
     assert dets.shape[-1] == 5
-    crops = np.asarray(crops)
-    assert crops.shape[-2:] == (56, 56)
+    # native full-image masks at 1/4 canvas (reference get_results emits
+    # image-resolution masks — not box crops)
+    masks = np.asarray(masks)
+    assert masks.shape[-2:] == (canvas[0] // 4, canvas[1] // 4)
+    assert det.full_image_masks and det.mask_stride == 4
     assert np.isfinite(dets[np.asarray(valid)]).all()
+
+
+def test_full_image_masks_eval_beyond_bbox():
+    """VERDICT r2 item 3 acceptance: a det whose mask extends beyond its
+    fitted bbox still scores segm AP 1.0 when masks are full-image rasters
+    (the old box-crop path clipped the mask to the box and could not)."""
+    from boosting_rcnn_tpu.core.evaluation.coco_eval import SegmCocoStyleEval
+
+    h = w = 64
+    # gt mask: 40x40 square at (8, 8); gt bbox deliberately smaller
+    seg = [[8.0, 8.0, 48.0, 8.0, 48.0, 48.0, 8.0, 48.0]]
+    gt = dict(
+        bboxes=np.asarray([[16.0, 16.0, 40.0, 40.0]], np.float32),
+        labels=np.asarray([0], np.int64),
+        bboxes_ignore=np.zeros((0, 4), np.float32),
+        height=h,
+        width=w,
+        segmentations=[seg],
+        areas=np.asarray([1600.0], np.float64),
+    )
+    det_mask = np.zeros((h, w), np.uint8)
+    det_mask[8:48, 8:48] = 1  # matches the gt mask, exceeds the det box
+    dets = np.asarray([[16.0, 16.0, 40.0, 40.0, 0.9]], np.float32)
+    results = [(dets, np.asarray([0], np.int64), [det_mask])]
+    s = SegmCocoStyleEval([gt], results, num_classes=1).summarize()
+    assert s["AP"] == pytest.approx(1.0), s
+
+
+def test_full_masks_to_bitmaps_round_trip():
+    """Adapter: 1/4-canvas raster -> original-image bitmap respects the
+    resize->crop->resize chain."""
+    from boosting_rcnn_tpu.data.mask_utils import full_masks_to_bitmaps
+
+    # canvas 64x96, valid region 50x75, original image 100x150
+    m = np.zeros((16, 24), np.float32)
+    m[2:8, 3:12] = 1.0  # canvas-coords box (12,8)-(48,32)
+    bm = full_masks_to_bitmaps(
+        m[None], img_shape=(50, 75), ori_shape=(100, 150), stride=4
+    )[0]
+    assert bm.shape == (100, 150)
+    # canvas box (12,8)-(48,32) scaled 2x -> roughly (24,16)-(96,64)
+    ys, xs = np.where(bm)
+    assert 12 <= ys.min() <= 20 and 58 <= ys.max() <= 68
+    assert 20 <= xs.min() <= 28 and 90 <= xs.max() <= 100
