@@ -81,6 +81,9 @@ def build_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
         stage_with_dcn=tuple(
             cfg.get("stage_with_dcn", (False, False, False, False))
         ),
+        plugins=tuple(cfg["plugins"]) if cfg.get("plugins") else None,
+        conv_cfg=cfg.get("conv_cfg"),
+        norm_cfg=cfg.get("norm_cfg"),
         dtype=dtype,
     )
 
@@ -99,6 +102,9 @@ def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
         stage_with_dcn=tuple(
             cfg.get("stage_with_dcn", (False, False, False, False))
         ),
+        plugins=tuple(cfg["plugins"]) if cfg.get("plugins") else None,
+        conv_cfg=cfg.get("conv_cfg"),
+        norm_cfg=cfg.get("norm_cfg"),
         dtype=dtype,
     )
 
@@ -294,9 +300,10 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         dtype=dtype,
     )
     if t == "FPN":
-        return FPN(**common)
+        return FPN(**common, norm_cfg=cfg.get("norm_cfg"),
+                   conv_cfg=cfg.get("conv_cfg"))
     if t == "PAFPN":
-        return PAFPN(**common)
+        return PAFPN(**common, norm_cfg=cfg.get("norm_cfg"))
     if t == "FPT":
         from .models.necks.fpt import FPT
 
@@ -563,14 +570,23 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
 
 
 def _std_convfc_head(cfg, num_classes, dtype):
+    # type-name presets (reference convfc_bbox_head.py subclasses)
+    presets = {
+        "Shared2FCBBoxHead": (0, 2),
+        "Shared4Conv1FCBBoxHead": (4, 1),
+    }
+    n_convs, n_fcs = presets.get(cfg.get("type"), (0, 2))
     return ConvFCBBoxHead(
         num_classes=num_classes,
-        num_shared_convs=cfg.get("num_shared_convs", 0),
-        num_shared_fcs=cfg.get("num_shared_fcs", 2),
+        num_shared_convs=cfg.get("num_shared_convs", n_convs),
+        num_shared_fcs=cfg.get("num_shared_fcs", n_fcs),
+        conv_out_channels=cfg.get("conv_out_channels", 256),
         fc_out_channels=cfg.get("fc_out_channels", 1024),
         roi_feat_size=cfg.get("roi_feat_size", 7),
         reg_class_agnostic=cfg.get("reg_class_agnostic", False),
         with_reg=cfg.get("with_reg", True),
+        conv_cfg=cfg.get("conv_cfg"),
+        norm_cfg=cfg.get("norm_cfg"),
         dtype=dtype,
     )
 
@@ -578,6 +594,30 @@ def _std_convfc_head(cfg, num_classes, dtype):
 def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
     means, stds = _coder_params(cfg.get("bbox_coder", {}))
     num_classes = cfg.get("num_classes", 80)
+    if cfg.get("type") == "SABLHead":
+        from .models.roi_heads.sabl_head import SABLBBoxHead
+
+        coder = cfg.get("bbox_coder", {})
+        module = SABLBBoxHead(
+            num_classes=num_classes,
+            in_channels=cfg.get("reg_in_channels", 256),
+            roi_feat_size=cfg.get("roi_feat_size", 7),
+            reg_feat_up_ratio=int(cfg.get("reg_feat_up_ratio", 2)),
+            reg_pre_num=cfg.get("reg_pre_num", 2),
+            reg_post_num=cfg.get("reg_post_num", 1),
+            cls_out_channels=cfg.get("cls_out_channels", 1024),
+            num_cls_fcs=cfg.get("num_cls_fcs", 1),
+            num_reg_fcs=cfg.get("num_reg_fcs", 0),
+            num_buckets=coder.get("num_buckets", 14),
+            dtype=dtype,
+        )
+        head_cfg = BBoxHeadCfg(
+            num_classes=num_classes,
+            target_means=(0.0,) * 4,
+            target_stds=(1.0,) * 4,
+            reg_class_agnostic=True,
+        )
+        return module, head_cfg
     if cfg.get("type") == "DoubleConvFCBBoxHead":
         from .models.roi_heads.bbox_head import DoubleBBoxHead
 
@@ -2202,6 +2242,15 @@ def build_detector(
         rcnn_test = test_cfg.get("rcnn", {})
         det_cls = TwoStageDetector
         det_kwargs = {}
+        if roi["bbox_head"].get("type") == "SABLHead":
+            from .models.roi_heads.sabl_head import make_sabl_detector_class
+
+            coder = roi["bbox_head"].get("bbox_coder", {})
+            det_cls = make_sabl_detector_class()
+            det_kwargs.update(
+                num_buckets=coder.get("num_buckets", 14),
+                bucket_scale_factor=coder.get("scale_factor", 1.7),
+            )
         if t == "FastRCNN":
             from .models.detectors.two_stage import FastRCNNDetector
 

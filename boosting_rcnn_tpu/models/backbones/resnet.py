@@ -25,11 +25,34 @@ from ..layers import (
 )
 
 
-def _norm(live: bool, dtype, name: str):
+def _norm(live: bool, dtype, name: str, norm_cfg: Optional[dict] = None):
     """norm_eval=True (reference finetuning default) -> FrozenBatchNorm;
     norm_eval=False (from-scratch, e.g. CenterNet) -> live BN whose stats
-    update under a mutable train-step apply."""
+    update under a mutable train-step apply.  An explicit ``norm_cfg``
+    (e.g. GN for the gn+ws configs) overrides the BN default."""
+    if norm_cfg is not None and norm_cfg.get("type") not in (
+            "BN", "SyncBN", "FrozenBN"):
+        from ..layers import make_norm
+
+        t = norm_cfg["type"]
+        if t == "GN":
+            import flax.linen as fnn
+
+            return fnn.GroupNorm(
+                num_groups=norm_cfg.get("num_groups", 32), epsilon=1e-5,
+                dtype=dtype, name=name)
+        return make_norm(norm_cfg, dtype)
     return (LiveBatchNorm if live else FrozenBatchNorm)(dtype=dtype, name=name)
+
+
+def _conv(conv_cfg: Optional[dict]):
+    """nn.Conv, or the weight-standardized variant for conv_cfg ConvWS
+    (gn+ws configs; reference ``mmcv/cnn/bricks/conv_ws.py``)."""
+    if conv_cfg is not None and conv_cfg.get("type") == "ConvWS":
+        from ..plugins import WSConv
+
+        return WSConv
+    return nn.Conv
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -89,8 +112,24 @@ class Bottleneck(nn.Module):
     base_channels: int = 64
     expansion: int = 4
     dcn: Optional[dict] = None  # dict(type='DCN'|'DCNv2', deform_groups=N)
+    plugins: Optional[tuple] = None  # ((cfg, position), ...) for this stage
+    conv_cfg: Optional[dict] = None  # dict(type='ConvWS') for gn+ws
+    norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     live_bn: bool = False
     dtype: Any = jnp.float32
+
+    def _plug(self, y, position: str):
+        """Run this stage's plugins at ``position`` (reference Bottleneck
+        ``forward_plugin``, ``resnet.py:219``)."""
+        if not self.plugins:
+            return y
+        from ..plugins import build_plugin
+
+        for i, (cfg, pos) in enumerate(self.plugins):
+            if pos == position:
+                y = build_plugin(
+                    cfg, dtype=self.dtype, name=f"{position}_plugin{i}")(y)
+        return y
 
     @nn.compact
     def __call__(self, x):
@@ -99,10 +138,12 @@ class Bottleneck(nn.Module):
         else:  # ResNeXt width rule (reference resnext.py)
             width = int(self.planes * (self.base_width / self.base_channels)) * self.groups
         out_ch = self.planes * self.expansion
+        conv = _conv(self.conv_cfg)
         identity = x
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = _norm(self.live_bn, self.dtype, name="bn1")(y)
+        y = conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _norm(self.live_bn, self.dtype, "bn1", self.norm_cfg)(y)
         y = nn.relu(y)
+        y = self._plug(y, "after_conv1")
         if self.dcn is not None:
             # reference Bottleneck ``with_dcn``: the 3x3 conv2 becomes a
             # deformable conv (``mmdet/models/backbones/resnet.py`` dcn arg)
@@ -113,23 +154,27 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype, name="conv2",
             )(y)
         else:
-            y = nn.Conv(
+            y = conv(
                 width, (3, 3), (self.stride, self.stride),
                 padding=[(self.dilation, self.dilation)] * 2,
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
                 use_bias=False, dtype=self.dtype, name="conv2",
             )(y)
-        y = _norm(self.live_bn, self.dtype, name="bn2")(y)
+        y = _norm(self.live_bn, self.dtype, "bn2", self.norm_cfg)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = _norm(self.live_bn, self.dtype, name="bn3")(y)
+        y = self._plug(y, "after_conv2")
+        y = conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = _norm(self.live_bn, self.dtype, "bn3", self.norm_cfg)(y)
+        y = self._plug(y, "after_conv3")
         if self.downsample:
-            identity = nn.Conv(
+            identity = conv(
                 out_ch, (1, 1), (self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = _norm(self.live_bn, self.dtype, name="downsample_bn")(identity)
+            identity = _norm(
+                self.live_bn, self.dtype, "downsample_bn", self.norm_cfg
+            )(identity)
         return nn.relu(y + identity)
 
 
@@ -155,31 +200,50 @@ class ResNet(nn.Module):
     frozen_stages: int = -1  # consumed by the train-state param mask
     dcn: Optional[dict] = None
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    # reference plugins= surface (resnet.py:121-140): each entry is
+    # dict(cfg=..., position='after_conv1|2|3', stages=(bool x4)|None)
+    plugins: Optional[tuple] = None
+    conv_cfg: Optional[dict] = None  # dict(type='ConvWS') for gn+ws
+    norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     norm_eval: bool = True  # False -> live BN (from-scratch training)
     dtype: Any = jnp.float32
+
+    def _stage_plugins(self, stage: int):
+        """Plugins active in ``stage`` as ((cfg, position), ...) — the
+        reference ``make_stage_plugins`` stages-filter semantics."""
+        if not self.plugins:
+            return None
+        out = []
+        for p in self.plugins:
+            stages = p.get("stages")
+            if stages is None or stages[stage]:
+                out.append((p["cfg"], p.get("position", "after_conv3")))
+        return tuple(out) or None
 
     @nn.compact
     def __call__(self, x):
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[: self.num_stages]
         stem = self.stem_channels or self.base_channels
+        conv = _conv(self.conv_cfg)
 
         if self.deep_stem:
             for i, (ch, s) in enumerate(
                 [(stem // 2, 2), (stem // 2, 1), (stem, 1)]
             ):
-                x = nn.Conv(
+                x = conv(
                     ch, (3, 3), (s, s), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name=f"stem_conv{i+1}",
                 )(x)
-                x = _norm(not self.norm_eval, self.dtype, name=f"stem_bn{i+1}")(x)
+                x = _norm(not self.norm_eval, self.dtype, f"stem_bn{i+1}",
+                          self.norm_cfg)(x)
                 x = nn.relu(x)
         else:
-            x = nn.Conv(
+            x = conv(
                 stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                 use_bias=False, dtype=self.dtype, name="conv1",
             )(x)
-            x = _norm(not self.norm_eval, self.dtype, name="bn1")(x)
+            x = _norm(not self.norm_eval, self.dtype, "bn1", self.norm_cfg)(x)
             x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=[(1, 1), (1, 1)])
         if self.frozen_stages >= 0:
@@ -211,6 +275,10 @@ class ResNet(nn.Module):
                 in_ch = out_ch
                 name = f"layer{stage+1}_{b}"
                 if block_type == "basic":
+                    # reference asserts plugins unsupported in BasicBlock
+                    # (resnet.py:28); same contract here
+                    assert self.plugins is None, (
+                        "plugins are only supported on Bottleneck depths")
                     x = BasicBlock(**common, name=name)(x)
                 else:
                     x = Bottleneck(
@@ -219,6 +287,9 @@ class ResNet(nn.Module):
                         base_width=self.base_width,
                         base_channels=self.base_channels,
                         dcn=self.dcn if self.stage_with_dcn[stage] else None,
+                        plugins=self._stage_plugins(stage),
+                        conv_cfg=self.conv_cfg,
+                        norm_cfg=self.norm_cfg,
                         name=name,
                     )(x)
             if stage + 1 <= self.frozen_stages:

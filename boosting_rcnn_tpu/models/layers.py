@@ -161,6 +161,19 @@ class ConvModule(nn.Module):
                 use_bias=use_bias,
                 dtype=self.dtype,
             )(x)
+        elif self.conv_cfg is not None and self.conv_cfg.get("type") == "ConvWS":
+            from .plugins import WSConv
+
+            x = WSConv(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=use_bias,
+                dtype=self.dtype,
+            )(x)
         else:
             x = nn.Conv(
                 self.out_channels,

@@ -26,6 +26,7 @@ class FPN(nn.Module):
     relu_before_extra_convs: bool = False
     no_norm_on_lateral: bool = False
     norm_cfg: Optional[dict] = None
+    conv_cfg: Optional[dict] = None  # e.g. dict(type='ConvWS') (gn+ws)
     act: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -46,6 +47,7 @@ class FPN(nn.Module):
                 self.out_channels,
                 1,
                 norm_cfg=None if self.no_norm_on_lateral else self.norm_cfg,
+                conv_cfg=self.conv_cfg,
                 act=self.act,
                 dtype=self.dtype,
                 name=f"lateral_{i}",
@@ -58,7 +60,8 @@ class FPN(nn.Module):
             )
         outs = [
             ConvModule(
-                self.out_channels, 3, norm_cfg=self.norm_cfg, act=self.act,
+                self.out_channels, 3, norm_cfg=self.norm_cfg,
+                conv_cfg=self.conv_cfg, act=self.act,
                 dtype=self.dtype, name=f"fpn_conv_{i}",
             )(laterals[i])
             for i in range(used)

@@ -30,22 +30,27 @@ class ConvFCBBoxHead(nn.Module):
     num_classes: int
     num_shared_convs: int = 0
     num_shared_fcs: int = 2
+    conv_out_channels: int = 256
     fc_out_channels: int = 1024
     roi_feat_size: int = 7
     reg_class_agnostic: bool = False
     with_cls: bool = True
     with_reg: bool = True
+    conv_cfg: Optional[dict] = None  # e.g. dict(type='ConvWS') (gn+ws)
+    norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (R, 7, 7, C) pooled features -> (cls (R, C+1), reg (R, 4K))."""
+        from ..layers import ConvModule
+
         for i in range(self.num_shared_convs):
-            x = nn.Conv(
-                256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            x = ConvModule(
+                self.conv_out_channels, 3, conv_cfg=self.conv_cfg,
+                norm_cfg=self.norm_cfg, dtype=self.dtype,
                 name=f"shared_conv_{i}",
             )(x)
-            x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_shared_fcs):
             x = nn.Dense(self.fc_out_channels, dtype=self.dtype, name=f"shared_fc_{i}")(x)
