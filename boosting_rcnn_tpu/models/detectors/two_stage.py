@@ -398,6 +398,19 @@ class TwoStageDetector:
         return jax.vmap(fn)(cls, reg, img_shapes)
 
     # ---------- training ----------
+    def _roi_losses(self, cls_s, reg_s, flat: "RoISample"):
+        """RoI-stage classification + regression losses; subclass hook
+        (SABL swaps in bucketing losses)."""
+        if reg_s is None:  # with_reg=False head (Grid R-CNN): cls-only
+            k = 1 if self.bbox_cfg.reg_class_agnostic else (
+                self.bbox_cfg.num_classes)
+            zero_reg = jnp.zeros((cls_s.shape[0], 4 * k), jnp.float32)
+            roi_losses = prob_roi_loss(
+                self.roi_cfg, self.bbox_cfg, cls_s, zero_reg, flat)
+            roi_losses["loss_bbox"] = jnp.zeros(())
+            return roi_losses
+        return prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
+
     def sample_from_rpn_outs(
         self, rng, rpn_outs, batch, anchors, num_level_anchors
     ) -> "RoISample":
@@ -556,18 +569,7 @@ class TwoStageDetector:
         flat = RoISample(*[
             x.reshape((-1,) + x.shape[2:]) for x in sample
         ])
-        if reg_s is None:  # with_reg=False head (Grid R-CNN): cls-only
-            k = 1 if self.bbox_cfg.reg_class_agnostic else (
-                self.bbox_cfg.num_classes)
-            zero_reg = jnp.zeros((cls_s.shape[0], 4 * k), jnp.float32)
-            roi_losses = prob_roi_loss(
-                self.roi_cfg, self.bbox_cfg, cls_s, zero_reg, flat)
-            roi_losses["loss_bbox"] = jnp.zeros(())
-        else:
-            roi_losses = prob_roi_loss(
-                self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
-        losses["loss_cls"] = roi_losses["loss_cls"]
-        losses["loss_bbox"] = roi_losses["loss_bbox"]
+        losses.update(self._roi_losses(cls_s, reg_s, flat))
 
         if self.net.mask_head is not None and "gt_mask_crops" in batch:
             from ..roi_heads.mask_head import mask_loss, resample_mask_targets

@@ -1,0 +1,4 @@
+# SABL Faster R-CNN R101 (reference configs/sabl/
+# sabl_faster_rcnn_r101_fpn_1x_coco.py).
+_base_ = "./sabl_faster_rcnn_r50_fpn_1x_coco.py"
+model = dict(backbone=dict(depth=101))
