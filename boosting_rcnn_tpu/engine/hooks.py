@@ -22,14 +22,29 @@ def ema_init(params):
     return jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
 
-def ema_update(ema_params, params, momentum: float = 0.0002):
-    """``ema = (1 - m) * ema + m * p`` (reference ExpMomentumEMAHook uses a
-    decaying momentum; this is the plain variant)."""
+def ema_update(ema_params, params, momentum=0.0002):
+    """``ema = (1 - m) * ema + m * p`` (reference BaseEMAHook update;
+    ``momentum`` may be a python float or a traced per-step value from
+    :func:`exp_momentum_schedule`)."""
     return jax.tree.map(
         lambda e, p: (1.0 - momentum) * e + momentum * p.astype(jnp.float32),
         ema_params,
         params,
     )
+
+
+def exp_momentum_schedule(total_iter: int = 2000, momentum: float = 0.0002):
+    """Reference ``ExpMomentumEMAHook`` (``core/hook/ema.py:104``):
+    ``m(t) = (1 - momentum) * exp(-(1 + t) / total_iter) + momentum`` —
+    near-1 momentum early (EMA tracks params quickly) decaying to the
+    steady-state ``momentum``.  Returns a callable over the step index."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        return (1.0 - momentum) * jnp.exp(
+            -(1.0 + step) / total_iter) + momentum
+
+    return fn
 
 
 def check_num_classes(model_cfg: Dict[str, Any], dataset) -> None:

@@ -63,6 +63,37 @@ def step_lr_schedule(
     return sched
 
 
+def yolox_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    max_epochs: int,
+    num_last_epochs: int = 15,
+    min_lr_ratio: float = 0.05,
+    warmup_epochs: int = 5,
+    warmup_ratio: float = 1.0,
+):
+    """Reference ``YOLOXLrUpdaterHook`` (``core/hook/yolox_lrupdater_hook.py``):
+    quadratic exp warmup over ``warmup_epochs``, cosine anneal to
+    ``min_lr_ratio * base_lr`` until ``max_epochs - num_last_epochs``, then
+    a fixed floor for the final (mosaic-free) epochs."""
+    warmup_iters = max(warmup_epochs * steps_per_epoch, 1)
+    total = max_epochs * steps_per_epoch
+    last = num_last_epochs * steps_per_epoch
+    target = base_lr * min_lr_ratio
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * warmup_ratio * ((step + 1.0) / warmup_iters) ** 2
+        denom = max(total - warmup_iters - last, 1)
+        prog = jnp.clip((step + 1.0 - warmup_iters) / denom, 0.0, 1.0)
+        cos = target + 0.5 * (base_lr - target) * (
+            1.0 + jnp.cos(jnp.pi * prog))
+        out = jnp.where(step < warmup_iters, warm, cos)
+        return jnp.where(step + 1.0 >= total - last, target, out)
+
+    return sched
+
+
 def frozen_stages_mask(params, frozen_stages: int):
     """True for params in frozen backbone stages (replaces the reference's
     ``requires_grad=False`` freezing, ``resnet.py`` ``_freeze_stages``).
@@ -90,6 +121,7 @@ def make_optimizer(
     params=None,
     frozen_stages: int = -1,
     opt_type: str = "sgd",
+    nesterov: bool = False,
 ):
     """SGD+momentum (or AdamW for transformer backbones) + L2 + global-norm
     clip (reference optimizer_config: grad_clip max_norm 35)."""
@@ -100,7 +132,8 @@ def make_optimizer(
         chain.append(optax.adamw(learning_rate=lr_schedule, weight_decay=weight_decay))
     else:
         chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.sgd(learning_rate=lr_schedule, momentum=momentum))
+        chain.append(optax.sgd(learning_rate=lr_schedule, momentum=momentum,
+                               nesterov=nesterov))
     if frozen_stages >= 0 and params is not None:
         # zero the final update for frozen params (optax.masked passes
         # unmasked updates through *unchanged*, so the zeroing must be its

@@ -186,8 +186,12 @@ def sim_ota_assign(cfg, scores, priors, decoded, gt_bboxes, gt_labels,
 
 
 def yolox_loss(cfg, cls, reg, obj, priors, gt_bboxes, gt_labels, gt_mask,
-               axis_name=None):
-    """cls (B, N, C); reg (B, N, 4); obj (B, N); priors (N, 4)."""
+               axis_name=None, use_l1: bool = False):
+    """cls (B, N, C); reg (B, N, 4); obj (B, N); priors (N, 4).
+
+    ``use_l1``: adds the raw-regression L1 term for the final
+    mosaic/mixup-free epochs (reference ``yolox_head.py:111`` — the flag
+    the YOLOXModeSwitchHook flips)."""
     decoded = yolox_decode(priors[None], reg)  # (B, N, 4)
     scores = jax.nn.sigmoid(cls) * jax.nn.sigmoid(obj)[..., None]
 
@@ -221,11 +225,27 @@ def yolox_loss(cfg, cls, reg, obj, priors, gt_bboxes, gt_labels, gt_mask,
         decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4)
     )
     loss_bbox = jnp.sum((1.0 - iou**2) * posf.reshape(-1)) / num_total
-    return {
+    out = {
         "loss_cls": loss_cls * cfg.loss_cls_weight,
         "loss_bbox": loss_bbox * cfg.loss_bbox_weight,
         "loss_obj": loss_obj * cfg.loss_obj_weight,
     }
+    if use_l1:
+        # reference _get_l1_target (yolox_head.py:471): center offset in
+        # stride units + log wh, L1 on raw reg predictions, positives only
+        gt_c = (tgt_boxes[..., :2] + tgt_boxes[..., 2:]) * 0.5
+        gt_wh = tgt_boxes[..., 2:] - tgt_boxes[..., :2]
+        l1_t = jnp.concatenate(
+            [
+                (gt_c - priors[None, :, :2]) / priors[None, :, 2:],
+                jnp.log(gt_wh / priors[None, :, 2:] + 1e-8),
+            ],
+            axis=-1,
+        )
+        out["loss_l1"] = jnp.sum(
+            jnp.abs(reg - l1_t) * posf[..., None]
+        ) / num_total
+    return out
 
 
 def yolox_get_bboxes(cfg, cls, reg, obj, priors, img_shape, scale_factor,

@@ -508,6 +508,10 @@ class YOLOXDetector:
         self.net = net
         self.head_cfg = head_cfg
         self.test_cfg = test_cfg
+        # flipped by the YOLOXModeSwitch wiring in tools/train.py for the
+        # final mosaic/mixup-free epochs (reference yolox_head.py:111);
+        # static at trace time — the switch re-jits the train step
+        self.use_l1 = False
 
     def featmap_sizes(self, canvas_hw):
         import math
@@ -546,7 +550,7 @@ class YOLOXDetector:
         return yolox_loss(
             self.head_cfg, cls, reg, obj, priors,
             batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
-            axis_name=axis_name,
+            axis_name=axis_name, use_l1=self.use_l1,
         )
 
     def predict(self, variables, batch, priors, num_level_points, rescale=True):

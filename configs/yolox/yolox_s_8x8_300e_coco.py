@@ -36,3 +36,29 @@ model = dict(
     ),
 )
 optimizer = dict(lr=0.01, weight_decay=5e-4)
+
+# Reference training recipe (configs/yolox/yolox_s_8x8_300e_coco.py:100-140):
+# quadratic-exp warmup + cosine anneal with a fixed floor over the final
+# mosaic-free epochs, mode-switch + exp-momentum EMA hooks.
+optimizer = dict(
+    lr=0.01, momentum=0.9, weight_decay=5e-4, nesterov=True,
+)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(
+    _delete_=True,
+    policy="YOLOX",
+    warmup="exp",
+    by_epoch=False,
+    warmup_by_epoch=True,
+    warmup_ratio=1,
+    warmup_iters=5,  # epochs
+    num_last_epochs=15,
+    min_lr_ratio=0.05,
+)
+runner = dict(type="EpochBasedRunner", max_epochs=300)
+custom_hooks = [
+    dict(type="YOLOXModeSwitchHook", num_last_epochs=15, priority=48),
+    dict(type="SyncRandomSizeHook", ratio_range=(14, 26), priority=48),
+    dict(type="SyncNormHook", num_last_epochs=15, interval=10, priority=48),
+    dict(type="ExpMomentumEMAHook", priority=49),
+]

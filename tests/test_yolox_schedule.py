@@ -1,0 +1,117 @@
+"""YOLOX training-recipe fidelity (VERDICT r2 item 7): ExpMomentum EMA,
+mode switch (mosaic/mixup off + L1 on), cosine YOLOX LR schedule.
+
+Reference: ``core/hook/ema.py:104``, ``yolox_mode_switch_hook.py:7``,
+``yolox_lrupdater_hook.py``."""
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_yolox_lr_schedule_golden():
+    from boosting_rcnn_tpu.engine.train import yolox_lr_schedule
+
+    spe, max_ep, last, warm = 10, 30, 5, 2
+    base, ratio = 0.01, 0.05
+    sched = yolox_lr_schedule(
+        base, spe, max_ep, num_last_epochs=last, min_lr_ratio=ratio,
+        warmup_epochs=warm)
+    # quadratic exp warmup: lr(step) = base * ((step+1)/warmup_iters)^2
+    wi = warm * spe
+    np.testing.assert_allclose(
+        float(sched(0)), base * (1 / wi) ** 2, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(sched(wi - 1)), base, rtol=1e-6)
+    # cosine midpoint between warmup end and last-epochs start
+    total, lastit = max_ep * spe, last * spe
+    mid = wi + (total - wi - lastit) // 2 - 1
+    target = base * ratio
+    np.testing.assert_allclose(
+        float(sched(mid)), target + 0.5 * (base - target), rtol=1e-2)
+    # fixed floor through the final epochs
+    np.testing.assert_allclose(float(sched(total - lastit)), target, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(total - 1)), target, rtol=1e-6)
+
+
+def test_exp_momentum_schedule_golden():
+    from boosting_rcnn_tpu.engine.hooks import exp_momentum_schedule
+
+    fn = exp_momentum_schedule(total_iter=2000, momentum=0.0002)
+    # m(t) = (1 - m0) * exp(-(1+t)/T) + m0
+    for t in (0, 500, 10000):
+        expected = (1 - 0.0002) * np.exp(-(1 + t) / 2000) + 0.0002
+        np.testing.assert_allclose(float(fn(t)), expected, rtol=1e-6)
+    # early momentum ~1 (EMA follows params), late ~2e-4
+    assert float(fn(0)) > 0.99
+    assert abs(float(fn(50000)) - 0.0002) < 1e-6
+
+
+def test_yolox_loss_l1_term():
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    cfg = load_config(
+        os.path.join(REPO, "configs/yolox/yolox_s_8x8_300e_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(deepen_factor=0.33, widen_factor=0.125)
+    mc["neck"].update(in_channels=[32, 64, 128], out_channels=32,
+                      num_csp_blocks=1)
+    mc["bbox_head"].update(num_classes=4, in_channels=32, feat_channels=32)
+    det = build_detector(mc)
+    canvas = (64, 64)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    priors, nlp = det.anchors_for(canvas)
+    loader = FakeDetLoader(batch_size=1, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, priors, nlp)
+    assert "loss_l1" not in losses
+    det.use_l1 = True
+    losses_l1 = det.loss(variables, jax.random.PRNGKey(1), batch, priors, nlp)
+    det.use_l1 = False
+    assert "loss_l1" in losses_l1
+    assert np.isfinite(float(losses_l1["loss_l1"]))
+    assert float(losses_l1["loss_l1"]) > 0
+
+
+@pytest.mark.slow
+def test_yolox_cli_short_run_exercises_recipe(tmp_path):
+    """tools/train.py on the YOLOX config runs warmup + mode switch + EMA
+    in a short fake-data run (the VERDICT item-7 'done' criterion)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools/train.py"),
+            os.path.join(REPO, "configs/yolox/yolox_s_8x8_300e_coco.py"),
+            "--fake-data", "--tiny", "--iters", "3", "--no-validate",
+            "--work-dir", str(tmp_path),
+            "--cfg-options",
+            "runner.max_epochs=2",
+            "lr_config.num_last_epochs=1",
+            "lr_config.warmup_iters=1",
+            "model.backbone.widen_factor=0.125",
+            "model.neck.in_channels=[32,64,128]",
+            "model.neck.out_channels=32",
+            "model.bbox_head.in_channels=32",
+            "model.bbox_head.feat_channels=32",
+        ],
+        capture_output=True, text=True, env=env, timeout=1500,
+    )
+    log = out.stdout + out.stderr
+    assert out.returncode == 0, log[-4000:]
+    assert "YOLOX mode switch" in log, log[-4000:]
+    # EMA shadow checkpoint written
+    assert any("_ema" in p for p in os.listdir(tmp_path)), os.listdir(tmp_path)

@@ -218,13 +218,54 @@ def main():
     logger.info(f"model params: {n_params/1e6:.2f}M, canvas {canvas}")
     anchors, nla = det.anchors_for(canvas)
 
-    sched = step_lr_schedule(
-        opt.get("lr", 0.02),
-        steps_per_epoch,
-        decay_epochs=lrc.get("step", [8, 11]),
-        warmup_iters=lrc.get("warmup_iters", 500),
-        warmup_ratio=lrc.get("warmup_ratio", 0.001),
-    )
+    # custom hooks (reference custom_hooks list).  Known-supported hooks
+    # are wired below; hooks whose semantics are inherent to this runtime
+    # (deterministic loader seeding / global batch stats under pjit) are
+    # accepted as no-ops; anything else raises (repo convention).
+    ema_momentum_fn = None
+    mode_switch_epochs = 0
+    inherent = {"SyncRandomSizeHook", "SyncNormHook", "NumClassCheckHook",
+                "CheckInvalidLossHook"}
+    for hook in cfg.get("custom_hooks", []) or []:
+        ht = hook.get("type")
+        if ht == "ExpMomentumEMAHook":
+            from boosting_rcnn_tpu.engine.hooks import exp_momentum_schedule
+
+            ema_momentum_fn = exp_momentum_schedule(
+                total_iter=hook.get("total_iter", 2000),
+                momentum=hook.get("momentum", 0.0002),
+            )
+        elif ht == "EMAHook":
+            m = hook.get("momentum", 0.0002)
+            ema_momentum_fn = lambda step, _m=m: _m
+        elif ht == "YOLOXModeSwitchHook":
+            mode_switch_epochs = hook.get("num_last_epochs", 15)
+        elif ht in inherent:
+            logger.info(f"custom hook {ht}: inherent to this runtime (no-op)")
+        else:
+            raise NotImplementedError(f"unsupported custom hook {ht!r}")
+
+    if lrc.get("policy") == "YOLOX":
+        from boosting_rcnn_tpu.engine.train import yolox_lr_schedule
+
+        sched = yolox_lr_schedule(
+            opt.get("lr", 0.01),
+            steps_per_epoch,
+            max_epochs,
+            num_last_epochs=lrc.get("num_last_epochs", 15),
+            min_lr_ratio=lrc.get("min_lr_ratio", 0.05),
+            warmup_epochs=lrc.get("warmup_iters", 5)
+            if lrc.get("warmup_by_epoch", True) else 1,
+            warmup_ratio=lrc.get("warmup_ratio", 1.0),
+        )
+    else:
+        sched = step_lr_schedule(
+            opt.get("lr", 0.02),
+            steps_per_epoch,
+            decay_epochs=lrc.get("step", [8, 11]),
+            warmup_iters=lrc.get("warmup_iters", 500),
+            warmup_ratio=lrc.get("warmup_ratio", 0.001),
+        )
     tx = make_optimizer(
         sched,
         momentum=opt.get("momentum", 0.9),
@@ -232,6 +273,7 @@ def main():
         grad_clip_norm=grad_clip.get("max_norm"),
         params=variables["params"],
         frozen_stages=mc["backbone"].get("frozen_stages", -1),
+        nesterov=opt.get("nesterov", False),
     )
     state = create_train_state(variables, tx)
 
@@ -269,7 +311,33 @@ def main():
     total_steps = 0
     t_start = time.time()
     nan_guard_interval = 50  # CheckInvalidLossHook equivalent
+    ema_params = None
+    if ema_momentum_fn is not None:
+        from boosting_rcnn_tpu.engine.hooks import ema_init, ema_update
+
+        ema_params = jax.device_put(ema_init(state.params), rep)
+        ema_step = jax.jit(ema_update)
+    mode_switched = False
     for epoch in range(start_epoch, max_epochs):
+        if (mode_switch_epochs and not mode_switched
+                and epoch >= max_epochs - mode_switch_epochs):
+            # YOLOXModeSwitchHook (yolox_mode_switch_hook.py:7): kill
+            # mosaic/mixup and enable the raw-regression L1 term for the
+            # final epochs; the flipped flag re-jits the train step
+            mode_switched = True
+            for attr in ("mosaic_prob", "mixup_prob"):
+                if hasattr(loader, attr):
+                    setattr(loader, attr, 0.0)
+            if hasattr(det, "use_l1"):
+                det.use_l1 = True
+            train_step = jax.jit(
+                make_train_step(det, anchors, nla),
+                in_shardings=(rep, bsh, rep),
+                out_shardings=(rep, rep),
+            )
+            logger.info(
+                f"YOLOX mode switch at epoch {epoch}: mosaic/mixup off, "
+                f"L1 loss on")
         t_epoch = time.time()
         t_data = 0.0
         t_last = time.time()
@@ -278,6 +346,9 @@ def main():
             t_data += time.time() - t_last
             sb = shard_batch(mesh, batch)
             state, metrics = train_step(state, sb, rng)
+            if ema_params is not None:
+                ema_params = ema_step(
+                    ema_params, state.params, ema_momentum_fn(total_steps))
             total_steps += 1
             if total_steps % log_interval == 0 or it == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -312,6 +383,14 @@ def main():
                     ),
                 },
             )
+            if ema_params is not None:
+                # EMA weights shadow-checkpoint (reference EMA hook swaps
+                # them in at eval; kept as a sibling checkpoint here)
+                save_checkpoint(
+                    os.path.join(work_dir, f"epoch_{epoch+1}_ema"),
+                    jax.device_get(state.replace(params=ema_params)),
+                    meta={"epoch": epoch + 1, "ema": True},
+                )
         if val_ds is not None:
             from boosting_rcnn_tpu.data.loader import DetDataLoader as DL
             from boosting_rcnn_tpu.engine.eval import run_eval
