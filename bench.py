@@ -102,7 +102,10 @@ def main():
                     % batch,
                     "value": round(img_per_s, 2),
                     "unit": "img/s",
+                    # denominator is the V100 inference baseline (no
+                    # machine-readable train baseline exists)
                     "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+                    "baseline_kind": "v100_fp32_inference",
                 }
             )
         )
@@ -138,7 +141,9 @@ def main():
         try:
             train_img_s = measure_train()
             line["train_img_s"] = round(train_img_s, 2)
-            line["train_vs_baseline"] = round(
+            # NOTE: the only machine-readable reference number is the V100
+            # *inference* latency; label the ratio for what it is
+            line["train_vs_infer_baseline"] = round(
                 train_img_s / BASELINE_IMG_PER_S, 3
             )
         except Exception as e:  # keep the primary metric alive

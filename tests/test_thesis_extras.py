@@ -1,0 +1,91 @@
+"""Thesis-extras subset (VERDICT r2 item 10): EMAU / FP-EMAU / HiddenMixup
+backbone + contrastive losses (reference
+``detectors/faster_rcnn.py:849-1010``, ``backbones/hiddenMixupResnet.py``).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from boosting_rcnn_tpu.models.thesis_extras import (
+    EMAU,
+    FPEMAU,
+    HiddenMixupResNet,
+    channel_contrastive_loss,
+    mixup_data,
+    spatial_contrastive_loss,
+)
+
+
+def test_emau_forward_and_basis():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 10, 16), jnp.float32)
+    m = EMAU(k=8, stage_num=3)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out, mu = m.apply(variables, x)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    # mu columns are l2-normalized over channels
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(mu), axis=1), 1.0, atol=1e-3)
+    # no gradient flows through the EM iterations into mu0
+    g = jax.grad(
+        lambda v: jnp.sum(m.apply(v, x)[0].astype(jnp.float32))
+    )(variables)
+    assert np.isfinite(
+        np.asarray(g["params"]["conv1"]["kernel"])).all()
+
+
+def test_fp_emau_shares_basis_across_levels():
+    rs = np.random.RandomState(1)
+    feats = tuple(
+        jnp.asarray(rs.randn(1, s, s, 8), jnp.float32) for s in (16, 8, 4))
+    m = FPEMAU(k=4, stage_num=2)
+    variables = m.init(jax.random.PRNGKey(0), feats)
+    outs, mu = m.apply(variables, feats)
+    assert len(outs) == 3
+    for o, f in zip(outs, feats):
+        assert o.shape == f.shape and np.isfinite(np.asarray(o)).all()
+    # one shared conv/basis parameter set
+    assert set(variables["params"]) == {"conv1", "conv2", "bn2", "mu"}
+
+
+def test_contrastive_losses_golden():
+    x = jnp.ones((1, 8, 8, 16))
+    assert float(spatial_contrastive_loss(x, x)) == 0.0
+    assert float(channel_contrastive_loss(x, x)) == 0.0
+    y = x + 1.0
+    # squared diff 1 everywhere; margin 0.01 -> 0.99 after hinge
+    np.testing.assert_allclose(
+        float(spatial_contrastive_loss(x, y)), 0.99, atol=1e-6)
+    np.testing.assert_allclose(
+        float(channel_contrastive_loss(x, y)), 1.0, atol=1e-6)
+
+
+def test_hidden_mixup_resnet_two_view():
+    from boosting_rcnn_tpu.models.backbones.resnet import ResNet
+
+    m = HiddenMixupResNet(
+        resnet=ResNet(depth=18, base_channels=8, norm_eval=True))
+    rs = np.random.RandomState(2)
+    x1 = jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32)
+    x2 = jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x1)
+    # single view == plain backbone
+    outs = m.apply(variables, x1)
+    assert len(outs) == 4
+    # two views: contrastive aux + mixed hidden states
+    outs_mix, closs = m.apply(
+        variables, x1, x2, mix_rng=jax.random.PRNGKey(3), train=True)
+    assert float(closs) > 0
+    assert len(outs_mix) == 4
+    # stage-0 output is view-1's (no mix at the first level)
+    np.testing.assert_allclose(
+        np.asarray(outs_mix[0]), np.asarray(outs[0]), atol=1e-6)
+    # deeper levels are blends, not equal to either view
+    o1 = np.asarray(m.apply(variables, x1)[2])
+    assert np.abs(np.asarray(outs_mix[2]) - o1).max() > 1e-5
