@@ -218,6 +218,195 @@ def multilevel_roi_align_pallas(
     return pooled * roi_valid[:, None, None, None].astype(pooled.dtype)
 
 
+def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
+                cc_size: int, n_chunks: int,
+                row0_ref, x0a_ref, wy_ref, wx_ref, g_ref, out_ref):
+    """RoIAlign backward wrt features (round-3 train-path lever).
+
+    The transpose of R vmapped dynamic_slice gathers is an XLA scatter —
+    measured at ~57ms of the 172ms train step (docs/TRAIN_PERF.md).  Here
+    the scatter becomes sequential VMEM accumulation: per channel chunk,
+    zero a full stacked-pyramid accumulator in VMEM, stream the pooled
+    cotangents in, turn each RoI's (out, out) cotangent into its (win,
+    win_w) window gradient with two small MXU contractions, and add it at
+    the RoI's dynamic (row, aligned-column) offset.  One DMA writes the
+    chunk out; no HBM read-modify-write ever happens.
+
+    Layouts: ``g_ref`` (R, out_x, out_y, C) in HBM (kernel layout of the
+    forward, i.e. final-output transposed); ``wy_ref`` (R, out, win) /
+    ``wx_ref`` (R, out, win_w) pool-folded interp matrices in VMEM;
+    ``out_ref`` (rows, Wpad, C) f32 in HBM.
+    """
+    r = wy_ref.shape[0]
+    rows = out_ref.shape[0]
+    wpad = out_ref.shape[1]
+
+    def body(acc, gbuf, g_sem, out_sem):
+        def chunk_loop(cc, _):
+            cp = pltpu.make_async_copy(
+                g_ref.at[:, :, :, pl.ds(cc * cc_size, cc_size)],
+                gbuf, g_sem,
+            )
+            cp.start()
+            acc[...] = jnp.zeros_like(acc)
+            cp.wait()
+
+            def roi_loop(i, _):
+                gk = gbuf[i].astype(jnp.float32)  # (out_x, out_y, cc)
+                # v[k, ox, cc] = sum_oy wy[oy, k] g[ox, oy, cc]
+                v = jax.lax.dot_general(
+                    wy_ref[i].astype(jnp.float32),
+                    gk,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (win, out_x, cc)
+                # dwin[m, k, cc] = sum_ox wx[ox, m] v[k, ox, cc]
+                dwin = jax.lax.dot_general(
+                    wx_ref[i].astype(jnp.float32),
+                    v,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (win_w, win, cc)
+                dwin = jnp.swapaxes(dwin, 0, 1)  # (win, win_w, cc)
+                r0 = row0_ref[i]
+                c0 = x0a_ref[i] * align
+                cur = acc[pl.ds(r0, win), pl.ds(c0, win_w), :]
+                acc[pl.ds(r0, win), pl.ds(c0, win_w), :] = cur + dwin
+                return 0
+
+            jax.lax.fori_loop(0, r, roi_loop, 0)
+            cpo = pltpu.make_async_copy(
+                acc, out_ref.at[:, :, pl.ds(cc * cc_size, cc_size)], out_sem
+            )
+            cpo.start()
+            cpo.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+
+    pl.run_scoped(
+        body,
+        acc=pltpu.VMEM((rows, wpad, cc_size), jnp.float32),
+        gbuf=pltpu.VMEM((r, out_size, out_size, cc_size), g_ref.dtype),
+        g_sem=pltpu.SemaphoreType.DMA,
+        out_sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+def pallas_window_roi_align_bwd(
+    g: jnp.ndarray,  # (R, out_y, out_x, C) cotangent of the pooled output
+    stacked_shape,  # (rows, Wpad, C) of the (padded) stacked pyramid
+    row0: jnp.ndarray,
+    x0: jnp.ndarray,
+    wy: jnp.ndarray,  # (R, out*s, win) raw interp matrices (pre pool-fold)
+    wx: jnp.ndarray,  # (R, out*s, win_w)
+    stacked_dtype,
+    out_size: int = 7,
+    s: int = 2,
+    cc_size: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dStacked (f32) for the window RoIAlign — the sequential-accumulation
+    Pallas kernel above; host prep mirrors the forward exactly."""
+    assert _HAS_PALLAS, "pallas unavailable"
+    r = row0.shape[0]
+    rows, wpad, c = stacked_shape
+    pool = jnp.repeat(jnp.eye(out_size, dtype=wy.dtype), s, axis=1) / s
+    wy = jnp.einsum("ok,rkw->row", pool, wy)
+    wx = jnp.einsum("ok,rkw->row", pool, wx)
+    win = wy.shape[-1]
+    win_w = wx.shape[-1]
+    align = _sublane_align(stacked_dtype)
+    x0a = x0 // align
+    shift = (x0 - x0a * align).astype(jnp.int32)
+    win_w_dma = win_w + align
+    cols = shift[:, None, None] + jnp.arange(win_w)[None, None, :]
+    onehot = jax.nn.one_hot(cols, win_w_dma, dtype=wx.dtype)
+    wx = jnp.einsum("row,rwW->roW", wx, onehot[:, 0])
+    # f32 accumulator column offsets must divide the f32 sublane tile (8);
+    # align is 8 (f32 pyramid) or 16 (bf16) — both divide cleanly
+    assert align % 8 == 0 or align == 16
+    cc_size = min(cc_size, c)
+    assert c % cc_size == 0, (c, cc_size)
+    n_chunks = c // cc_size
+    g_k = jnp.swapaxes(g, 1, 2)  # (R, out_x, out_y, C) kernel layout
+    kern = functools.partial(
+        _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, wpad, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # g stays in HBM
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        interpret=interpret,
+    )(row0, x0a, wy, wx, g_k)
+
+
+def multilevel_roi_align_pallas_bwd(
+    feats, rois, roi_valid, g, strides, out_size=7, sample_num=2,
+    finest_scale=56, num_route_levels=None, win: int = 24,
+    interpret=False,
+):
+    """d_feats for ``multilevel_roi_align_pallas`` — full host-side
+    geometry prep (identical to the forward) + the backward kernel +
+    un-stacking of the pyramid gradient."""
+    from .roi_align import _interp_matrix, map_roi_levels
+
+    nl = num_route_levels or len(feats)
+    c = feats[0].shape[-1]
+    s = sample_num
+    max_w = max(f.shape[1] for f in feats[:nl])
+    win_w = min(win, max_w)
+    align = _sublane_align(feats[0].dtype)
+    pad_w = max_w + align
+    row_off, acc = [], 0
+    for f in feats[:nl]:
+        row_off.append(acc)
+        acc += f.shape[0]
+    rows_total = acc + win
+    row_off = jnp.asarray(row_off, jnp.int32)
+    hs = jnp.asarray([f.shape[0] for f in feats[:nl]], jnp.int32)
+    ws = jnp.asarray([f.shape[1] for f in feats[:nl]], jnp.int32)
+
+    lvl = map_roi_levels(rois, nl, finest_scale)
+    inv_strides = jnp.asarray([1.0 / strides[i] for i in range(nl)], jnp.float32)
+    scale = inv_strides[lvl]
+    x1 = rois[:, 0] * scale - 0.5
+    y1 = rois[:, 1] * scale - 0.5
+    bin_w = (rois[:, 2] * scale - 0.5 - x1) / out_size
+    bin_h = (rois[:, 3] * scale - 0.5 - y1) / out_size
+    wy0 = jnp.clip(jnp.floor(y1).astype(jnp.int32), 0, jnp.maximum(hs[lvl] - win, 0))
+    wx0 = jnp.clip(jnp.floor(x1).astype(jnp.int32), 0, jnp.maximum(ws[lvl] - win_w, 0))
+    row0 = row_off[lvl] + wy0
+    hi_y = jnp.minimum(jnp.float32(win - 1), (hs[lvl] - 1 - wy0).astype(jnp.float32))
+    hi_x = jnp.minimum(jnp.float32(win_w - 1), (ws[lvl] - 1 - wx0).astype(jnp.float32))
+    wy = _interp_matrix(y1, bin_h, wy0.astype(jnp.float32), hi_y, out_size, s, win)
+    wx = _interp_matrix(x1, bin_w, wx0.astype(jnp.float32), hi_x, out_size, s, win_w)
+    wdt = feats[0].dtype
+    g = g * roi_valid[:, None, None, None].astype(g.dtype)
+    d_stacked = pallas_window_roi_align_bwd(
+        g.astype(jnp.float32), (rows_total, pad_w, c), row0, wx0,
+        wy.astype(wdt), wx.astype(wdt), wdt,
+        out_size=out_size, s=s, interpret=interpret,
+    )
+    d_feats = []
+    off = 0
+    for f in feats[:nl]:
+        h, w, _ = f.shape
+        d_feats.append(d_stacked[off:off + h, :w, :].astype(f.dtype))
+        off += h
+    for f in feats[nl:]:
+        d_feats.append(jnp.zeros_like(f))
+    return tuple(d_feats)
+
+
 def pallas_roi_available() -> bool:
     """Use the fused kernel: pallas importable, TPU backend, not disabled by
     ``BRT_NO_PALLAS_ROI`` (escape hatch)."""
@@ -235,18 +424,21 @@ def multilevel_roi_align_pallas_trainable(
     feats, rois, roi_valid, strides, out_size=7, sample_num=2,
     finest_scale=56, num_route_levels=None, interpret=False,
 ):
-    """Pallas forward + XLA-path backward (round-2 item from VERDICT r1:
-    the train path previously fell back to the slower XLA RoIAlign forward
-    because the kernel had no custom_vjp).
+    """Pallas forward + Pallas backward.
 
-    Forward runs the fused double-buffered Pallas kernel; backward reuses
-    the VJP of ``multilevel_roi_align_fast``, which computes the same
-    clamped-window bilinear function, so gradients are consistent with the
-    forward up to kernel-vs-XLA rounding.  rois/valid receive zero
-    cotangents (mmcv RoIAlign backward semantics: features only).
+    Forward runs the fused double-buffered kernel; backward runs the
+    sequential VMEM-accumulation kernel (``_bwd_kernel``) — the transpose
+    of the window gathers without an XLA scatter (round-3: the XLA scatter
+    was ~57ms of the 172ms train step, docs/TRAIN_PERF.md).  Set
+    ``BRT_XLA_ROI_BWD=1`` to fall back to the autodiff of the XLA fast
+    path (numerically identical window function) for A/B measurement.
+    rois/valid receive zero cotangents (mmcv RoIAlign backward semantics:
+    features only).
 
     All traced values (feats, rois, valid) are explicit custom_vjp inputs —
     closing over them would leak tracers when the caller vmaps."""
+    import os
+
     from .roi_align import multilevel_roi_align_fast
 
     kw = dict(
@@ -265,13 +457,18 @@ def multilevel_roi_align_pallas_trainable(
 
     def _bwd(res, g):
         f, rb, vf = res
-        _, vjp = jax.vjp(
-            lambda ff: multilevel_roi_align_fast(
-                ff, rb, vf > 0.5, strides, **kw
-            ),
-            f,
-        )
-        (d_feats,) = vjp(g)
+        if os.environ.get("BRT_XLA_ROI_BWD"):
+            _, vjp = jax.vjp(
+                lambda ff: multilevel_roi_align_fast(
+                    ff, rb, vf > 0.5, strides, **kw
+                ),
+                f,
+            )
+            (d_feats,) = vjp(g)
+        else:
+            d_feats = multilevel_roi_align_pallas_bwd(
+                f, rb, vf > 0.5, g, strides, interpret=interpret, **kw
+            )
         return (d_feats, jnp.zeros_like(rb), jnp.zeros_like(vf))
 
     _aligned.defvjp(_fwd, _bwd)

@@ -231,3 +231,47 @@ def test_generic_roi_extractor_all_levels():
     cat = multilevel_roi_align_all(feats, rois, valid, strides, out_size=7,
                                    aggregation="concat")
     assert cat.shape[-1] == 12
+
+
+def test_pallas_bwd_matches_xla_vjp():
+    """Round-3 backward kernel: the sequential VMEM-accumulation transpose
+    must equal the autodiff of the XLA fast path (same window function)."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        multilevel_roi_align_pallas_bwd,
+    )
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(0)
+    shapes = [(32, 40), (16, 20), (8, 10), (4, 5)]
+    strides = (8, 16, 32, 64)
+    c = 32
+    feats = tuple(
+        jnp.asarray(rs.randn(h, w, c), jnp.float32) for h, w in shapes
+    )
+    r = 24
+    cx = rs.uniform(10, 300, r)
+    cy = rs.uniform(10, 240, r)
+    bw = rs.uniform(8, 260, r)
+    bh = rs.uniform(8, 200, r)
+    rois = jnp.asarray(
+        np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1),
+        jnp.float32,
+    )
+    valid = jnp.asarray(rs.rand(r) > 0.2)
+    g = jnp.asarray(rs.randn(r, 7, 7, c), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda ff: multilevel_roi_align_fast(ff, rois, valid, strides), feats
+    )
+    (ref,) = vjp(g)
+    got = multilevel_roi_align_pallas_bwd(
+        feats, rois, valid, g, strides, interpret=True
+    )
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

@@ -84,7 +84,14 @@ def _assign_conv_or_bn(params, stats, path, leaf, v):
             d = d.setdefault(p, {})
         d[leaf_name] = value
 
-    if leaf == "weight" and v.ndim == 4:
+    if leaf == "conv_offset.weight":
+        # mmcv DeformConv2dPack nests the offset conv inside conv2
+        # (``backbone.layerX.Y.conv2.conv_offset.weight``); our DeformConv
+        # names it ``conv_offset`` with an HWIO ``kernel``
+        put(params, path + ["conv_offset"], "kernel", _t_conv(v))
+    elif leaf == "conv_offset.bias":
+        put(params, path + ["conv_offset"], "bias", v)
+    elif leaf == "weight" and v.ndim == 4:
         put(params, path, "kernel", _t_conv(v))
     elif leaf == "weight":
         put(params, path, "scale", v)
@@ -207,6 +214,57 @@ def convert_mmdet_checkpoint(ckpt_path: str):
             m = re.match(r"rpn_head\.scales\.(\d+)\.scale", k)
             if m:
                 put("rpn", [f"scale_{m.group(1)}"], "scale", v.reshape(()))
+        elif re.match(r"roi_head\.bbox_head\.\d+\.", k):
+            # cascade: roi_head.bbox_head.N.* -> bbox_heads_N/* (flax tuple
+            # submodule naming of CascadeNet.bbox_heads)
+            m = re.match(
+                r"roi_head\.bbox_head\.(\d+)\.shared_fcs\.(\d+)\.(weight|bias)", k)
+            if m:
+                stage, idx, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+                root = f"bbox_heads_{stage}"
+                params.setdefault(root, {})
+                if leaf == "weight":
+                    w = _t_fc_after_pool(v) if idx == 0 else _t_fc(v)
+                else:
+                    w = v
+                put(root, [f"shared_fc_{idx}"],
+                    "kernel" if leaf == "weight" else "bias", w)
+                continue
+            m = re.match(
+                r"roi_head\.bbox_head\.(\d+)\.(fc_cls|fc_reg)\.(weight|bias)", k)
+            if m:
+                root = f"bbox_heads_{int(m.group(1))}"
+                params.setdefault(root, {})
+                put(root, [m.group(2)],
+                    "kernel" if m.group(3) == "weight" else "bias",
+                    _t_fc(v) if m.group(3) == "weight" else v)
+        elif k.startswith("roi_head.mask_head."):
+            params.setdefault("mask_head", {})
+            m = re.match(
+                r"roi_head\.mask_head\.convs\.(\d+)\.conv\.(weight|bias)", k)
+            if m:
+                put("mask_head", [f"conv_{int(m.group(1))}"],
+                    "kernel" if m.group(2) == "weight" else "bias",
+                    _t_conv(v) if m.group(2) == "weight" else v)
+                continue
+            m = re.match(r"roi_head\.mask_head\.upsample\.(weight|bias)", k)
+            if m:
+                # torch ConvTranspose2d weight is (in, out, kh, kw); flax
+                # ConvTranspose kernel is (kh, kw, in, out) AND flax's
+                # conv_transpose does not flip the kernel while torch's
+                # gradient-of-conv formulation effectively does — so
+                # transpose + rotate 180 spatially (verified numerically)
+                put("mask_head", ["upsample"],
+                    "kernel" if m.group(1) == "weight" else "bias",
+                    np.ascontiguousarray(
+                        v.transpose(2, 3, 0, 1)[::-1, ::-1])
+                    if m.group(1) == "weight" else v)
+                continue
+            m = re.match(r"roi_head\.mask_head\.conv_logits\.(weight|bias)", k)
+            if m:
+                put("mask_head", ["conv_logits"],
+                    "kernel" if m.group(1) == "weight" else "bias",
+                    _t_conv(v) if m.group(1) == "weight" else v)
         elif k.startswith("roi_head.bbox_head."):
             m = re.match(r"roi_head\.bbox_head\.shared_fcs\.(\d+)\.(weight|bias)", k)
             if m:
