@@ -219,78 +219,110 @@ def multilevel_roi_align_pallas(
 
 
 def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
-                cc_size: int, n_chunks: int,
+                cc_size: int, n_chunks: int, row_splits,
                 row0_ref, x0a_ref, wy_ref, wx_ref, g_ref, out_ref):
     """RoIAlign backward wrt features (round-3 train-path lever).
 
     The transpose of R vmapped dynamic_slice gathers is an XLA scatter —
     measured at ~57ms of the 172ms train step (docs/TRAIN_PERF.md).  Here
-    the scatter becomes sequential VMEM accumulation: per channel chunk,
-    zero a full stacked-pyramid accumulator in VMEM, stream the pooled
-    cotangents in, turn each RoI's (out, out) cotangent into its (win,
-    win_w) window gradient with two small MXU contractions, and add it at
-    the RoI's dynamic (row, aligned-column) offset.  One DMA writes the
-    chunk out; no HBM read-modify-write ever happens.
+    the scatter becomes sequential VMEM accumulation: per (row-range,
+    channel-chunk) pass, zero an accumulator in VMEM, stream the pooled
+    cotangents (double-buffered DMA), turn each RoI's (out, out) cotangent
+    into its (win, win_w) window gradient with two MXU contractions, and
+    add it at the RoI's dynamic (row, aligned-column) offset.  One DMA
+    writes each pass out; no HBM read-modify-write ever happens.
 
-    Layouts: ``g_ref`` (R, out_x, out_y, C) in HBM (kernel layout of the
-    forward, i.e. final-output transposed); ``wy_ref`` (R, out, win) /
-    ``wx_ref`` (R, out, win_w) pool-folded interp matrices in VMEM;
-    ``out_ref`` (rows, Wpad, C) f32 in HBM.
+    Mosaic legality: contractions are strictly 2-D with minor-dims
+    collapses of (x, cc_size=128) only, with small explicit transposes in
+    between; ``cc_size`` must be a multiple of 128 (or the full C).
+
+    ``row_splits``: static (start, length) pairs partitioning the stacked
+    rows; windows never straddle a level boundary (window origins are
+    clamped inside their level when H_l >= win, and clamped-to-zero
+    interpolation weights make any overhang rows all-zero), so the split
+    at the level-0 boundary is exact.  ``g_ref`` (R, out_y, out_x, C) in
+    HBM; ``wy_ref`` (R, out, win) / ``wx_ref`` (R, out, win_w) pool-folded
+    interp matrices in VMEM; ``out_ref`` (rows, Wpad, C) f32 in HBM.
     """
     r = wy_ref.shape[0]
-    rows = out_ref.shape[0]
-    wpad = out_ref.shape[1]
 
-    def body(acc, gbuf, g_sem, out_sem):
-        def chunk_loop(cc, _):
-            cp = pltpu.make_async_copy(
-                g_ref.at[:, :, :, pl.ds(cc * cc_size, cc_size)],
-                gbuf, g_sem,
-            )
-            cp.start()
-            acc[...] = jnp.zeros_like(acc)
-            cp.wait()
+    def body(acc, gbuf, g_sems, out_sem):
+        for p_start, p_len in row_splits:  # static unroll
+            for cc in range(n_chunks):  # static unroll
 
-            def roi_loop(i, _):
-                gk = gbuf[i].astype(jnp.float32)  # (out_x, out_y, cc)
-                # v[k, ox, cc] = sum_oy wy[oy, k] g[ox, oy, cc]
-                v = jax.lax.dot_general(
-                    wy_ref[i].astype(jnp.float32),
-                    gk,
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (win, out_x, cc)
-                # dwin[m, k, cc] = sum_ox wx[ox, m] v[k, ox, cc]
-                dwin = jax.lax.dot_general(
-                    wx_ref[i].astype(jnp.float32),
-                    v,
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (win_w, win, cc)
-                dwin = jnp.swapaxes(dwin, 0, 1)  # (win, win_w, cc)
-                r0 = row0_ref[i]
-                c0 = x0a_ref[i] * align
-                cur = acc[pl.ds(r0, win), pl.ds(c0, win_w), :]
-                acc[pl.ds(r0, win), pl.ds(c0, win_w), :] = cur + dwin
-                return 0
+                def get_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        g_ref.at[i, :, :, pl.ds(cc * cc_size, cc_size)],
+                        gbuf.at[slot],
+                        g_sems.at[slot],
+                    )
 
-            jax.lax.fori_loop(0, r, roi_loop, 0)
-            cpo = pltpu.make_async_copy(
-                acc, out_ref.at[:, :, pl.ds(cc * cc_size, cc_size)], out_sem
-            )
-            cpo.start()
-            cpo.wait()
-            return 0
+                acc[...] = jnp.zeros_like(acc)
+                get_dma(0, 0).start()
 
-        jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+                def roi_loop(i, _):
+                    slot = i % 2
 
+                    @pl.when(i + 1 < r)
+                    def _():
+                        get_dma((i + 1) % 2, i + 1).start()
+
+                    get_dma(slot, i).wait()
+                    r0 = row0_ref[i]
+                    in_pass = jnp.logical_and(
+                        r0 >= p_start, r0 < p_start + p_len)
+
+                    @pl.when(in_pass)
+                    def _():
+                        # g2 (oy, ox*cc); t[k, ox*cc] = sum_oy wy[oy,k] g2
+                        g2 = gbuf[slot].astype(jnp.float32).reshape(
+                            out_size, out_size * cc_size)
+                        t = jax.lax.dot_general(
+                            wy_ref[i].astype(jnp.float32), g2,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (win, ox*cc)
+                        t3 = jnp.transpose(
+                            t.reshape(win, out_size, cc_size), (1, 0, 2))
+                        # u[m, k*cc] = sum_ox wx[ox,m] t3[ox, k*cc]
+                        u = jax.lax.dot_general(
+                            wx_ref[i].astype(jnp.float32),
+                            t3.reshape(out_size, win * cc_size),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (win_w, k*cc)
+                        dwin = jnp.transpose(
+                            u.reshape(win_w, win, cc_size), (1, 0, 2))
+                        rl = r0 - p_start
+                        c0 = x0a_ref[i] * align
+                        cur = acc[pl.ds(rl, win), pl.ds(c0, win_w), :]
+                        acc[pl.ds(rl, win), pl.ds(c0, win_w), :] = cur + dwin
+
+                    return 0
+
+                jax.lax.fori_loop(0, r, roi_loop, 0)
+                cpo = pltpu.make_async_copy(
+                    acc.at[pl.ds(0, p_len)],
+                    out_ref.at[
+                        pl.ds(p_start, p_len), :,
+                        pl.ds(cc * cc_size, cc_size)
+                    ],
+                    out_sem,
+                )
+                cpo.start()
+                cpo.wait()
+
+    max_len = max(p[1] for p in row_splits)
     pl.run_scoped(
         body,
-        acc=pltpu.VMEM((rows, wpad, cc_size), jnp.float32),
-        gbuf=pltpu.VMEM((r, out_size, out_size, cc_size), g_ref.dtype),
-        g_sem=pltpu.SemaphoreType.DMA,
+        acc=pltpu.VMEM((max_len, out_ref.shape[1], cc_size), jnp.float32),
+        gbuf=pltpu.VMEM((2, out_size, out_size, cc_size), g_ref.dtype),
+        g_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sem=pltpu.SemaphoreType.DMA,
     )
+
+
+_ACC_BUDGET_BYTES = 13 * 2**20  # VMEM accumulator cap (of ~16MB/core)
 
 
 def pallas_window_roi_align_bwd(
@@ -301,15 +333,16 @@ def pallas_window_roi_align_bwd(
     wy: jnp.ndarray,  # (R, out*s, win) raw interp matrices (pre pool-fold)
     wx: jnp.ndarray,  # (R, out*s, win_w)
     stacked_dtype,
+    h0: int,  # level-0 height in stacked rows (the exact split point)
     out_size: int = 7,
     s: int = 2,
-    cc_size: int = 32,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """dStacked (f32) for the window RoIAlign — the sequential-accumulation
-    Pallas kernel above; host prep mirrors the forward exactly."""
+    Pallas kernel above; host prep mirrors the forward exactly.  Returns
+    ``None`` when the geometry admits no VMEM-fitting accumulator split
+    (caller falls back to the XLA VJP)."""
     assert _HAS_PALLAS, "pallas unavailable"
-    r = row0.shape[0]
     rows, wpad, c = stacked_shape
     pool = jnp.repeat(jnp.eye(out_size, dtype=wy.dtype), s, axis=1) / s
     wy = jnp.einsum("ok,rkw->row", pool, wy)
@@ -323,20 +356,32 @@ def pallas_window_roi_align_bwd(
     cols = shift[:, None, None] + jnp.arange(win_w)[None, None, :]
     onehot = jax.nn.one_hot(cols, win_w_dma, dtype=wx.dtype)
     wx = jnp.einsum("row,rwW->roW", wx, onehot[:, 0])
-    # f32 accumulator column offsets must divide the f32 sublane tile (8);
-    # align is 8 (f32 pyramid) or 16 (bf16) — both divide cleanly
-    assert align % 8 == 0 or align == 16
-    cc_size = min(cc_size, c)
-    assert c % cc_size == 0, (c, cc_size)
+
+    # Mosaic-legal minor-dims collapses need lane-aligned chunks
+    cc_size = min(128, c)
+    if c % cc_size or (cc_size % 128 and cc_size != c):
+        return None
     n_chunks = c // cc_size
-    g_k = jnp.swapaxes(g, 1, 2)  # (R, out_x, out_y, C) kernel layout
+
+    def acc_bytes(n_rows):
+        return n_rows * wpad * cc_size * 4
+
+    if acc_bytes(rows) <= _ACC_BUDGET_BYTES:
+        row_splits = ((0, rows),)
+    elif h0 >= win and acc_bytes(max(h0, rows - h0)) <= _ACC_BUDGET_BYTES:
+        # windows never straddle the level-0 boundary when H0 >= win
+        row_splits = ((0, h0), (h0, rows - h0))
+    else:
+        return None
+
     kern = functools.partial(
-        _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks)
+        _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks,
+        row_splits)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, wpad, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=2,  # row0, x0//align drive DMAs + routing
             grid=(),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
@@ -346,7 +391,7 @@ def pallas_window_roi_align_bwd(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
         ),
         interpret=interpret,
-    )(row0, x0a, wy, wx, g_k)
+    )(row0, x0a, wy, wx, g)
 
 
 def multilevel_roi_align_pallas_bwd(
@@ -393,9 +438,11 @@ def multilevel_roi_align_pallas_bwd(
     g = g * roi_valid[:, None, None, None].astype(g.dtype)
     d_stacked = pallas_window_roi_align_bwd(
         g.astype(jnp.float32), (rows_total, pad_w, c), row0, wx0,
-        wy.astype(wdt), wx.astype(wdt), wdt,
+        wy.astype(wdt), wx.astype(wdt), wdt, h0=feats[0].shape[0],
         out_size=out_size, s=s, interpret=interpret,
     )
+    if d_stacked is None:
+        return None
     d_feats = []
     off = 0
     for f in feats[:nl]:
@@ -457,7 +504,12 @@ def multilevel_roi_align_pallas_trainable(
 
     def _bwd(res, g):
         f, rb, vf = res
-        if os.environ.get("BRT_XLA_ROI_BWD"):
+        d_feats = None
+        if not os.environ.get("BRT_XLA_ROI_BWD"):
+            d_feats = multilevel_roi_align_pallas_bwd(
+                f, rb, vf > 0.5, g, strides, interpret=interpret, **kw
+            )
+        if d_feats is None:  # flag, or geometry with no VMEM-fitting split
             _, vjp = jax.vjp(
                 lambda ff: multilevel_roi_align_fast(
                     ff, rb, vf > 0.5, strides, **kw
@@ -465,10 +517,6 @@ def multilevel_roi_align_pallas_trainable(
                 f,
             )
             (d_feats,) = vjp(g)
-        else:
-            d_feats = multilevel_roi_align_pallas_bwd(
-                f, rb, vf > 0.5, g, strides, interpret=interpret, **kw
-            )
         return (d_feats, jnp.zeros_like(rb), jnp.zeros_like(vf))
 
     _aligned.defvjp(_fwd, _bwd)

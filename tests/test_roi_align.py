@@ -275,3 +275,50 @@ def test_pallas_bwd_matches_xla_vjp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_pallas_bwd_split_accumulator_path():
+    """Force the two-pass (level-0 | rest) accumulator split and check it
+    still matches the XLA VJP (the split is what runs at train shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    import boosting_rcnn_tpu.ops.pallas_roi_align as pra
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(3)
+    shapes = [(40, 48), (20, 24), (10, 12), (5, 6)]
+    strides = (8, 16, 32, 64)
+    c = 32
+    feats = tuple(
+        jnp.asarray(rs.randn(h, w, c), jnp.float32) for h, w in shapes
+    )
+    r = 16
+    cx = rs.uniform(10, 360, r)
+    cy = rs.uniform(10, 300, r)
+    bw = rs.uniform(8, 300, r)
+    bh = rs.uniform(8, 260, r)
+    rois = jnp.asarray(
+        np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1),
+        jnp.float32,
+    )
+    valid = jnp.ones((r,), bool)
+    g = jnp.asarray(rs.randn(r, 7, 7, c), jnp.float32)
+    _, vjp = jax.vjp(
+        lambda ff: multilevel_roi_align_fast(ff, rois, valid, strides), feats
+    )
+    (ref,) = vjp(g)
+
+    budget = pra._ACC_BUDGET_BYTES
+    pra._ACC_BUDGET_BYTES = 40 * 48 * (32 + 8) * 4 * 2  # forces the split
+    try:
+        got = pra.multilevel_roi_align_pallas_bwd(
+            feats, rois, valid, g, strides, interpret=True
+        )
+    finally:
+        pra._ACC_BUDGET_BYTES = budget
+    assert got is not None
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
