@@ -251,8 +251,11 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
             for cc in range(n_chunks):  # static unroll
 
                 def get_dma(slot, i):
+                    # g pre-chunked host-side to (n_chunks, R, out, out,
+                    # cc): only untiled leading dims are indexed, so the
+                    # DMA slice stays tile-aligned
                     return pltpu.make_async_copy(
-                        g_ref.at[i, :, :, pl.ds(cc * cc_size, cc_size)],
+                        g_ref.at[cc, i],
                         gbuf.at[slot],
                         g_sems.at[slot],
                     )
@@ -303,10 +306,7 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                 jax.lax.fori_loop(0, r, roi_loop, 0)
                 cpo = pltpu.make_async_copy(
                     acc.at[pl.ds(0, p_len)],
-                    out_ref.at[
-                        pl.ds(p_start, p_len), :,
-                        pl.ds(cc * cc_size, cc_size)
-                    ],
+                    out_ref.at[cc, pl.ds(p_start, p_len)],
                     out_sem,
                 )
                 cpo.start()
@@ -315,7 +315,7 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
     max_len = max(p[1] for p in row_splits)
     pl.run_scoped(
         body,
-        acc=pltpu.VMEM((max_len, out_ref.shape[1], cc_size), jnp.float32),
+        acc=pltpu.VMEM((max_len, out_ref.shape[2], cc_size), jnp.float32),
         gbuf=pltpu.VMEM((2, out_size, out_size, cc_size), g_ref.dtype),
         g_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sem=pltpu.SemaphoreType.DMA,
@@ -377,9 +377,15 @@ def pallas_window_roi_align_bwd(
     kern = functools.partial(
         _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks,
         row_splits)
-    return pl.pallas_call(
+    r = g.shape[0]
+    # channel chunks as a leading (untiled) dim so every DMA slice is
+    # tile-aligned on both sides
+    g5 = g.reshape(r, out_size, out_size, n_chunks, cc_size).transpose(
+        3, 0, 1, 2, 4)
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((rows, wpad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, rows, wpad, cc_size), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0//align drive DMAs + routing
             grid=(),
@@ -391,7 +397,8 @@ def pallas_window_roi_align_bwd(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
         ),
         interpret=interpret,
-    )(row0, x0a, wy, wx, g)
+    )(row0, x0a, wy, wx, g5)
+    return out.transpose(1, 2, 0, 3).reshape(rows, wpad, c)
 
 
 def multilevel_roi_align_pallas_bwd(
