@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--data-dir", default="/tmp/synth_coco")
     ap.add_argument("--work-dir", default="/tmp/synth_coco_run")
     ap.add_argument("--n-train", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=0.0025)  # linear-scaled bs2
     args = ap.parse_args()
 
     from scripts.make_synthetic_coco import generate
@@ -51,9 +52,9 @@ def main():
         "data.test.type=CocoDataset",
         "data.samples_per_gpu=2",
         f"runner.max_epochs={args.epochs}",
-        "optimizer.lr=0.02",
+        f"optimizer.lr={args.lr}",
         "lr_config.warmup_iters=200",
-        f"lr_config.step=[{args.epochs - 2}]",
+        f"lr_config.step=[{2 * args.epochs // 3},{args.epochs - 2}]",
         "model.backbone.frozen_stages=-1",  # from scratch: train the stem
         "model.backbone.init_cfg=None",
     ]

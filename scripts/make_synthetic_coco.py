@@ -13,7 +13,10 @@ import os
 
 import numpy as np
 
-CLASSES = ("circle", "square", "triangle", "ellipse")
+# class names reuse the flagship UTDAC list so the shipping config's
+# data.classes filter passes through unchanged; shapes map 1:1
+# (echinus=circle, holothurian=square, scallop=triangle, starfish=ellipse)
+CLASSES = ("echinus", "holothurian", "scallop", "starfish")
 IMG_H, IMG_W = 160, 200
 
 
