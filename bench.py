@@ -72,29 +72,49 @@ def main():
         )
         tb = next(loader.epoch_iter(0))
         tb.pop("ori_shape")
-        tb = {k: chunked_device_put(v_) for k, v_ in tb.items()}
-        tstep = jax.jit(make_train_step(det, anchors, nla))
+        # S optimizer steps per dispatch (lax.scan over stacked batches):
+        # amortizes the ~7ms/step relay dispatch overhead that separates the
+        # chained loop (59.9 img/s) from the in-program step time
+        # (127ms ~= 63 img/s) — docs/TRAIN_PERF.md round 3
+        scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "4"))
+        if scan_steps > 1:
+            from boosting_rcnn_tpu.engine.train import make_multi_step_train
+
+            tb = {
+                k: chunked_device_put(
+                    np.stack([np.asarray(v_)] * scan_steps))
+                for k, v_ in tb.items()
+            }
+            tstep = jax.jit(make_multi_step_train(det, anchors, nla),
+                            donate_argnums=(0,))
+        else:
+            tb = {k: chunked_device_put(v_) for k, v_ in tb.items()}
+            # donate the state: the relay round-trip otherwise reallocates
+            # ~600 param/opt buffers per step
+            tstep = jax.jit(make_train_step(det, anchors, nla),
+                            donate_argnums=(0,))
         rng = jax.random.PRNGKey(0)
         state, m = tstep(state, tb, rng)
         jax.block_until_ready((state, m))
-        for _ in range(warmup - 1):
+        for _ in range(max(warmup - 1, 1)):
             state, m = tstep(state, tb, rng)
         jax.block_until_ready((state, m))
-        # chained steady-state measurement: N steps serialized by the state
-        # data dependency, ONE final sync.  (Per-step block_until_ready
-        # through the remote relay adds ~30-50ms of per-buffer sync artifact
-        # per step — measured 230ms/step blocked vs 200ms/step chained.)
-        n = max(iters, 10)
+        # chained steady-state measurement: N dispatches serialized by the
+        # state data dependency, ONE final sync.  (Per-step
+        # block_until_ready through the remote relay adds ~30-50ms of
+        # per-buffer sync artifact per step — measured 230ms/step blocked
+        # vs 200ms/step chained.)
+        n = max(iters // scan_steps, 8)
         t0 = time.perf_counter()
         s_ = state
         for _ in range(n):
             s_, m = tstep(s_, tb, rng)
         jax.block_until_ready((s_, m))
         dt = time.perf_counter() - t0
-        return batch * n / dt
+        return batch * n * scan_steps / dt, scan_steps
 
     if mode == "train":
-        img_per_s = measure_train()
+        img_per_s, scan_steps = measure_train()
         print(
             json.dumps(
                 {
@@ -106,6 +126,7 @@ def main():
                     # machine-readable train baseline exists)
                     "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
                     "baseline_kind": "v100_fp32_inference",
+                    "steps_per_dispatch": scan_steps,
                 }
             )
         )
@@ -139,8 +160,9 @@ def main():
     }
     if mode == "both":
         try:
-            train_img_s = measure_train()
+            train_img_s, scan_steps = measure_train()
             line["train_img_s"] = round(train_img_s, 2)
+            line["train_steps_per_dispatch"] = scan_steps
             # NOTE: the only machine-readable reference number is the V100
             # *inference* latency; label the ratio for what it is
             line["train_vs_infer_baseline"] = round(

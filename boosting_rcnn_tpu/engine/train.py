@@ -299,6 +299,40 @@ def make_train_step(
     return train_step
 
 
+def make_multi_step_train(
+    detector,
+    anchors,
+    num_level_anchors,
+    loss_weights: Optional[Dict[str, float]] = None,
+):
+    """Scan the fused train step over a leading steps axis of stacked
+    batches: ONE dispatch executes S optimizer steps.
+
+    This is the standard TPU training-loop amortization: per-dispatch host
+    overhead (~7 ms/step through the axon relay — docs/TRAIN_PERF.md
+    round-3 measurements) divides by S, while `lax.scan` compiles the step
+    body once.  Numerically identical to S sequential `make_train_step`
+    calls with the same outer rng: the per-step `fold_in(rng, state.step)`
+    inside the fused step differentiates the scanned iterations because
+    ``state.step`` advances through the carry.
+
+    Signature: ``multi_step(state, batches, rng) -> (state, metrics)`` where
+    every leaf of ``batches`` has a leading ``(S, ...)`` steps axis and the
+    returned metrics are stacked ``(S,)`` per-step values.
+    """
+    step = make_train_step(
+        detector, anchors, num_level_anchors, loss_weights, "fused"
+    )
+
+    def multi_step(state: TrainState, batches, rng):
+        def body(s, batch):
+            return step(s, batch, rng)
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def make_sample_step(detector, anchors, num_level_anchors):
     """Non-grad dispatch producing the ``RoISample`` consumed by a
     ``proposal_mode="external"`` train step (same per-step rng fold)."""

@@ -29,6 +29,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for multi-step batches with a leading (steps, batch, ...)
+    layout (engine.train.make_multi_step_train): the scan/steps axis is
+    unsharded, the batch axis is data-parallel."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -104,3 +104,29 @@ def test_stale_runs_and_chains(setup):
         assert np.isfinite(float(m["loss"]))
     # next-sample has the RoISample structure with same leading dims
     assert sm.boxes.shape == sample.boxes.shape
+
+
+def test_multi_step_scan_matches_sequential(setup):
+    """One lax.scan dispatch of S steps == S sequential fused steps
+    (engine.train.make_multi_step_train; the per-step fold_in on
+    ``state.step`` advances through the scan carry)."""
+    from boosting_rcnn_tpu.engine.train import make_multi_step_train
+
+    det, state, batch, anchors, nla = setup
+    rng = jax.random.PRNGKey(7)
+    S = 3
+    step = jax.jit(make_train_step(det, anchors, nla))
+    s_seq, seq_metrics = state, []
+    for _ in range(S):
+        s_seq, m = step(s_seq, batch, rng)
+        seq_metrics.append(m)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * S), batch)
+    s_scan, m_scan = jax.jit(make_multi_step_train(det, anchors, nla))(
+        state, stacked, rng)
+    _tree_allclose(s_seq.params, s_scan.params, atol=1e-4)
+    assert int(s_scan.step) == int(s_seq.step)
+    for i in range(S):
+        np.testing.assert_allclose(
+            float(seq_metrics[i]["loss"]), float(m_scan["loss"][i]),
+            atol=1e-3, rtol=1e-4)

@@ -33,6 +33,11 @@ def parse_args():
     p.add_argument("--fake-data", action="store_true")
     p.add_argument("--iters", type=int, default=None, help="cap total steps")
     p.add_argument("--tiny", action="store_true", help="shrink model (dev)")
+    p.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="optimizer steps per device dispatch (lax.scan over stacked "
+        "batches; amortizes host dispatch overhead — see "
+        "engine.train.make_multi_step_train)")
     p.add_argument("--no-validate", action="store_true")
     return p.parse_args()
 
@@ -299,9 +304,23 @@ def main():
     mesh = create_mesh()
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    spd = max(int(args.steps_per_dispatch), 1)
+    if spd > 1:
+        from boosting_rcnn_tpu.engine.train import make_multi_step_train
+        from boosting_rcnn_tpu.parallel.mesh import stacked_batch_sharding
+
+        bsh = stacked_batch_sharding(mesh)
+        step_fn = make_multi_step_train(det, anchors, nla)
+        if ema_momentum_fn is not None:
+            raise NotImplementedError(
+                "--steps-per-dispatch > 1 with an EMA hook would apply the "
+                "EMA once per dispatch instead of once per step (a silent "
+                "numeric deviation); run with --steps-per-dispatch 1")
+    else:
+        step_fn = make_train_step(det, anchors, nla)
     state = jax.device_put(state, rep)
     train_step = jax.jit(
-        make_train_step(det, anchors, nla),
+        step_fn,
         in_shardings=(rep, bsh, rep),
         out_shardings=(rep, rep),
     )
@@ -331,7 +350,8 @@ def main():
             if hasattr(det, "use_l1"):
                 det.use_l1 = True
             train_step = jax.jit(
-                make_train_step(det, anchors, nla),
+                make_train_step(det, anchors, nla) if spd == 1
+                else make_multi_step_train(det, anchors, nla),
                 in_shardings=(rep, bsh, rep),
                 out_shardings=(rep, rep),
             )
@@ -341,15 +361,42 @@ def main():
         t_epoch = time.time()
         t_data = 0.0
         t_last = time.time()
-        for it, batch in enumerate(loader.epoch_iter(epoch)):
+
+        def _dispatch_iter(ep):
+            # spd>1: stack spd consecutive batches on a leading steps axis
+            # for one multi-step dispatch (a final partial group is dropped,
+            # like a drop_last batch).
+            if spd == 1:
+                yield from loader.epoch_iter(ep)
+                return
+            group = []
+            for b in loader.epoch_iter(ep):
+                b.pop("ori_shape", None)
+                group.append(b)
+                if len(group) == spd:
+                    yield {
+                        k: np.stack([np.asarray(g[k]) for g in group])
+                        for k in group[0]
+                    }
+                    group = []
+
+        for it, batch in enumerate(_dispatch_iter(epoch)):
             batch.pop("ori_shape", None)
             t_data += time.time() - t_last
-            sb = shard_batch(mesh, batch)
+            if spd == 1:
+                sb = shard_batch(mesh, batch)
+            else:
+                from boosting_rcnn_tpu.utils.transfer import chunked_device_put
+
+                sb = {k: chunked_device_put(v, sharding=bsh)
+                      for k, v in batch.items()}
             state, metrics = train_step(state, sb, rng)
+            if spd > 1:  # metrics come back stacked (spd,); log the last step
+                metrics = {k: v[-1] for k, v in metrics.items()}
             if ema_params is not None:
                 ema_params = ema_step(
                     ema_params, state.params, ema_momentum_fn(total_steps))
-            total_steps += 1
+            total_steps += spd
             if total_steps % log_interval == 0 or it == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(
