@@ -72,11 +72,13 @@ def main():
         )
         tb = next(loader.epoch_iter(0))
         tb.pop("ori_shape")
-        # S optimizer steps per dispatch (lax.scan over stacked batches):
-        # amortizes the ~7ms/step relay dispatch overhead that separates the
-        # chained loop (59.9 img/s) from the in-program step time
-        # (127ms ~= 63 img/s) — docs/TRAIN_PERF.md round 3
-        scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "4"))
+        # S optimizer steps per dispatch (lax.scan over stacked batches).
+        # MEASURED (docs/TRAIN_PERF.md round 3): the scan costs ~2ms/step of
+        # device-side carry overhead and the relay pipelines chained
+        # dispatches well enough that scan-4 (63.1 img/s) LOSES to chained
+        # single steps (65.75 img/s) — default 1; the machinery stays for
+        # real multi-host runs where dispatch overhead is larger.
+        scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "1"))
         if scan_steps > 1:
             from boosting_rcnn_tpu.engine.train import make_multi_step_train
 

@@ -254,7 +254,9 @@ def atss_rpn_targets(
     label_weights = (pos | neg).astype(jnp.float32)
     g = gt_bboxes.shape[0]
     safe_gt = jnp.clip(assign.gt_inds - 1, 0, g - 1)
-    matched_gt = gt_bboxes[safe_gt]
+    # one-hot MXU contraction, not a row gather: the dense (A,)-from-(G,4)
+    # gather lowers to a ~11ms/step serial kCustom op (TRAIN_PERF round 3)
+    matched_gt = box_ops.take_small_table(gt_bboxes, safe_gt)
     if cfg.reg_decoded_bbox:
         bbox_targets = jnp.where(pos[:, None], matched_gt, 0.0)
     else:

@@ -29,7 +29,35 @@ __all__ = [
     "delta2bbox",
     "clip_boxes",
     "bbox_center_wh",
+    "take_small_table",
 ]
+
+
+def take_small_table(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for a SMALL table via a one-hot MXU contraction.
+
+    On TPU, a dense row gather from a tiny table (e.g. matched GT boxes for
+    every anchor: 1.6M rows from a 100-row table) lowers to a near-serial
+    kCustom gather — profiled at 11 ms/step in the flagship train step
+    (docs/TRAIN_PERF.md round 3, ``fusion.34``).  An iota-compare one-hot
+    contracted against the table runs on the systolic array instead (XLA
+    fuses the one-hot construction into the matmul operand, nothing big is
+    materialised), and its transpose (scatter-add) is again a matmul.
+
+    ``table``: (G, D) float; ``idx``: (A,) int in [0, G).  Returns (A, D).
+    Exactness: each output row is a sum with exactly one nonzero product,
+    so HIGHEST-precision passes reproduce the gathered values to f32
+    rounding (~2^-24 relative) — interchangeable with the gather for any
+    coordinate/score arithmetic.
+    """
+    g = table.shape[0]
+    onehot = (idx[:, None] == jnp.arange(g, dtype=idx.dtype)[None, :])
+    return jnp.einsum(
+        "ag,gd->ad",
+        onehot.astype(table.dtype),
+        table,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
