@@ -403,6 +403,15 @@ def build_anchor_generator(cfg: Dict[str, Any]) -> AnchorGenerator:
     return AnchorGenerator(**cfg)
 
 
+def _ghm_guard(loss_cls: Dict[str, Any]) -> str:
+    if loss_cls.get("momentum", 0.0):
+        raise NotImplementedError(
+            "GHMC momentum>0 (EMA bin counts) needs mutable state and is not "
+            "implemented; set momentum=0 (stateless density)."
+        )
+    return "ghm"
+
+
 def _coder_params(cfg: Dict[str, Any]):
     return (
         tuple(cfg.get("target_means", (0.0, 0.0, 0.0, 0.0))),
@@ -587,6 +596,7 @@ def _std_convfc_head(cfg, num_classes, dtype):
         with_reg=cfg.get("with_reg", True),
         conv_cfg=cfg.get("conv_cfg"),
         norm_cfg=cfg.get("norm_cfg"),
+        seesaw=cfg.get("loss_cls", {}).get("type") == "SeesawLoss",
         dtype=dtype,
     )
 
@@ -645,6 +655,13 @@ def build_bbox_head(cfg: Dict[str, Any], dtype=jnp.float32):
         smooth_l1_beta=loss_bbox.get("beta", 1.0),
         focal_reg=cfg.get("focal_reg", False),
         focal_reg_gamma=cfg.get("gamma", 1.0),
+        # Seesaw (configs/seesaw_loss): stateful cumulative counts in the
+        # head's batch_stats; see BBoxHeadCfg docstring for the deviation
+        loss_cls_type=("seesaw"
+                       if cfg.get("loss_cls", {}).get("type") == "SeesawLoss"
+                       else "ce"),
+        seesaw_p=cfg.get("loss_cls", {}).get("p", 0.8),
+        seesaw_q=cfg.get("loss_cls", {}).get("q", 2.0),
     )
     return module, head_cfg
 
@@ -710,6 +727,18 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
             pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
             neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
             smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.0),
+            # GHM variants (configs/ghm); momentum>0 (EMA bin counts — the
+            # mmdet config default 0.75) needs mutable state: raise, per the
+            # repo convention for unsupported options
+            loss_cls_type=(_ghm_guard(loss_cls)
+                           if loss_cls.get("type") == "GHMC"
+                           else "focal"),
+            ghm_bins=loss_cls.get("bins", 30),
+            loss_bbox_type=("ghmr"
+                            if head.get("loss_bbox", {}).get("type") == "GHMR"
+                            else "l1"),
+            ghmr_mu=head.get("loss_bbox", {}).get("mu", 0.02),
+            ghmr_bins=head.get("loss_bbox", {}).get("bins", 10),
             pisa=(head.get("type") == "PISARetinaHead"
                   or train_cfg.get("isr") is not None),
             isr_k=(train_cfg.get("isr") or {}).get("k", 2.0),

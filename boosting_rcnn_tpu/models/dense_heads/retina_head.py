@@ -95,6 +95,13 @@ class RetinaCfg:
     neg_iou_thr: float = 0.4
     min_pos_iou: float = 0.0
     smooth_l1_beta: float = 0.0  # 0 -> plain L1 (modern retinanet default)
+    # GHM variants (reference configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py:
+    # GHMC/GHMR replace focal/L1; momentum>0 raises in ops/losses.py)
+    loss_cls_type: str = "focal"  # "focal" | "ghm"
+    ghm_bins: int = 30
+    loss_bbox_type: str = "l1"  # "l1" (beta selects smooth) | "ghmr"
+    ghmr_mu: float = 0.02
+    ghmr_bins: int = 10
     # PISA (reference pisa_retinanet_head.py): ISR-P reweighting + CARL
     pisa: bool = False
     isr_k: float = 2.0
@@ -171,15 +178,32 @@ def retina_loss(
         ).reshape(b, a)
 
     onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
-    loss_cls = (
-        L.sigmoid_focal_loss(
-            cls_logits.reshape(-1, c), onehot, weight=w.reshape(-1),
-            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha, avg_factor=num_total,
+    if cfg.loss_cls_type == "ghm":
+        loss_cls = (
+            L.ghm_c_loss(
+                cls_logits.reshape(-1, c), onehot,
+                jnp.broadcast_to(w.reshape(-1, 1), (b * a, c)),
+                bins=cfg.ghm_bins,
+            )
+            * cfg.loss_cls_weight
         )
-        * cfg.loss_cls_weight
-    )
+    else:
+        loss_cls = (
+            L.sigmoid_focal_loss(
+                cls_logits.reshape(-1, c), onehot, weight=w.reshape(-1),
+                gamma=cfg.focal_gamma, alpha=cfg.focal_alpha,
+                avg_factor=num_total,
+            )
+            * cfg.loss_cls_weight
+        )
     posf = pos.reshape(-1, 1).astype(jnp.float32)
-    if cfg.smooth_l1_beta > 0:
+    if cfg.loss_bbox_type == "ghmr":
+        loss_bbox = L.ghm_r_loss(
+            bbox_preds.reshape(-1, 4), bt.reshape(-1, 4),
+            jnp.broadcast_to(posf, (b * a, 4)),
+            mu=cfg.ghmr_mu, bins=cfg.ghmr_bins,
+        )
+    elif cfg.smooth_l1_beta > 0:
         loss_bbox = L.smooth_l1_loss(
             bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
             beta=cfg.smooth_l1_beta, avg_factor=num_total,

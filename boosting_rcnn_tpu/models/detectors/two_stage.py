@@ -165,6 +165,11 @@ class TwoStageNet(nn.Module):
         cls, reg = self.bbox_head(pooled)
         return cls, reg
 
+    def seesaw_counts(self, labels, weights):
+        """Accumulate Seesaw cumulative class counts in the bbox head's
+        ``batch_stats`` (see ``ConvFCBBoxHead.update_seesaw_counts``)."""
+        return self.bbox_head.update_seesaw_counts(labels, weights)
+
     def crpn_stage1(self, feats):
         return self.rpn.stage1(feats)
 
@@ -398,7 +403,8 @@ class TwoStageDetector:
         return jax.vmap(fn)(cls, reg, img_shapes)
 
     # ---------- training ----------
-    def _roi_losses(self, cls_s, reg_s, flat: "RoISample"):
+    def _roi_losses(self, cls_s, reg_s, flat: "RoISample",
+                    seesaw_counts=None):
         """RoI-stage classification + regression losses; subclass hook
         (SABL swaps in bucketing losses)."""
         if reg_s is None:  # with_reg=False head (Grid R-CNN): cls-only
@@ -409,7 +415,27 @@ class TwoStageDetector:
                 self.roi_cfg, self.bbox_cfg, cls_s, zero_reg, flat)
             roi_losses["loss_bbox"] = jnp.zeros(())
             return roi_losses
-        return prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat)
+        return prob_roi_loss(self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat,
+                             seesaw_counts=seesaw_counts)
+
+    def _seesaw_counts(self, variables, flat: "RoISample"):
+        """Update + fetch the cumulative Seesaw class counts (reference
+        ``SeesawLoss.cum_samples``).  Under the train step the update
+        threads through the live-BN mutable mechanism; in a direct
+        ``loss`` call the accumulation is computed but discarded (pure)."""
+        if getattr(self.bbox_cfg, "loss_cls_type", "ce") != "seesaw":
+            return None
+        labels = jnp.where(
+            flat.is_pos, flat.matched_label, self.bbox_cfg.num_classes)
+        w = flat.valid.astype(jnp.float32)
+        if hasattr(self.net, "_net"):  # _MutableNet shim (train step)
+            return self.net.apply(
+                variables, labels, w, method=TwoStageNet.seesaw_counts)
+        counts, _upd = self.net.apply(
+            variables, labels, w, method=TwoStageNet.seesaw_counts,
+            mutable=["batch_stats"],
+        )
+        return counts
 
     def sample_from_rpn_outs(
         self, rng, rpn_outs, batch, anchors, num_level_anchors
@@ -569,7 +595,9 @@ class TwoStageDetector:
         flat = RoISample(*[
             x.reshape((-1,) + x.shape[2:]) for x in sample
         ])
-        losses.update(self._roi_losses(cls_s, reg_s, flat))
+        losses.update(self._roi_losses(
+            cls_s, reg_s, flat,
+            seesaw_counts=self._seesaw_counts(variables, flat)))
 
         if self.net.mask_head is not None and "gt_mask_crops" in batch:
             from ..roi_heads.mask_head import mask_loss, resample_mask_targets

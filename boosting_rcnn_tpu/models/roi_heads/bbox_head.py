@@ -38,13 +38,31 @@ class ConvFCBBoxHead(nn.Module):
     with_reg: bool = True
     conv_cfg: Optional[dict] = None  # e.g. dict(type='ConvWS') (gn+ws)
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
+    seesaw: bool = False  # hold cumulative class counts in batch_stats
     dtype: Any = jnp.float32
+
+    def update_seesaw_counts(self, labels: jnp.ndarray, weights: jnp.ndarray):
+        """Accumulate sampled-target class counts (reference
+        ``SeesawLoss.cum_samples`` buffer) into ``batch_stats``; invoked via
+        ``net.apply(..., method=...)`` so the live-BN mutable mechanism
+        threads the update through the train step."""
+        counts = self.get_variable("batch_stats", "seesaw_counts")
+        onehot = jax.nn.one_hot(
+            labels, self.num_classes + 1, dtype=jnp.float32)
+        new = counts + (onehot * weights[:, None]).sum(0)
+        self.put_variable("batch_stats", "seesaw_counts", new)
+        return new
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (R, 7, 7, C) pooled features -> (cls (R, C+1), reg (R, 4K))."""
         from ..layers import ConvModule
 
+        if self.seesaw:  # declare at init so the state tree is static
+            self.variable(
+                "batch_stats", "seesaw_counts",
+                lambda: jnp.zeros((self.num_classes + 1,), jnp.float32),
+            )
         for i in range(self.num_shared_convs):
             x = ConvModule(
                 self.conv_out_channels, 3, conv_cfg=self.conv_cfg,
@@ -82,6 +100,15 @@ class BBoxHeadCfg:
     smooth_l1_beta: float = 1.0
     focal_reg: bool = False
     focal_reg_gamma: float = 1.0
+    # Seesaw (reference configs/seesaw_loss + ``losses/seesaw_loss.py``):
+    # cumulative class counts live in the head's ``batch_stats`` collection
+    # (``ConvFCBBoxHead.update_seesaw_counts``) and thread through the train
+    # step via the live-BN mutable mechanism.  Deviation: the reference adds
+    # a separate 2-channel objectness branch (cls_channels = C+2); this
+    # rebuild applies the seesaw weighting across the existing C+1 softmax.
+    loss_cls_type: str = "ce"  # 'ce' | 'seesaw'
+    seesaw_p: float = 0.8
+    seesaw_q: float = 2.0
 
 
 def bbox_targets(
@@ -119,6 +146,7 @@ def bbox_head_loss(
     bbox_t: jnp.ndarray,
     bbox_w: jnp.ndarray,
     reduction_override: Optional[str] = None,
+    seesaw_counts: Optional[jnp.ndarray] = None,  # (C+1,) cumulative
 ):
     """The reference head loss (``convfc_bbox_head.py:332-418``) on static
     shapes.  With ``reduction_override='none'`` returns elementwise losses
@@ -164,7 +192,14 @@ def bbox_head_loss(
         iou_t = box_ops.bbox_overlaps_aligned(jax.lax.stop_gradient(dec_pred), safe_t)
         elem = elem * jnp.maximum(iou_t**cfg.focal_reg_gamma, 1e-12)[:, None]
 
-    ce = L.cross_entropy_loss(cls_score, labels, reduction="none")
+    if cfg.loss_cls_type == "seesaw":
+        assert seesaw_counts is not None, "seesaw needs cumulative counts"
+        ce = L.seesaw_loss(
+            cls_score, labels, seesaw_counts,
+            p=cfg.seesaw_p, q=cfg.seesaw_q, reduction="none",
+        )
+    else:
+        ce = L.cross_entropy_loss(cls_score, labels, reduction="none")
     ce = ce * label_weights * cfg.loss_cls_weight
 
     if reduction_override == "none":

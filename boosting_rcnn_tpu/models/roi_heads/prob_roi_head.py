@@ -223,6 +223,7 @@ def prob_roi_loss(
     cls_score: jnp.ndarray,  # (R_total, C+1)
     bbox_pred: jnp.ndarray,  # (R_total, 4K)
     sample: RoISample,  # flattened over batch: each field (R_total, ...)
+    seesaw_counts=None,  # (C+1,) cumulative class counts (Seesaw configs)
 ):
     """Boosting-reweighted R-CNN loss (``_bbox_forward_train_boost:107``)."""
     labels, label_w, bbox_t, bbox_w = bbox_targets(
@@ -236,6 +237,7 @@ def prob_roi_loss(
     raw = bbox_head_loss(
         head_cfg, cls_score, bbox_pred, sample.boxes,
         labels, label_w, bbox_t, bbox_w, reduction_override="none",
+        seesaw_counts=seesaw_counts,
     )
     validf = sample.valid.astype(jnp.float32)
     # The reference averages over the *actual* number of sampled rois
