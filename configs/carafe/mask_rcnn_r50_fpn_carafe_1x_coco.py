@@ -1,0 +1,21 @@
+# Mask R-CNN R50 with CARAFE FPN (reference
+# configs/carafe/mask_rcnn_r50_fpn_carafe_1x_coco.py).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"]
+
+model = dict(
+    neck=dict(
+        type="FPN_CARAFE",
+        in_channels=[256, 512, 1024, 2048],
+        out_channels=256,
+        num_outs=5,
+        start_level=0,
+        upsample_cfg=dict(
+            type="carafe",
+            up_kernel=5,
+            up_group=1,
+            encoder_kernel=3,
+            encoder_dilation=1,
+            compressed_channels=64,
+        ),
+    )
+)

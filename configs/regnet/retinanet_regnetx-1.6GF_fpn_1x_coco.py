@@ -1,0 +1,15 @@
+# RetinaNet with a RegNetX-1.6GF backbone (reference
+# configs/regnet/retinanet_regnetx-1.6GF_fpn_1x_coco.py).
+_base_ = ["../retinanet/retinanet_r50_fpn_1x_coco.py"]
+
+model = dict(
+    backbone=dict(
+        type="RegNet",
+        arch="regnetx_1.6gf",
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1,
+        norm_eval=True,
+        init_cfg=dict(type="Pretrained", checkpoint="open-mmlab://regnetx_1.6gf"),
+    ),
+    neck=dict(in_channels=[72, 168, 408, 912]),
+)

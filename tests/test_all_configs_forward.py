@@ -93,9 +93,9 @@ def _shrink_backbone(mc):
         outs = [16, 32, 64, 128]
     elif t in ("PVT", "PyramidVisionTransformer",
                "PyramidVisionTransformerV2", "PVTv2"):
-        bb.update(embed_dims=(8, 16, 32, 64) if "embed_dims" in bb else None)
-        bb.pop("embed_dims", None) if bb.get("embed_dims") is None else None
-        outs = None
+        # per-stage dim = embed_dims * num_heads (pvt.py:98)
+        bb.update(embed_dims=8, num_layers=[1, 1, 1, 1])
+        outs = [8 * h for h in bb.get("num_heads", (1, 2, 5, 8))]
     elif t == "CSPDarknet":
         bb.update(widen_factor=0.125)
         outs = [32, 64, 128]
