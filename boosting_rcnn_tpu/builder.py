@@ -2157,6 +2157,16 @@ def build_detector(
         )
         roi = model_cfg["roi_head"]
         bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
+        if roi.get("type") == "DynamicRoIHead":
+            # Dynamic R-CNN (reference configs/dynamic_rcnn): working
+            # iou_thr/beta live in the head's batch_stats
+            _dr = (train_cfg.get("rcnn", {}) or {}).get("dynamic_rcnn", {})
+            bbox_module = bbox_module.clone(
+                dynamic=True,
+                dyn_initial_iou=_dr.get("initial_iou", 0.4),
+                dyn_initial_beta=_dr.get("initial_beta", 1.0),
+                dyn_ema=1.0 / _dr.get("update_iter_interval", 100),
+            )
         mask_module = None
         mask_iou_module = None
         point_module = None
@@ -2284,6 +2294,15 @@ def build_detector(
             from .models.detectors.two_stage import FastRCNNDetector
 
             det_cls = FastRCNNDetector
+        if roi.get("type") == "DynamicRoIHead":
+            from .models.detectors.two_stage import DynamicRCNNDetector
+
+            _dr = rcnn_train.get("dynamic_rcnn", {})
+            det_cls = DynamicRCNNDetector
+            det_kwargs.update(
+                dyn_iou_topk=_dr.get("iou_topk", 75),
+                dyn_beta_topk=_dr.get("beta_topk", 10),
+            )
         if t == "GridRCNN":
             from .models.detectors.grid_rcnn import GridRCNN as _GridRCNN
             from .models.roi_heads.grid_head import GridCfg

@@ -40,9 +40,11 @@ from ..roi_heads.bbox_head import (
 from ..roi_heads.prob_roi_head import (
     ProbRoICfg,
     RoISample,
+    dynamic_rcnn_batch_stats,
     prob_fuse_scores,
     prob_roi_loss,
     sample_rois,
+    sample_rois_dynamic,
 )
 
 
@@ -169,6 +171,15 @@ class TwoStageNet(nn.Module):
         """Accumulate Seesaw cumulative class counts in the bbox head's
         ``batch_stats`` (see ``ConvFCBBoxHead.update_seesaw_counts``)."""
         return self.bbox_head.update_seesaw_counts(labels, weights)
+
+    def dynamic_state(self):
+        """Dynamic R-CNN working (iou_thr, beta) from ``batch_stats``."""
+        return self.bbox_head.get_dynamic_state()
+
+    def update_dynamic(self, batch_iou, batch_beta):
+        """EMA-update the Dynamic R-CNN state (see
+        ``ConvFCBBoxHead.update_dynamic``)."""
+        return self.bbox_head.update_dynamic(batch_iou, batch_beta)
 
     def crpn_stage1(self, feats):
         return self.rpn.stage1(feats)
@@ -437,6 +448,22 @@ class TwoStageDetector:
         )
         return counts
 
+    def _vmap_sample(
+        self, variables, roi_rng, prop_boxes, prop_scores, prop_valid, batch
+    ) -> "RoISample":
+        """Per-image assign + sample over the batch; subclass hook
+        (Dynamic R-CNN swaps in traced assigner thresholds).  ``variables``
+        is unused by the base sampler (None from the split-proposal path)."""
+        rngs = jax.random.split(roi_rng, prop_boxes.shape[0])
+        return jax.vmap(
+            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
+            )
+        )(
+            rngs, prop_boxes, prop_scores, prop_valid,
+            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
+        )
+
     def sample_from_rpn_outs(
         self, rng, rpn_outs, batch, anchors, num_level_anchors
     ) -> "RoISample":
@@ -460,15 +487,8 @@ class TwoStageDetector:
                 batch["img_shape"], self.train_proposal_cfg,
             ),
         )
-        rngs = jax.random.split(roi_rng, b)
-        sample = jax.vmap(
-            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
-                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
-            )
-        )(
-            rngs, prop_boxes, prop_scores, prop_valid,
-            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
-        )
+        sample = self._vmap_sample(
+            None, roi_rng, prop_boxes, prop_scores, prop_valid, batch)
         return jax.tree.map(jax.lax.stop_gradient, sample)
 
     def train_sample(
@@ -577,15 +597,9 @@ class TwoStageDetector:
                 ),
             )
 
-            rngs = jax.random.split(roi_rng, b)
-            sample = jax.vmap(
-                lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
-                    self.roi_cfg, r_, pb, ps, pv, gb, gm, gl
-                )
-            )(
-                rngs, prop_boxes, prop_scores, prop_valid,
-                batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
-            )
+            sample = self._vmap_sample(
+                variables, roi_rng, prop_boxes, prop_scores, prop_valid,
+                batch)
 
         roi_feats = getattr(self, "_roi_feats", feats)
         cls_s, reg_s = self.net.apply(
@@ -1011,3 +1025,99 @@ class FastRCNNDetector(TwoStageDetector):
             )
         )(prop_boxes, probs, reg_s, prop_valid,
           batch["img_shape"], batch["scale_factor"])
+
+
+class DynamicRCNNDetector(TwoStageDetector):
+    """Dynamic R-CNN (reference ``roi_heads/dynamic_roi_head.py``,
+    ``configs/dynamic_rcnn``): a standard two-stage detector whose RoI
+    assigner IoU threshold and SmoothL1 beta adapt to the training
+    statistics.
+
+    * IoU statistic: per image the ``iou_topk``-th largest assigner
+      ``max_overlaps`` over all proposals, meaned over the batch
+      (``dynamic_roi_head.py::forward_train``).
+    * beta statistic: the ``min(beta_topk*B, num_pos)``-th smallest
+      ``mean(|dx, dy|)`` of the encoded regression targets
+      (``_bbox_forward_train``).
+
+    The working (iou_thr, beta) live in the bbox head's ``batch_stats``
+    (``ConvFCBBoxHead.update_dynamic``) and thread through the train step
+    via the live-BN mutable mechanism; the reference's
+    ``update_iter_interval`` host-side history replay becomes an EMA with
+    rate ``1/update_iter_interval`` and the same floor/cap semantics
+    (documented deviation, same smoothing as DyProbRoIHead).
+
+    The current-step loss uses the state as of the step's start (matching
+    the reference, where the update fires after the loss); the
+    split-proposal train-step variants are not supported (the sampler
+    depends on the mutable state).
+    """
+
+    def __init__(self, *args, dyn_iou_topk: int = 75, dyn_beta_topk: int = 10,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.dyn_iou_topk = dyn_iou_topk
+        self.dyn_beta_topk = dyn_beta_topk
+
+    def _vmap_sample(
+        self, variables, roi_rng, prop_boxes, prop_scores, prop_valid, batch
+    ) -> "RoISample":
+        if variables is None:
+            raise NotImplementedError(
+                "Dynamic R-CNN needs the mutable state; the split-proposal "
+                "train-step variants are not supported")
+        # read-only: works through both the _MutableNet shim and plain apply
+        iou_thr, beta = self.net.apply(
+            variables, method=TwoStageNet.dynamic_state)
+        rngs = jax.random.split(roi_rng, prop_boxes.shape[0])
+        sample = jax.vmap(
+            lambda r_, pb, ps, pv, gb, gm, gl: sample_rois_dynamic(
+                self.roi_cfg, r_, pb, ps, pv, gb, gm, gl, iou_thr
+            )
+        )(
+            rngs, prop_boxes, prop_scores, prop_valid,
+            batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"],
+        )
+        # assigner max_overlaps over ALL proposals, for the IoU statistic
+        from ...ops import box_ops as _bo
+
+        def _max_ov(pb, pv, gb, gm):
+            ov = _bo.bbox_overlaps(pb, gb)  # (P, G)
+            ov = jnp.where(gm[None, :], ov, 0.0)
+            return jnp.where(pv, jnp.max(ov, axis=1), 0.0)
+
+        self._dyn_overlaps = jax.lax.stop_gradient(jax.vmap(_max_ov)(
+            prop_boxes, prop_valid, batch["gt_bboxes"], batch["gt_mask"]))
+        self._dyn_prop_valid = prop_valid
+        self._dyn_vars = variables
+        self._dyn_beta = beta
+        return sample
+
+    def _roi_losses(self, cls_s, reg_s, flat: "RoISample",
+                    seesaw_counts=None):
+        if not hasattr(self, "_dyn_overlaps"):
+            raise NotImplementedError(
+                "Dynamic R-CNN loss requires internal sampling "
+                "(sample=None); split variants unsupported")
+        labels = jnp.where(
+            flat.is_pos, flat.matched_label, self.bbox_cfg.num_classes)
+        _, _, bbox_t, _ = bbox_targets(
+            self.bbox_cfg, flat.boxes, flat.is_pos, flat.valid,
+            flat.matched_gt, labels)
+        batch_iou, batch_beta = dynamic_rcnn_batch_stats(
+            self._dyn_overlaps, self._dyn_prop_valid, bbox_t,
+            flat.is_pos & flat.valid,
+            iou_topk=self.dyn_iou_topk, beta_topk=self.dyn_beta_topk,
+        )
+        # reference guards median(beta_history) < EPS -> keep old beta
+        batch_beta = jnp.where(batch_beta < 1e-15, jnp.nan, batch_beta)
+        # loss uses the pre-update state; the update then threads out
+        # through the mutable mechanism (no-op outside the train step)
+        beta = self._dyn_beta
+        if hasattr(self.net, "_net"):
+            self.net.apply(
+                self._dyn_vars, batch_iou, batch_beta,
+                method=TwoStageNet.update_dynamic)
+        return prob_roi_loss(
+            self.roi_cfg, self.bbox_cfg, cls_s, reg_s, flat,
+            seesaw_counts=seesaw_counts, beta_override=beta)

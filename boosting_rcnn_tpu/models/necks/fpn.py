@@ -507,6 +507,9 @@ class _FPGTrans(nn.Module):
     kernel: int = 3
     stride: int = 1
     upsample: bool = False
+    # exact target (h, w) for the upsample: odd pyramid sizes (25 vs 13*2=26
+    # at the 800x1344 canvas) make a blind 2x resize misaligned
+    up_hw: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -516,7 +519,8 @@ class _FPGTrans(nn.Module):
         x = nn.relu(x)
         if self.upsample:
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            th, tw = self.up_hw if self.up_hw is not None else (h * 2, w * 2)
+            x = jax.image.resize(x, (b, th, tw, c), "nearest")
         pad = (self.kernel - 1) // 2
         x = nn.Conv(self.out_channels, (self.kernel,) * 2,
                     (self.stride,) * 2, padding=[(pad, pad)] * 2,
@@ -567,7 +571,9 @@ class FPG(nn.Module):
                         name=f"s{s}_l{lvl}_same_up")(nxt[-1])
                 if lvl < self.num_outs - 1:  # across-down from higher lvl
                     acc = acc + _FPGTrans(
-                        ic, 3, upsample=True, dtype=self.dtype,
+                        ic, 3, upsample=True,
+                        up_hw=(cur[lvl].shape[1], cur[lvl].shape[2]),
+                        dtype=self.dtype,
                         name=f"s{s}_l{lvl}_across_down")(cur[lvl + 1])
                 acc = acc + _FPGTrans(
                     ic, 1, dtype=self.dtype,

@@ -39,7 +39,40 @@ class ConvFCBBoxHead(nn.Module):
     conv_cfg: Optional[dict] = None  # e.g. dict(type='ConvWS') (gn+ws)
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     seesaw: bool = False  # hold cumulative class counts in batch_stats
+    # Dynamic R-CNN (reference ``dynamic_roi_head.py``): the working
+    # assigner IoU threshold and SmoothL1 beta live in ``batch_stats`` and
+    # are moved toward the batch statistics by ``update_dynamic`` (EMA form
+    # of the reference's interval-replayed history — ARCHITECTURE.md
+    # deviation #6, same smoothing as DyProbRoIHead).
+    dynamic: bool = False
+    dyn_initial_iou: float = 0.4
+    dyn_initial_beta: float = 1.0
+    dyn_ema: float = 0.01  # ~ 1 / update_iter_interval
     dtype: Any = jnp.float32
+
+    def get_dynamic_state(self):
+        """Current (iou_thr, beta) for Dynamic R-CNN sampling/loss."""
+        return (self.get_variable("batch_stats", "dyn_iou_thr"),
+                self.get_variable("batch_stats", "dyn_beta"))
+
+    def update_dynamic(self, batch_iou: jnp.ndarray, batch_beta: jnp.ndarray):
+        """EMA-move the working threshold/beta toward the batch statistics
+        with the reference's floor/cap semantics
+        (``dynamic_roi_head.py::update_hyperparameters``: iou floored at
+        ``initial_iou``, beta capped at ``initial_beta``; NaN statistics —
+        no positives / degenerate targets — are skipped)."""
+        iou = self.get_variable("batch_stats", "dyn_iou_thr")
+        beta = self.get_variable("batch_stats", "dyn_beta")
+        batch_iou = jnp.where(jnp.isnan(batch_iou), iou, batch_iou)
+        batch_beta = jnp.where(jnp.isnan(batch_beta), beta, batch_beta)
+        e = self.dyn_ema
+        new_iou = jnp.maximum(
+            self.dyn_initial_iou, (1 - e) * iou + e * batch_iou)
+        new_beta = jnp.minimum(
+            self.dyn_initial_beta, (1 - e) * beta + e * batch_beta)
+        self.put_variable("batch_stats", "dyn_iou_thr", new_iou)
+        self.put_variable("batch_stats", "dyn_beta", new_beta)
+        return new_iou, new_beta
 
     def update_seesaw_counts(self, labels: jnp.ndarray, weights: jnp.ndarray):
         """Accumulate sampled-target class counts (reference
@@ -62,6 +95,15 @@ class ConvFCBBoxHead(nn.Module):
             self.variable(
                 "batch_stats", "seesaw_counts",
                 lambda: jnp.zeros((self.num_classes + 1,), jnp.float32),
+            )
+        if self.dynamic:
+            self.variable(
+                "batch_stats", "dyn_iou_thr",
+                lambda: jnp.asarray(self.dyn_initial_iou, jnp.float32),
+            )
+            self.variable(
+                "batch_stats", "dyn_beta",
+                lambda: jnp.asarray(self.dyn_initial_beta, jnp.float32),
             )
         for i in range(self.num_shared_convs):
             x = ConvModule(
@@ -147,6 +189,7 @@ def bbox_head_loss(
     bbox_w: jnp.ndarray,
     reduction_override: Optional[str] = None,
     seesaw_counts: Optional[jnp.ndarray] = None,  # (C+1,) cumulative
+    beta_override: Optional[jnp.ndarray] = None,  # traced SmoothL1 beta
 ):
     """The reference head loss (``convfc_bbox_head.py:332-418``) on static
     shapes.  With ``reduction_override='none'`` returns elementwise losses
@@ -180,7 +223,8 @@ def bbox_head_loss(
                                       reduction="none")
         else:
             d = jnp.abs(pred4 - bbox_t)
-            b = cfg.smooth_l1_beta
+            b = (cfg.smooth_l1_beta if beta_override is None
+                 else beta_override)  # Dynamic R-CNN: traced beta
             elem = jnp.where(d < b, 0.5 * d * d / b, d - 0.5 * b)
     elem = elem * bbox_w * posf[:, None] * cfg.loss_bbox_weight
 

@@ -224,6 +224,7 @@ def prob_roi_loss(
     bbox_pred: jnp.ndarray,  # (R_total, 4K)
     sample: RoISample,  # flattened over batch: each field (R_total, ...)
     seesaw_counts=None,  # (C+1,) cumulative class counts (Seesaw configs)
+    beta_override=None,  # traced SmoothL1 beta (Dynamic R-CNN)
 ):
     """Boosting-reweighted R-CNN loss (``_bbox_forward_train_boost:107``)."""
     labels, label_w, bbox_t, bbox_w = bbox_targets(
@@ -237,7 +238,7 @@ def prob_roi_loss(
     raw = bbox_head_loss(
         head_cfg, cls_score, bbox_pred, sample.boxes,
         labels, label_w, bbox_t, bbox_w, reduction_override="none",
-        seesaw_counts=seesaw_counts,
+        seesaw_counts=seesaw_counts, beta_override=beta_override,
     )
     validf = sample.valid.astype(jnp.float32)
     # The reference averages over the *actual* number of sampled rois

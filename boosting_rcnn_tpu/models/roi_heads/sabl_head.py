@@ -196,7 +196,8 @@ def make_sabl_detector_class():
             self.bucket_scale_factor = bucket_scale_factor
             self.side_num = int(math.ceil(num_buckets / 2))
 
-        def _roi_losses(self, cls_s, reg_s, flat):
+        def _roi_losses(self, cls_s, reg_s, flat, seesaw_counts=None):
+            # seesaw is a ConvFC-head option; SABL's bucketing loss ignores it
             return sabl_roi_loss(
                 self.bbox_cfg.num_classes, self.side_num, self.num_buckets,
                 self.bucket_scale_factor, cls_s, reg_s, flat)

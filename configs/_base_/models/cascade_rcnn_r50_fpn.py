@@ -1,0 +1,104 @@
+# Cascade R-CNN R50-FPN model (reference configs/_base_/models/
+# cascade_rcnn_r50_fpn.py: 3 stages, rising IoU thresholds).
+_stage_head = dict(
+    type="Shared2FCBBoxHead",
+    num_shared_fcs=2,
+    in_channels=256,
+    fc_out_channels=1024,
+    roi_feat_size=7,
+    num_classes=80,
+    bbox_coder=dict(
+        target_means=[0.0, 0.0, 0.0, 0.0],
+        target_stds=[0.1, 0.1, 0.2, 0.2],
+    ),
+    reg_class_agnostic=True,
+    loss_cls=dict(type="CrossEntropyLoss", loss_weight=1.0),
+    loss_bbox=dict(type="SmoothL1Loss", beta=1.0, loss_weight=1.0),
+)
+
+model = dict(
+    type="CascadeRCNN",
+    backbone=dict(
+        type="ResNet",
+        depth=50,
+        num_stages=4,
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1,
+        norm_eval=True,
+        init_cfg=dict(type="Pretrained", checkpoint="torchvision://resnet50"),
+    ),
+    neck=dict(
+        type="FPN",
+        in_channels=[256, 512, 1024, 2048],
+        out_channels=256,
+        num_outs=5,
+    ),
+    rpn_head=dict(
+        type="RPNHead",
+        in_channels=256,
+        feat_channels=256,
+        anchor_generator=dict(
+            scales=[8],
+            ratios=[0.5, 1.0, 2.0],
+            strides=[4, 8, 16, 32, 64],
+        ),
+        bbox_coder=dict(
+            target_means=[0.0, 0.0, 0.0, 0.0],
+            target_stds=[1.0, 1.0, 1.0, 1.0],
+        ),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True, loss_weight=1.0),
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.1111111111111111, loss_weight=1.0),
+    ),
+    roi_head=dict(
+        type="CascadeRoIHead",
+        num_stages=3,
+        stage_loss_weights=[1, 0.5, 0.25],
+        bbox_roi_extractor=dict(
+            roi_layer=dict(type="RoIAlign", output_size=7, sampling_ratio=0),
+            out_channels=256,
+            featmap_strides=[4, 8, 16, 32],
+        ),
+        bbox_head=[_stage_head, _stage_head, _stage_head],
+    ),
+    train_cfg=dict(
+        rpn=dict(
+            assigner=dict(
+                pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+                match_low_quality=True,
+            ),
+            sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5),
+            allowed_border=0,
+            pos_weight=-1,
+        ),
+        rpn_proposal=dict(
+            nms_pre=2000, max_per_img=1000,
+            nms=dict(iou_threshold=0.7), min_bbox_size=0,
+        ),
+        rcnn=[
+            dict(
+                assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5),
+                sampler=dict(type="RandomSampler", num=512, pos_fraction=0.25,
+                             add_gt_as_proposals=True),
+            ),
+            dict(
+                assigner=dict(pos_iou_thr=0.6, neg_iou_thr=0.6, min_pos_iou=0.6),
+                sampler=dict(type="RandomSampler", num=512, pos_fraction=0.25,
+                             add_gt_as_proposals=True),
+            ),
+            dict(
+                assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.7, min_pos_iou=0.7),
+                sampler=dict(type="RandomSampler", num=512, pos_fraction=0.25,
+                             add_gt_as_proposals=True),
+            ),
+        ],
+    ),
+    test_cfg=dict(
+        rpn=dict(
+            nms_pre=1000, max_per_img=1000,
+            nms=dict(iou_threshold=0.7), min_bbox_size=0,
+        ),
+        rcnn=dict(
+            score_thr=0.05, nms=dict(iou_threshold=0.5), max_per_img=100
+        ),
+    ),
+)

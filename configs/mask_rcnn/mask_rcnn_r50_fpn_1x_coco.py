@@ -1,23 +1,9 @@
-# Mask R-CNN R50-FPN 1x COCO (reference configs/_base_/models/
-# mask_rcnn_r50_fpn.py values).
-_base_ = ["../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py"]
-
-model = dict(
-    type="MaskRCNN",
-    roi_head=dict(
-        mask_roi_extractor=dict(
-            roi_layer=dict(type="RoIAlign", output_size=14, sampling_ratio=0),
-            out_channels=256,
-            featmap_strides=[4, 8, 16, 32],
-        ),
-        mask_head=dict(
-            type="FCNMaskHead",
-            num_convs=4,
-            in_channels=256,
-            conv_out_channels=256,
-            num_classes=80,
-            loss_mask=dict(type="CrossEntropyLoss", use_mask=True, loss_weight=1.0),
-        ),
-    ),
-    train_cfg=dict(rcnn=dict(mask_size=28)),
-)
+# Mask R-CNN R50-FPN 1x COCO (reference configs/mask_rcnn/
+# mask_rcnn_r50_fpn_1x_coco.py).
+_base_ = [
+    "../_base_/models/mask_rcnn_r50_fpn.py",
+    "../_base_/datasets/coco_instance.py",
+    "../_base_/default_runtime.py",
+    "../_base_/schedules/schedule_1x.py",
+]
+optimizer = dict(lr=0.02)
