@@ -115,7 +115,7 @@ def atss_loss(
         w = (pos | neg).astype(jnp.float32)
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
-        matched = gb[safe]
+        matched = box_ops.take_small_table(gb, safe)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
         return pos, w, matched, labels
 

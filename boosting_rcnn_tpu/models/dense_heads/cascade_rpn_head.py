@@ -153,7 +153,7 @@ def crpn_loss(cfg: CascadeRPNCfg, s1_reg, cls, s2_reg, anchors, refined,
             center_ratio=cfg.center_ratio, ignore_ratio=cfg.ignore_ratio)
         pos = res.gt_inds > 0
         safe = jnp.clip(res.gt_inds - 1, 0, gb.shape[0] - 1)
-        return pos, jnp.where(pos[:, None], gb[safe], 1.0)
+        return pos, jnp.where(pos[:, None], box_ops.take_small_table(gb, safe), 1.0)
 
     pos1, tgt1 = jax.vmap(s1_targets)(gt_bboxes, gt_mask)
     dec1 = jax.vmap(
@@ -181,7 +181,7 @@ def crpn_loss(cfg: CascadeRPNCfg, s1_reg, cls, s2_reg, anchors, refined,
         pos = jnp.zeros((a,), bool).at[res.inds].set(res.is_pos)
         safe = jnp.clip(assign.gt_inds - 1, 0, gb.shape[0] - 1)
         return pos, jnp.minimum(w, 1.0), jnp.where(
-            pos[:, None], gb[safe], 1.0)
+            pos[:, None], box_ops.take_small_table(gb, safe), 1.0)
 
     pos2, w2, tgt2 = jax.vmap(s2_targets)(
         rngs, refined, gt_bboxes, gt_mask)

@@ -130,7 +130,7 @@ def gfl_loss(
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
-        return pos, gb[safe], labels
+        return pos, box_ops.take_small_table(gb, safe), labels
 
     pos, matched, labels = jax.vmap(targets)(valid, gt_bboxes, gt_labels, gt_mask)
     posf = pos.reshape(-1).astype(jnp.float32)

@@ -178,7 +178,7 @@ def ga_shape_targets(cfg: GACfg, approxs, squares, gt_bboxes, gt_mask):
     )
     pos = res.gt_inds > 0
     safe = jnp.clip(res.gt_inds - 1, 0, g - 1)
-    bbox_gts = jnp.where(pos[:, None], gt_bboxes[safe], 0.0)
+    bbox_gts = jnp.where(pos[:, None], box_ops.take_small_table(gt_bboxes, safe), 0.0)
     return squares, bbox_gts, pos.astype(jnp.float32)
 
 
@@ -333,7 +333,7 @@ def ga_rpn_loss(
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
         enc = box_ops.bbox2delta(
-            anc, gb[safe], (0.0,) * 4, cfg.bbox_coder_stds, eps=1e-6
+            anc, box_ops.take_small_table(gb, safe), (0.0,) * 4, cfg.bbox_coder_stds, eps=1e-6
         )
         return pos, jnp.minimum(w, 1.0), jnp.where(pos[:, None], enc, 0.0)
 
@@ -519,7 +519,7 @@ def ga_retina_loss(
         pos = assign.gt_inds > 0
         neg = assign.gt_inds == 0
         safe = jnp.clip(assign.gt_inds - 1, 0, gb.shape[0] - 1)
-        enc = box_ops.bbox2delta(anc, gb[safe], (0.0,) * 4,
+        enc = box_ops.bbox2delta(anc, box_ops.take_small_table(gb, safe), (0.0,) * 4,
                                  cfg.bbox_coder_stds, eps=1e-6)
         labels = jnp.where(pos, assign.labels, num_classes)
         return pos, (pos | neg).astype(jnp.float32), labels, \

@@ -125,7 +125,7 @@ def paa_assign_targets(
     decoded = box_ops.delta2bbox(
         anchors, bbox_preds, cfg.target_means, cfg.target_stds
     )
-    matched = gt_bboxes[safe_gt]
+    matched = box_ops.take_small_table(gt_bboxes, safe_gt)
     safe_t = jnp.where(cand[:, None], matched, decoded)
     reg_l = L.giou_loss(decoded, safe_t, reduction="none")
     joint = jax.lax.stop_gradient(cls_l + reg_l)

@@ -199,7 +199,7 @@ def reppoints_loss(
                          scale=cfg.assigner_scale, pos_num=cfg.init_pos_num)
         pos = a.gt_inds > 0
         safe = jnp.clip(a.gt_inds - 1, 0, g - 1)
-        return pos, gb[safe]
+        return pos, box_ops.take_small_table(gb, safe)
 
     pos_i, match_i = jax.vmap(init_targets)(gt_bboxes, gt_mask, gt_labels)
 
@@ -214,7 +214,7 @@ def reppoints_loss(
         pos = a.gt_inds > 0
         safe = jnp.clip(a.gt_inds - 1, 0, g - 1)
         labels = jnp.where(pos, a.labels, cfg.num_classes)
-        return pos, gb[safe], labels
+        return pos, box_ops.take_small_table(gb, safe), labels
 
     pos_r, match_r, labels_r = jax.vmap(refine_targets)(
         boxes_init, gt_bboxes, gt_mask, gt_labels

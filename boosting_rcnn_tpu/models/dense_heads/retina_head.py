@@ -134,7 +134,7 @@ def retina_loss(
         w = (pos | neg).astype(jnp.float32)
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
-        enc = box_ops.bbox2delta(anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6)
+        enc = box_ops.bbox2delta(anchors, box_ops.take_small_table(gb, safe), cfg.target_means, cfg.target_stds, eps=1e-6)
         bt = jnp.where(pos[:, None], enc, 0.0)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
         return pos, w, bt, labels, jnp.clip(assign.gt_inds - 1, 0, g - 1)

@@ -24,19 +24,28 @@ from ...ops.samplers import random_sample
 class RPNConvs(nn.Module):
     num_anchors: int = 3
     feat_channels: int = 256
+    # >1 stacks extra 3x3 convs (reference rpn_head.py num_convs, used by
+    # configs/strong_baselines' rpn-2conv recipes)
+    num_convs: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
-        conv = nn.Conv(
-            self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-            dtype=self.dtype, name="rpn_conv",
-        )
+        convs = [
+            nn.Conv(
+                self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                dtype=self.dtype,
+                name="rpn_conv" if i == 0 else f"rpn_conv_{i}",
+            )
+            for i in range(self.num_convs)
+        ]
         conv_cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="rpn_cls")
         conv_reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="rpn_reg")
         cls_out, reg_out = [], []
         for x in feats:
-            y = nn.relu(conv(x))
+            y = x
+            for conv in convs:
+                y = nn.relu(conv(y))
             cls_out.append(conv_cls(y))
             reg_out.append(conv_reg(y).astype(jnp.float32))
         return cls_out, reg_out, None
@@ -87,7 +96,7 @@ def rpn_loss(
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
         enc = box_ops.bbox2delta(
-            anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6
+            anchors, box_ops.take_small_table(gb, safe), cfg.target_means, cfg.target_stds, eps=1e-6
         )
         bt = jnp.where(pos[:, None], enc, 0.0)
         return pos, jnp.minimum(w, 1.0), bt

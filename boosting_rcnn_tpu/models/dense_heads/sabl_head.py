@@ -119,7 +119,8 @@ def sabl_loss(cfg: SABLCfg, cls, bcls, breg, squares, approxs,
         pos = res.gt_inds > 0
         neg = res.gt_inds == 0
         safe = jnp.clip(res.gt_inds - 1, 0, g - 1)
-        matched_gt = gb[safe]
+        from ...ops import box_ops as _bo
+        matched_gt = _bo.take_small_table(gb, safe)
         labels = jnp.where(pos, res.labels, cfg.num_classes)
         offs, ow, blab, cw = bbox2bucket(
             squares, matched_gt, cfg.num_buckets, cfg.bucket_scale_factor,

@@ -37,12 +37,14 @@ def ssd_anchor_generator(
     for ratio in range(min_ratio, max_ratio + 1, step):
         min_sizes.append(int(input_size * ratio / 100))
         max_sizes.append(int(input_size * (ratio + step) / 100))
-    if basesize_ratio_range[0] == 0.15:  # SSD300 COCO convention
-        min_sizes.insert(0, int(input_size * 7 / 100))
-        max_sizes.insert(0, int(input_size * 15 / 100))
+    # first-level size (reference SSDAnchorGenerator input_size/ratio table:
+    # 300-COCO 7/15, 300-VOC 10/20, 512-COCO 4/10, 512-VOC 7/15)
+    if input_size == 512:
+        lo, hi = (4, 10) if basesize_ratio_range[0] == 0.1 else (7, 15)
     else:
-        min_sizes.insert(0, int(input_size * 10 / 100))
-        max_sizes.insert(0, int(input_size * 20 / 100))
+        lo, hi = (7, 15) if basesize_ratio_range[0] == 0.15 else (10, 20)
+    min_sizes.insert(0, int(input_size * lo / 100))
+    max_sizes.insert(0, int(input_size * hi / 100))
 
     gens = []
     for lvl, stride in enumerate(strides):
@@ -136,7 +138,7 @@ def ssd_loss(
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
         enc = box_ops.bbox2delta(
-            anchors, gb[safe], cfg.target_means, cfg.target_stds, eps=1e-6
+            anchors, box_ops.take_small_table(gb, safe), cfg.target_means, cfg.target_stds, eps=1e-6
         )
         bt = jnp.where(pos[:, None], enc, 0.0)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)

@@ -209,7 +209,7 @@ def vfnet_loss(
         pos = assign.gt_inds > 0
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
-        matched = gb[safe]
+        matched = box_ops.take_small_table(gb, safe)
         labels = jnp.where(pos, assign.labels, cfg.num_classes)
         return pos, matched, labels
 

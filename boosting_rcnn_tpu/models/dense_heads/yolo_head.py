@@ -134,7 +134,7 @@ def yolo_loss(
         ignore = assign.gt_inds == -1  # iou > thr but not best match
         g = gb.shape[0]
         safe = jnp.clip(assign.gt_inds - 1, 0, g - 1)
-        return pos, ignore, gb[safe], jnp.where(pos, assign.labels, 0)
+        return pos, ignore, box_ops.take_small_table(gb, safe), jnp.where(pos, assign.labels, 0)
 
     pos, ignore, matched, labels = jax.vmap(targets)(
         valid, gt_bboxes, gt_labels, gt_mask
