@@ -559,6 +559,7 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
         module = RPNConvs(
             num_anchors=num_anchors,
             feat_channels=cfg.get("feat_channels", 256),
+            num_convs=cfg.get("num_convs", 1),
             dtype=dtype,
         )
         sampler = (train_cfg or {}).get("sampler", {})
@@ -1177,6 +1178,7 @@ def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
             num_classes=mh.get("num_classes", bbox_cfgs[0].num_classes),
             num_convs=mh.get("num_convs", 4),
             conv_channels=mh.get("conv_out_channels", 256),
+            norm_cfg=mh.get("norm_cfg"),
             dtype=dtype,
         ),)
     semantic = None
@@ -2214,6 +2216,7 @@ def build_detector(
                 num_classes=mh.get("num_classes", bbox_cfg.num_classes),
                 num_convs=mh.get("num_convs", 4),
                 conv_channels=mh.get("conv_out_channels", 256),
+                norm_cfg=mh.get("norm_cfg"),
                 dtype=dtype,
             )
             if roi.get("mask_iou_head") or t == "MaskScoringRCNN":
@@ -2490,8 +2493,21 @@ def build_ssd(model_cfg: Dict[str, Any], dtype=jnp.float32):
         def __call__(self, x):
             return x
 
+    # SSDNeck-style extras spec (reference ssd512 config neck=dict(...)):
+    # out_channels after conv4_3/fc7 define the extra pyramid; mid = out//2
+    neck_cfg = model_cfg.get("neck") or {}
+    vgg_kwargs = {}
+    if neck_cfg.get("out_channels"):
+        outs = tuple(neck_cfg["out_channels"])[2:]
+        lvl_strides = tuple(neck_cfg.get("level_strides",
+                                         (2,) * (len(outs) - 2) + (1, 1)))
+        vgg_kwargs = dict(
+            extra_channels=tuple(
+                (o // 2, o, s) for o, s in zip(outs, lvl_strides)),
+            last_kernel_size=neck_cfg.get("last_kernel_size", 3),
+        )
     net = SingleStageNet(
-        backbone=SSDVGG(dtype=dtype),
+        backbone=SSDVGG(dtype=dtype, **vgg_kwargs),
         neck=IdentityNeck(),
         head=SSDConvs(num_classes=num_classes, num_anchors=num_anchors, dtype=dtype),
     )

@@ -41,6 +41,8 @@ class DetDataLoader:
         mosaic_prob: float = 0.0,
         mixup_prob: float = 0.0,
         autoaugment: bool = False,
+        lsj_range: Optional[Tuple[float, float]] = None,
+        ssd_aug: bool = False,
         domain_file: Optional[str] = None,
     ):
         self.ds = dataset
@@ -62,6 +64,8 @@ class DetDataLoader:
         self.mosaic_prob = mosaic_prob if train else 0.0
         self.mixup_prob = mixup_prob if train else 0.0
         self.autoaugment = autoaugment and train
+        self.lsj_range = tuple(lsj_range) if (lsj_range and train) else None
+        self.ssd_aug = ssd_aug and train
         self.domain_map = None
         if domain_file:  # SUO-DAC domain labels (reference loading.py:87)
             from .suodac import DomainMap
@@ -141,17 +145,43 @@ class DetDataLoader:
         domain = None
         if self.domain_map is not None:
             domain = self.domain_map.one_hot(self.ds.img_path(i))
+        if self.ssd_aug and not composed:
+            # SSD train chain (reference ssd300/512 pipeline:
+            # PhotoMetricDistortion -> Expand -> MinIoURandomCrop);
+            # box-only geometry, so masks/rasters are dropped
+            from .transforms import (
+                expand,
+                min_iou_random_crop,
+                photo_metric_distortion,
+            )
+
+            img = photo_metric_distortion(img, rng)
+            img, bboxes = expand(img, bboxes, rng)
+            img, bboxes, labels = min_iou_random_crop(img, bboxes, labels, rng)
+            segs = None
+            if sem is not None:
+                sem = np.full(img.shape[:2], 255, np.int32)
         flip = rng.rand() < self.flip_prob
         canvas = self.canvas if self.ds.flags[i] == 1 else self.canvas_portrait
         short = None
-        if self.mstrain_range is not None and self.train:
+        scale = self.scale
+        if self.lsj_range is not None and not composed:
+            from .transforms import large_scale_jitter
+
+            img, bboxes, labels, segs = large_scale_jitter(
+                img, bboxes, labels, segs, rng, canvas, self.lsj_range)
+            # image is now <= canvas; make the fused resize a no-op
+            scale = (max(img.shape[:2]), min(img.shape[:2]))
+            if sem is not None:  # geometry changed: full-ignore raster
+                sem = np.full(img.shape[:2], 255, np.int32)
+        elif self.mstrain_range is not None and self.train:
             short = int(rng.randint(self.mstrain_range[0], self.mstrain_range[1] + 1))
         out = preprocess(
             img,
             bboxes,
             labels,
             canvas=canvas,
-            scale=self.scale,
+            scale=scale,
             flip=flip,
             max_gt=self.max_gt,
             short_side_override=short,

@@ -150,6 +150,66 @@ def random_crop(
     return img, boxes, labels
 
 
+def large_scale_jitter(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    labels: np.ndarray,
+    segs,
+    rng: np.random.RandomState,
+    canvas: Tuple[int, int],
+    ratio_range: Tuple[float, float] = (0.1, 2.0),
+):
+    """LSJ (reference ``configs/common/lsj_100e_coco_instance.py``:
+    ``Resize(img_scale=canvas, ratio_range, keep_ratio)`` +
+    ``RandomCrop(canvas)``).  Polygon segmentations are scaled/shifted with
+    the boxes so the box-relative mask rasterisation stays consistent; RLE
+    (crowd) entries are dropped (cannot be cheaply re-framed).
+
+    Returns ``(img, boxes, labels, segs)`` with the image no larger than
+    ``canvas``.
+    """
+    import cv2
+
+    h0, w0 = img.shape[:2]
+    r = rng.uniform(*ratio_range)
+    f = min(canvas[0] * r / max(h0, 1), canvas[1] * r / max(w0, 1))
+    nh = max(int(h0 * f + 0.5), 1)
+    nw = max(int(w0 * f + 0.5), 1)
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    boxes = boxes.astype(np.float32).copy()
+    if len(boxes):
+        boxes *= f
+    if segs is not None:
+        segs = [
+            None if (s is None or isinstance(s, dict))
+            else [np.asarray(p, np.float32) * f for p in s]
+            for s in segs
+        ]
+
+    top = rng.randint(0, max(nh - canvas[0], 0) + 1)
+    left = rng.randint(0, max(nw - canvas[1], 0) + 1)
+    ch, cw = min(canvas[0], nh), min(canvas[1], nw)
+    img = img[top:top + ch, left:left + cw]
+    if len(boxes):
+        b = boxes
+        b[:, [0, 2]] -= left
+        b[:, [1, 3]] -= top
+        cx = (b[:, 0] + b[:, 2]) / 2
+        cy = (b[:, 1] + b[:, 3]) / 2
+        keep = (cx >= 0) & (cx < cw) & (cy >= 0) & (cy < ch)
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, cw)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, ch)
+        boxes, labels = b[keep], labels[keep]
+        if segs is not None:
+            segs = [
+                None if s is None
+                else [p - np.tile([left, top], p.shape[0] // 2
+                                  ).astype(np.float32) for p in s]
+                for s, k in zip(segs, keep) if k
+            ]
+    return img, boxes, labels, segs
+
+
 def cutout(
     img: np.ndarray,
     rng: np.random.RandomState,

@@ -52,6 +52,9 @@ class SSDVGG(nn.Module):
         (128, 256, 1),
         (128, 256, 1),
     )
+    # final stride-1 extra conv kernel: 3 (VALID, ssd300) or 4 pad 1
+    # (ssd512, reference SSDNeck last_kernel_size=4)
+    last_kernel_size: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -89,9 +92,12 @@ class SSDVGG(nn.Module):
                     dtype=self.dtype, name=f"extra{i}_2",
                 )(x)
             else:
+                k = (self.last_kernel_size
+                     if i == len(self.extra_channels) - 1 else 3)
                 x = nn.Conv(
-                    out, (3, 3), padding="VALID", dtype=self.dtype,
-                    name=f"extra{i}_2",
+                    out, (k, k),
+                    padding=([(1, 1), (1, 1)] if k == 4 else "VALID"),
+                    dtype=self.dtype, name=f"extra{i}_2",
                 )(x)
             x = nn.relu(x)
             outs.append(x)

@@ -26,12 +26,21 @@ class FCNMaskHead(nn.Module):
     num_classes: int = 80
     num_convs: int = 4
     conv_channels: int = 256
+    norm_cfg: Any = None  # e.g. GN (configs/gn) / SyncBN (strong_baselines)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (R, 14, 14, C) -> (R, 28, 28, num_classes) logits."""
+        from ..layers import ConvModule
+
         for i in range(self.num_convs):
+            if self.norm_cfg is not None:
+                x = ConvModule(
+                    self.conv_channels, 3, norm_cfg=self.norm_cfg,
+                    act="relu", dtype=self.dtype, name=f"conv_{i}",
+                )(x)
+                continue
             x = nn.Conv(
                 self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
                 dtype=self.dtype, name=f"conv_{i}",

@@ -33,6 +33,10 @@ ALL_CONFIGS = sorted(
 # points at the dedicated test that DOES tiny-forward that family
 SKIP = {
     "configs/ssd/ssd300_coco.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
+    "configs/ssd/ssd512_coco.py": "fixed 512x512 geometry (test_forward.py::test_ssd512_forward)",
+    "configs/pascal_voc/ssd300_voc0712.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
+    "configs/pascal_voc/ssd512_voc0712.py": "fixed 512x512 geometry (test_forward.py::test_ssd512_forward)",
+    "configs/wider_face/ssd300_wider_face.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
     "configs/deformable_detr/deformable_detr_r50_16x2_50e_coco.py":
         "transformer dims need a coupled shrink (test_forward.py::test_deformable_detr_forward)",
     "configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py":

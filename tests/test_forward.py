@@ -122,6 +122,10 @@ def test_all_configs_load_and_build():
         if "_base_" in path:
             continue
         cfg = load_config(path)
+        if "/common/" in path.replace(os.sep, "/"):
+            # dataset/schedule-only recipes (reference configs/common) have
+            # no model of their own — loading is the whole contract
+            continue
         assert "model" in cfg.to_dict(), path
         det = build_detector(cfg.model.to_dict())
         assert det is not None, path
@@ -139,6 +143,29 @@ def test_ssd_forward():
     anchors, nla = det.anchors_for(canvas)
     assert anchors.shape[0] == 8732  # canonical SSD300 anchor count
     loader = FakeDetLoader(batch_size=2, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_ssd512_forward():
+    """SSD512 (reference configs/ssd/ssd512_coco.py): 7-level extras with
+    last kernel 4; 24564-anchor canonical layout."""
+    cfg = load_config(os.path.join(REPO, "configs/ssd/ssd512_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["bbox_head"]["num_classes"] = 4
+    det = build_detector(mc)
+    canvas = (512, 512)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    assert anchors.shape[0] == 24564  # canonical SSD512 anchor count
+    loader = FakeDetLoader(batch_size=1, canvas=canvas, num_classes=4,
                            num_batches=1)
     batch = next(loader.epoch_iter(0))
     batch.pop("ori_shape")

@@ -136,3 +136,96 @@ def test_autoaugment_in_loader(tmp_path):
     )
     batch = next(loader.epoch_iter(0))
     assert batch["images"].shape == (1, 64, 96, 3)
+
+
+def test_large_scale_jitter_geometry():
+    """LSJ (reference common/lsj_100e pipeline): keep-ratio resize toward
+    canvas*r, then crop to canvas; boxes/polygons track the geometry."""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(100, 80, 3) * 255).astype(np.uint8)
+    boxes = np.array([[10.0, 20.0, 50.0, 60.0]], np.float32)
+    labels = np.array([1])
+    segs = [[np.array([10, 20, 50, 20, 50, 60, 10, 60], np.float32)]]
+    canvas = (64, 64)
+
+    # downscale branch (r<1): exact scale, no crop
+    im2, b2, l2, s2 = T.large_scale_jitter(
+        img, boxes, labels, segs, np.random.RandomState(0), canvas,
+        ratio_range=(0.5, 0.5))
+    f = min(canvas[0] * 0.5 / 100, canvas[1] * 0.5 / 80)
+    assert im2.shape[0] <= canvas[0] and im2.shape[1] <= canvas[1]
+    np.testing.assert_allclose(b2, boxes * f, atol=1.0)
+    np.testing.assert_allclose(s2[0][0], segs[0][0] * f, atol=1e-5)
+
+    # upscale branch (r=2): image fills the canvas exactly, boxes clipped
+    im3, b3, l3, s3 = T.large_scale_jitter(
+        img, boxes, labels, segs, np.random.RandomState(1), canvas,
+        ratio_range=(2.0, 2.0))
+    assert im3.shape[:2] == canvas
+    if len(b3):
+        assert (b3[:, [0, 2]] <= canvas[1]).all()
+        assert (b3[:, [1, 3]] <= canvas[0]).all()
+        assert (b3 >= 0).all()
+        # polygon stays consistent with its box (same frame): the polygon
+        # bbox must contain the clipped box center
+        px, py = s3[0][0][0::2], s3[0][0][1::2]
+        cx = (b3[0, 0] + b3[0, 2]) / 2
+        cy = (b3[0, 1] + b3[0, 3]) / 2
+        assert px.min() - 1 <= cx <= px.max() + 1
+        assert py.min() - 1 <= cy <= py.max() + 1
+
+
+def _tiny_coco(tmp_path):
+    import cv2
+    import json
+
+    from boosting_rcnn_tpu.data.coco import CocoDataset
+
+    ann = {
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 96,
+                    "height": 64}],
+        "categories": [{"id": 1, "name": "a"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0,
+             "segmentation": [[10, 10, 50, 10, 50, 40, 10, 40]]},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    cv2.imwrite(
+        str(tmp_path / "x.jpg"),
+        (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8),
+    )
+    return CocoDataset(ann_file=str(p), img_prefix=str(tmp_path))
+
+
+def test_lsj_in_loader(tmp_path):
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+
+    ds = _tiny_coco(tmp_path)
+    loader = DetDataLoader(
+        ds, batch_size=1, canvas=(64, 64), scale=(64, 64), train=True,
+        max_gt=10, lsj_range=(0.1, 2.0), with_masks=True, prefetch=1,
+    )
+    for epoch in range(3):  # several draws cover both LSJ branches
+        batch = next(loader.epoch_iter(epoch))
+        assert batch["images"].shape == (1, 64, 64, 3)
+        assert np.isfinite(batch["images"]).all()
+        b = batch["gt_bboxes"][0][batch["gt_mask"][0]]
+        if len(b):
+            assert (b[:, 2:] >= b[:, :2]).all()
+            assert (b <= 64).all() and (b >= 0).all()
+
+
+def test_ssd_aug_in_loader(tmp_path):
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+
+    ds = _tiny_coco(tmp_path)
+    loader = DetDataLoader(
+        ds, batch_size=1, canvas=(64, 64), scale=(64, 64), train=True,
+        max_gt=10, ssd_aug=True, prefetch=1,
+    )
+    batch = next(loader.epoch_iter(0))
+    assert batch["images"].shape == (1, 64, 64, 3)
+    assert np.isfinite(batch["images"]).all()

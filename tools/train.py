@@ -204,6 +204,8 @@ def main():
             mosaic_prob=pipeline.get("mosaic_prob", 0.0),
             mixup_prob=pipeline.get("mixup_prob", 0.0),
             autoaugment=pipeline.get("autoaugment", False),
+            lsj_range=pipeline.get("lsj_range"),
+            ssd_aug=pipeline.get("ssd_aug", False),
             with_semantic=with_semantic,
             semantic_stride=pipeline.get("semantic_stride", 8),
         )
