@@ -302,6 +302,11 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
     if t == "FPN":
         return FPN(**common, norm_cfg=cfg.get("norm_cfg"),
                    conv_cfg=cfg.get("conv_cfg"))
+    if t == "SPPFPN":
+        from .models.necks.fpn import SPPFPN
+
+        return SPPFPN(**common, norm_cfg=cfg.get("norm_cfg"),
+                      spp_type=cfg.get("SPP_type", "ASPP"))
     if t == "PAFPN":
         return PAFPN(**common, norm_cfg=cfg.get("norm_cfg"))
     if t == "FPT":

@@ -99,6 +99,129 @@ class FPN(nn.Module):
         return outs
 
 
+class _SPPLateral(nn.Module):
+    """SPP-type lateral block for :class:`SPPFPN` (fork ``fpn.py:208-585``).
+
+    ``spp_type``:
+      * 'ASPP' — per-dilation ConvModules (1x1 for d=1, else 3x3 dilated),
+        concat, fuse 1x1 (reference ``ASPPModule:420``)
+      * 'ASPP_share' — ONE shared 3x3 conv applied at every dilation
+        (reference ``ASPP_share:471``)
+      * 'SPP' — 1x1 squeeze to C/2, parallel stride-1 max-pools k=(5,9,13),
+        concat, 1x1 expand (reference ``SPP:404``)
+      * 'RFB' — receptive-field block: three branches with growing kernels
+        + dilated 3x3s, concat, 1x1 fuse, residual (reference
+        ``BasicRFB:529``, simplified to the channel layout actually used)
+    """
+
+    out_channels: int
+    spp_type: str = "ASPP"
+    dilations: Tuple[int, ...] = (1, 3, 5, 7)
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.out_channels
+        if self.spp_type in ("ASPP", "ASPP_share"):
+            if self.spp_type == "ASPP":
+                branches = [
+                    ConvModule(
+                        c, 1 if d == 1 else 3, dilation=d,
+                        norm_cfg=self.norm_cfg, dtype=self.dtype,
+                        name=f"aspp_{i}",
+                    )(x)
+                    for i, d in enumerate(self.dilations)
+                ]
+            else:
+                # one shared 3x3 weight set applied at every dilation
+                # (reference ASPP_share reuses shared_conv's weight/bias)
+                w = self.param(
+                    "shared_kernel", nn.initializers.he_normal(),
+                    (3, 3, x.shape[-1], c), self.dtype)
+                b = self.param("shared_bias", nn.initializers.zeros, (c,),
+                               self.dtype)
+                branches = [
+                    jax.lax.conv_general_dilated(
+                        x.astype(self.dtype), w,
+                        window_strides=(1, 1),
+                        padding=[(d, d), (d, d)],
+                        rhs_dilation=(d, d),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + b
+                    for d in self.dilations
+                ]
+            y = jnp.concatenate(branches, axis=-1)
+            return nn.Conv(c, (1, 1), dtype=self.dtype, name="fuse")(y)
+        if self.spp_type == "SPP":
+            y = ConvModule(c // 2, 1, dtype=self.dtype, name="squeeze")(x)
+            pools = [
+                max_pool(y, k, 1, padding="SAME") for k in (5, 9, 13)
+            ]
+            y = jnp.concatenate([y] + pools, axis=-1)
+            return ConvModule(c, 1, dtype=self.dtype, name="expand")(y)
+        if self.spp_type == "RFB":
+            c_ = max(c // 8, 8)
+            b0 = ConvModule(2 * c_, 1, dtype=self.dtype, name="b0_0")(x)
+            b0 = ConvModule(2 * c_, 3, dilation=1, act=None,
+                            dtype=self.dtype, name="b0_1")(b0)
+            b1 = ConvModule(c_, 1, dtype=self.dtype, name="b1_0")(x)
+            b1 = ConvModule(2 * c_, 3, dtype=self.dtype, name="b1_1")(b1)
+            b1 = ConvModule(2 * c_, 3, dilation=3, act=None,
+                            dtype=self.dtype, name="b1_2")(b1)
+            b2 = ConvModule(c_, 1, dtype=self.dtype, name="b2_0")(x)
+            b2 = ConvModule((c_ // 2) * 3, 3, dtype=self.dtype,
+                            name="b2_1")(b2)
+            b2 = ConvModule(2 * c_, 3, dtype=self.dtype, name="b2_2")(b2)
+            b2 = ConvModule(2 * c_, 3, dilation=5, act=None,
+                            dtype=self.dtype, name="b2_3")(b2)
+            y = jnp.concatenate([b0, b1, b2], axis=-1)
+            y = ConvModule(c, 1, act=None, dtype=self.dtype,
+                           name="fuse")(y)
+            short = ConvModule(c, 1, act=None, dtype=self.dtype,
+                               name="shortcut")(x)
+            return nn.relu(y + short)
+        raise ValueError(f"unknown SPP_type {self.spp_type}")
+
+
+class SPPFPN(FPN):
+    """FPN whose lateral 1x1 convs are replaced by an SPP-type block
+    (fork contribution, reference ``necks/fpn.py:208`` ``SPPFPN``; used by
+    ``configs/faster_rcnn/faster_rcnn_r50_sppfpn_1x_coco.py`` and
+    ``configs/paa/paa_r50_sppfpn_1x_coco.py``)."""
+
+    spp_type: str = "ASPP"
+
+    @nn.compact
+    def __call__(self, inputs: Tuple[jnp.ndarray, ...]):
+        start, end = self._levels()
+        used = end - start
+        extra = self.add_extra_convs
+        if extra is True:
+            extra = "on_input"
+        laterals = [
+            _SPPLateral(
+                self.out_channels, spp_type=self.spp_type,
+                norm_cfg=None if self.no_norm_on_lateral else self.norm_cfg,
+                dtype=self.dtype, name=f"lateral_{i}",
+            )(inputs[start + i])
+            for i in range(used)
+        ]
+        for i in range(used - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + bilinear_resize(
+                laterals[i], laterals[i - 1].shape[-3:-1]
+            )
+        outs = [
+            ConvModule(
+                self.out_channels, 3, norm_cfg=self.norm_cfg,
+                act=self.act, dtype=self.dtype, name=f"fpn_conv_{i}",
+            )(laterals[i])
+            for i in range(used)
+        ]
+        return tuple(
+            self._add_extra_levels(outs, inputs, laterals, used, end, extra))
+
+
 class PAFPN(FPN):
     """FPN + bottom-up path aggregation (reference ``pafpn.py:100-158``)."""
 
