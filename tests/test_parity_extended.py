@@ -1,0 +1,291 @@
+"""Checkpoint-parity breadth beyond the flagship graph (VERDICT r2 weak-4).
+
+Two more full converter->forward parity checks built the same way as
+``test_full_model_parity.py`` (hand-built torch modules with mmdet's exact
+state_dict naming -> ``tools/convert_torch_weights`` -> numeric forward
+parity):
+
+  * a DCN-bottleneck ResNet-50 backbone (``dcn=dict(type='DCN')`` on stages
+    2-4, reference ``mmdet/models/backbones/resnet.py`` Bottleneck
+    ``with_dcn`` + ``configs/dcn/*``), with the torch-side deformable conv
+    evaluated by the independent numpy oracle from ``test_deform_conv.py``
+    (torchvision is absent in this image);
+  * a cascade + mask graph: three ``roi_head.bbox_head.N.*`` stages and the
+    ``roi_head.mask_head.*`` FCN head (4 convs + 2x2 deconv + 1x1 logits),
+    exercising the per-stage first-FC CHW/HWC permutation and the
+    ConvTranspose kernel flip mapping (reference
+    ``roi_heads/bbox_heads/convfc_bbox_head.py``,
+    ``roi_heads/mask_heads/fcn_mask_head.py``).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from boosting_rcnn_tpu.models.backbones.resnet import ResNet  # noqa: E402
+from boosting_rcnn_tpu.models.roi_heads.bbox_head import (  # noqa: E402
+    ConvFCBBoxHead,
+)
+from boosting_rcnn_tpu.models.roi_heads.mask_head import FCNMaskHead  # noqa: E402
+from tools.convert_torch_weights import (  # noqa: E402
+    _merge_leaves,
+    convert_mmdet_checkpoint,
+    convert_torchvision_resnet,
+)
+from tests.test_deform_conv import np_deform_conv  # noqa: E402
+
+BASE = 8  # tiny resnet50 width
+
+
+def _oihw_to_hwio(w):
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _rand_conv(rs, cout, cin, k):
+    return torch.from_numpy(
+        (rs.randn(cout, cin, k, k) * (1.0 / np.sqrt(cin * k * k))).astype("f")
+    )
+
+
+def _rand_bn(rs, c):
+    return {
+        "weight": torch.from_numpy((rs.rand(c) + 0.5).astype("f")),
+        "bias": torch.from_numpy((rs.randn(c) * 0.1).astype("f")),
+        "running_mean": torch.from_numpy((rs.randn(c) * 0.1).astype("f")),
+        "running_var": torch.from_numpy((rs.rand(c) + 0.5).astype("f")),
+    }
+
+
+def _t_bn(x, sd, p):
+    return F.batch_norm(
+        x, sd[p + ".running_mean"], sd[p + ".running_var"],
+        sd[p + ".weight"], sd[p + ".bias"], training=False,
+    )
+
+
+def _build_dcn_r50_state_dict(rs, stage_with_dcn):
+    """mmdet-named tiny R50 state dict; DCN stages get
+    ``layerX.Y.conv2.conv_offset.*`` exactly as mmcv DeformConv2dPack."""
+    blocks = (3, 4, 6, 3)
+    sd = {}
+    sd["conv1.weight"] = _rand_conv(rs, BASE, 3, 7)
+    for leaf, v in _rand_bn(rs, BASE).items():
+        sd[f"bn1.{leaf}"] = v
+    cin = BASE
+    for s, n in enumerate(blocks):
+        planes = BASE * (2 ** s)
+        out_ch = planes * 4
+        for b in range(n):
+            p = f"layer{s+1}.{b}"
+            sd[f"{p}.conv1.weight"] = _rand_conv(rs, planes, cin, 1)
+            if stage_with_dcn[s]:
+                # small random offsets: nonzero so the deform path is real,
+                # subpixel-scale so the bilinear window stays informative
+                sd[f"{p}.conv2.conv_offset.weight"] = _rand_conv(
+                    rs, 18, planes, 3) * 0.3
+                sd[f"{p}.conv2.conv_offset.bias"] = torch.from_numpy(
+                    (rs.randn(18) * 0.2).astype("f"))
+            sd[f"{p}.conv2.weight"] = _rand_conv(rs, planes, planes, 3)
+            sd[f"{p}.conv3.weight"] = _rand_conv(rs, out_ch, planes, 1)
+            for i, c in ((1, planes), (2, planes), (3, out_ch)):
+                for leaf, v in _rand_bn(rs, c).items():
+                    sd[f"{p}.bn{i}.{leaf}"] = v
+            if b == 0:
+                sd[f"{p}.downsample.0.weight"] = _rand_conv(rs, out_ch, cin, 1)
+                for leaf, v in _rand_bn(rs, out_ch).items():
+                    sd[f"{p}.downsample.1.{leaf}"] = v
+            cin = out_ch
+    return sd
+
+
+def _torch_bottleneck(x, sd, p, stride, with_dcn):
+    """Mirror forward; the deformable 3x3 goes through the numpy oracle."""
+    idt = x
+    y = F.relu(_t_bn(F.conv2d(x, sd[f"{p}.conv1.weight"]), sd, f"{p}.bn1"))
+    if with_dcn:
+        off = F.conv2d(
+            y, sd[f"{p}.conv2.conv_offset.weight"],
+            sd[f"{p}.conv2.conv_offset.bias"], stride=stride, padding=1,
+        )
+        y_np = np_deform_conv(
+            y.numpy().transpose(0, 2, 3, 1).astype(np.float64),
+            off.numpy().transpose(0, 2, 3, 1).astype(np.float64),
+            _oihw_to_hwio(sd[f"{p}.conv2.weight"]).astype(np.float64),
+            None, stride, 1, 1, 1,
+        )
+        y = torch.from_numpy(y_np.transpose(0, 3, 1, 2).astype("f"))
+    else:
+        y = F.conv2d(y, sd[f"{p}.conv2.weight"], stride=stride, padding=1)
+    y = F.relu(_t_bn(y, sd, f"{p}.bn2"))
+    y = _t_bn(F.conv2d(y, sd[f"{p}.conv3.weight"]), sd, f"{p}.bn3")
+    if f"{p}.downsample.0.weight" in sd:
+        idt = _t_bn(
+            F.conv2d(x, sd[f"{p}.downsample.0.weight"], stride=stride),
+            sd, f"{p}.downsample.1",
+        )
+    return F.relu(y + idt)
+
+
+def test_dcn_bottleneck_backbone_checkpoint_parity():
+    rs = np.random.RandomState(7)
+    stage_with_dcn = (False, True, True, True)  # the configs/dcn recipe
+    sd = _build_dcn_r50_state_dict(rs, stage_with_dcn)
+
+    params, stats = convert_torchvision_resnet(sd)
+
+    net = ResNet(
+        depth=50, base_channels=BASE,
+        dcn=dict(type="DCN", deform_groups=1),
+        stage_with_dcn=stage_with_dcn,
+        out_indices=(0, 1, 2, 3),
+    )
+    x = rs.rand(1, 64, 64, 3).astype(np.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = {
+        "params": jax.tree.map(
+            jnp.asarray,
+            _merge_leaves(jax.tree.map(np.asarray, variables["params"]),
+                          params),
+        ),
+        "batch_stats": jax.tree.map(
+            jnp.asarray,
+            _merge_leaves(
+                jax.tree.map(np.asarray, variables.get("batch_stats", {})),
+                stats),
+        ),
+    }
+    j_outs = net.apply(variables, jnp.asarray(x))
+
+    # torch/numpy mirror
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        y = F.relu(
+            _t_bn(F.conv2d(xt, sd["conv1.weight"], stride=2, padding=3),
+                  sd, "bn1"))
+        y = F.max_pool2d(y, 3, 2, 1)
+        t_outs = []
+        for s, n in enumerate((3, 4, 6, 3)):
+            for b in range(n):
+                stride = 1 if (s == 0 or b > 0) else 2
+                y = _torch_bottleneck(
+                    y, sd, f"layer{s+1}.{b}", stride, stage_with_dcn[s])
+            t_outs.append(y)
+
+    assert len(j_outs) == 4
+    for lvl, (jo, to) in enumerate(zip(j_outs, t_outs)):
+        np.testing.assert_allclose(
+            np.asarray(jo), to.numpy().transpose(0, 2, 3, 1),
+            rtol=2e-4, atol=2e-4,
+            err_msg=f"C{lvl+2} mismatch (dcn={stage_with_dcn[lvl]})",
+        )
+
+
+# ---------------------------------------------------------------------------
+# cascade + mask graph
+# ---------------------------------------------------------------------------
+
+FEAT = 16
+FC = 24
+NUM_CLASSES = 4
+
+
+def _build_cascade_mask_state_dict(rs):
+    sd = {}
+    for stage in range(3):
+        pre = f"roi_head.bbox_head.{stage}"
+        dims = [(FEAT * 7 * 7, FC), (FC, FC)]
+        for i, (din, dout) in enumerate(dims):
+            sd[f"{pre}.shared_fcs.{i}.weight"] = torch.from_numpy(
+                (rs.randn(dout, din) / np.sqrt(din)).astype("f"))
+            sd[f"{pre}.shared_fcs.{i}.bias"] = torch.from_numpy(
+                (rs.randn(dout) * 0.1).astype("f"))
+        sd[f"{pre}.fc_cls.weight"] = torch.from_numpy(
+            (rs.randn(NUM_CLASSES + 1, FC) / np.sqrt(FC)).astype("f"))
+        sd[f"{pre}.fc_cls.bias"] = torch.from_numpy(
+            (rs.randn(NUM_CLASSES + 1) * 0.1).astype("f"))
+        # cascade stages are class-agnostic in the reference configs
+        sd[f"{pre}.fc_reg.weight"] = torch.from_numpy(
+            (rs.randn(4, FC) / np.sqrt(FC)).astype("f"))
+        sd[f"{pre}.fc_reg.bias"] = torch.from_numpy(
+            (rs.randn(4) * 0.1).astype("f"))
+    for i in range(4):
+        sd[f"roi_head.mask_head.convs.{i}.conv.weight"] = _rand_conv(
+            rs, FEAT, FEAT, 3)
+        sd[f"roi_head.mask_head.convs.{i}.conv.bias"] = torch.from_numpy(
+            (rs.randn(FEAT) * 0.1).astype("f"))
+    sd["roi_head.mask_head.upsample.weight"] = torch.from_numpy(
+        (rs.randn(FEAT, FEAT, 2, 2) / np.sqrt(FEAT * 4)).astype("f"))
+    sd["roi_head.mask_head.upsample.bias"] = torch.from_numpy(
+        (rs.randn(FEAT) * 0.1).astype("f"))
+    sd["roi_head.mask_head.conv_logits.weight"] = _rand_conv(
+        rs, NUM_CLASSES, FEAT, 1)
+    sd["roi_head.mask_head.conv_logits.bias"] = torch.from_numpy(
+        (rs.randn(NUM_CLASSES) * 0.1).astype("f"))
+    return sd
+
+
+def test_cascade_and_mask_head_checkpoint_parity(tmp_path):
+    rs = np.random.RandomState(11)
+    sd = _build_cascade_mask_state_dict(rs)
+    ckpt = str(tmp_path / "tiny_cascade_mask.pth")
+    torch.save({"state_dict": sd}, ckpt)
+    params, _ = convert_mmdet_checkpoint(ckpt)
+
+    pooled = rs.rand(6, 7, 7, FEAT).astype(np.float32)
+    pooled_chw_flat = torch.from_numpy(
+        pooled.transpose(0, 3, 1, 2).reshape(6, -1))
+
+    for stage in range(3):
+        head = ConvFCBBoxHead(
+            num_classes=NUM_CLASSES, fc_out_channels=FC,
+            reg_class_agnostic=True,
+        )
+        j_cls, j_reg = head.apply(
+            {"params": params[f"bbox_heads_{stage}"]}, jnp.asarray(pooled))
+        with torch.no_grad():
+            x = pooled_chw_flat
+            for i in range(2):
+                x = F.relu(F.linear(
+                    x, sd[f"roi_head.bbox_head.{stage}.shared_fcs.{i}.weight"],
+                    sd[f"roi_head.bbox_head.{stage}.shared_fcs.{i}.bias"]))
+            t_cls = F.linear(
+                x, sd[f"roi_head.bbox_head.{stage}.fc_cls.weight"],
+                sd[f"roi_head.bbox_head.{stage}.fc_cls.bias"])
+            t_reg = F.linear(
+                x, sd[f"roi_head.bbox_head.{stage}.fc_reg.weight"],
+                sd[f"roi_head.bbox_head.{stage}.fc_reg.bias"])
+        np.testing.assert_allclose(
+            np.asarray(j_cls), t_cls.numpy(), rtol=1e-4, atol=1e-4,
+            err_msg=f"cascade stage {stage} cls")
+        np.testing.assert_allclose(
+            np.asarray(j_reg), t_reg.numpy(), rtol=1e-4, atol=1e-4,
+            err_msg=f"cascade stage {stage} reg")
+
+    # mask head on (R, 14, 14, C)
+    mpool = rs.rand(5, 14, 14, FEAT).astype(np.float32)
+    mhead = FCNMaskHead(num_classes=NUM_CLASSES, conv_channels=FEAT)
+    j_mask = mhead.apply({"params": params["mask_head"]}, jnp.asarray(mpool))
+    with torch.no_grad():
+        y = torch.from_numpy(mpool.transpose(0, 3, 1, 2))
+        for i in range(4):
+            y = F.relu(F.conv2d(
+                y, sd[f"roi_head.mask_head.convs.{i}.conv.weight"],
+                sd[f"roi_head.mask_head.convs.{i}.conv.bias"], padding=1))
+        y = F.relu(F.conv_transpose2d(
+            y, sd["roi_head.mask_head.upsample.weight"],
+            sd["roi_head.mask_head.upsample.bias"], stride=2))
+        t_mask = F.conv2d(
+            y, sd["roi_head.mask_head.conv_logits.weight"],
+            sd["roi_head.mask_head.conv_logits.bias"])
+    np.testing.assert_allclose(
+        np.asarray(j_mask), t_mask.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4, err_msg="mask head (deconv kernel flip)")
