@@ -84,6 +84,7 @@ def build_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
         plugins=tuple(cfg["plugins"]) if cfg.get("plugins") else None,
         conv_cfg=cfg.get("conv_cfg"),
         norm_cfg=cfg.get("norm_cfg"),
+        style=cfg.get("style", "pytorch"),
         dtype=dtype,
     )
 
@@ -105,6 +106,7 @@ def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
         plugins=tuple(cfg["plugins"]) if cfg.get("plugins") else None,
         conv_cfg=cfg.get("conv_cfg"),
         norm_cfg=cfg.get("norm_cfg"),
+        style=cfg.get("style", "pytorch"),
         dtype=dtype,
     )
 

@@ -69,6 +69,9 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     live_bn: bool = False
+    # BasicBlock has no 1x1 to move the stride onto; the reference keeps
+    # the stride on conv1 for both styles (resnet.py BasicBlock)
+    style: str = "pytorch"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,8 +102,10 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) with identity shortcut.
 
-    ``style='pytorch'``: stride lives on the 3x3 (reference
-    ``resnet.py:97`` Bottleneck ``conv1_stride/conv2_stride`` logic).
+    ``style='pytorch'``: stride lives on the 3x3; ``style='caffe'``: stride
+    on the first 1x1 (reference ``resnet.py:97`` Bottleneck
+    ``conv1_stride/conv2_stride`` logic — the caffe-pretrained config
+    family, e.g. ``faster_rcnn_r50_caffe_fpn_1x_coco``).
     """
 
     planes: int
@@ -116,6 +121,7 @@ class Bottleneck(nn.Module):
     conv_cfg: Optional[dict] = None  # dict(type='ConvWS') for gn+ws
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     live_bn: bool = False
+    style: str = "pytorch"  # 'caffe' -> stride on conv1 (the 1x1)
     dtype: Any = jnp.float32
 
     def _plug(self, y, position: str):
@@ -139,8 +145,11 @@ class Bottleneck(nn.Module):
             width = int(self.planes * (self.base_width / self.base_channels)) * self.groups
         out_ch = self.planes * self.expansion
         conv = _conv(self.conv_cfg)
+        c1_stride = self.stride if self.style == "caffe" else 1
+        c2_stride = 1 if self.style == "caffe" else self.stride
         identity = x
-        y = conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = conv(width, (1, 1), (c1_stride, c1_stride),
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = _norm(self.live_bn, self.dtype, "bn1", self.norm_cfg)(y)
         y = nn.relu(y)
         y = self._plug(y, "after_conv1")
@@ -148,14 +157,14 @@ class Bottleneck(nn.Module):
             # reference Bottleneck ``with_dcn``: the 3x3 conv2 becomes a
             # deformable conv (``mmdet/models/backbones/resnet.py`` dcn arg)
             y = DeformConv(
-                width, 3, self.stride, self.dilation,
+                width, 3, c2_stride, self.dilation,
                 deform_groups=self.dcn.get("deform_groups", 1),
                 modulated=self.dcn.get("type", "DCNv2") == "DCNv2",
                 dtype=self.dtype, name="conv2",
             )(y)
         else:
             y = conv(
-                width, (3, 3), (self.stride, self.stride),
+                width, (3, 3), (c2_stride, c2_stride),
                 padding=[(self.dilation, self.dilation)] * 2,
                 kernel_dilation=(self.dilation, self.dilation),
                 feature_group_count=self.groups,
@@ -206,6 +215,7 @@ class ResNet(nn.Module):
     conv_cfg: Optional[dict] = None  # dict(type='ConvWS') for gn+ws
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     norm_eval: bool = True  # False -> live BN (from-scratch training)
+    style: str = "pytorch"  # 'caffe': Bottleneck stride on the first 1x1
     dtype: Any = jnp.float32
 
     def _stage_plugins(self, stage: int):
@@ -290,6 +300,7 @@ class ResNet(nn.Module):
                         plugins=self._stage_plugins(stage),
                         conv_cfg=self.conv_cfg,
                         norm_cfg=self.norm_cfg,
+                        style=self.style,
                         name=name,
                     )(x)
             if stage + 1 <= self.frozen_stages:

@@ -229,6 +229,10 @@ def test_every_config_forwards(cfg_path):
     if cfg_path in SKIP:
         pytest.skip(SKIP[cfg_path])
     cfg = load_config(os.path.join(REPO, cfg_path))
+    if "model" not in cfg:
+        # dataset/schedule-only recipe meant to be inherited (the
+        # reference's configs/common/*.py have no model either)
+        pytest.skip("no model key (inheritance-only recipe)")
     mc = shrink_any(cfg.model.to_dict())
     _per_config_tweaks(cfg_path, mc)
     nc = _num_classes(mc)

@@ -189,6 +189,61 @@ def test_dcn_bottleneck_backbone_checkpoint_parity():
         )
 
 
+def test_caffe_style_backbone_checkpoint_parity():
+    """``style='caffe'`` puts the stage stride on the 1x1 conv1 (reference
+    Bottleneck ``conv1_stride`` branch, caffe-pretrained config family)."""
+    rs = np.random.RandomState(3)
+    sd = _build_dcn_r50_state_dict(rs, (False,) * 4)  # plain R50 dict
+
+    params, stats = convert_torchvision_resnet(sd)
+    net = ResNet(depth=50, base_channels=BASE, style="caffe",
+                 out_indices=(0, 1, 2, 3))
+    x = rs.rand(1, 64, 64, 3).astype(np.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = {
+        "params": jax.tree.map(
+            jnp.asarray,
+            _merge_leaves(jax.tree.map(np.asarray, variables["params"]),
+                          params)),
+        "batch_stats": jax.tree.map(
+            jnp.asarray,
+            _merge_leaves(
+                jax.tree.map(np.asarray, variables.get("batch_stats", {})),
+                stats)),
+    }
+    j_outs = net.apply(variables, jnp.asarray(x))
+
+    def caffe_bottleneck(x, p, stride):
+        idt = x
+        y = F.relu(_t_bn(
+            F.conv2d(x, sd[f"{p}.conv1.weight"], stride=stride), sd,
+            f"{p}.bn1"))
+        y = F.relu(_t_bn(
+            F.conv2d(y, sd[f"{p}.conv2.weight"], padding=1), sd, f"{p}.bn2"))
+        y = _t_bn(F.conv2d(y, sd[f"{p}.conv3.weight"]), sd, f"{p}.bn3")
+        if f"{p}.downsample.0.weight" in sd:
+            idt = _t_bn(
+                F.conv2d(x, sd[f"{p}.downsample.0.weight"], stride=stride),
+                sd, f"{p}.downsample.1")
+        return F.relu(y + idt)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        y = F.relu(_t_bn(
+            F.conv2d(xt, sd["conv1.weight"], stride=2, padding=3), sd, "bn1"))
+        y = F.max_pool2d(y, 3, 2, 1)
+        t_outs = []
+        for s, n in enumerate((3, 4, 6, 3)):
+            for b in range(n):
+                stride = 1 if (s == 0 or b > 0) else 2
+                y = caffe_bottleneck(y, f"layer{s+1}.{b}", stride)
+            t_outs.append(y)
+    for lvl, (jo, to) in enumerate(zip(j_outs, t_outs)):
+        np.testing.assert_allclose(
+            np.asarray(jo), to.numpy().transpose(0, 2, 3, 1),
+            rtol=2e-4, atol=2e-4, err_msg=f"caffe C{lvl+2}")
+
+
 # ---------------------------------------------------------------------------
 # cascade + mask graph
 # ---------------------------------------------------------------------------
