@@ -44,6 +44,7 @@ class DetDataLoader:
         lsj_range: Optional[Tuple[float, float]] = None,
         ssd_aug: bool = False,
         domain_file: Optional[str] = None,
+        img_norm: Optional[Dict] = None,  # dict(mean=, std=, to_rgb=)
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -71,6 +72,16 @@ class DetDataLoader:
             from .suodac import DomainMap
 
             self.domain_map = DomainMap(domain_file)
+        # per-config normalization (the caffe-pretrained family uses BGR
+        # mean-only norm: img_norm_cfg in the reference caffe configs)
+        from .pipeline import DEFAULT_MEAN, DEFAULT_STD
+
+        img_norm = img_norm or {}
+        self.norm_mean = np.asarray(
+            img_norm.get("mean", DEFAULT_MEAN), np.float32)
+        self.norm_std = np.asarray(
+            img_norm.get("std", DEFAULT_STD), np.float32)
+        self.norm_to_rgb = bool(img_norm.get("to_rgb", True))
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -184,6 +195,9 @@ class DetDataLoader:
             scale=scale,
             flip=flip,
             max_gt=self.max_gt,
+            mean=self.norm_mean,
+            std=self.norm_std,
+            to_rgb=self.norm_to_rgb,
             short_side_override=short,
             segmentations=segs,
             semantic_map=sem,

@@ -63,6 +63,56 @@ ARCH_SETTINGS = {
 }
 
 
+class _S2DStemConv(nn.Module):
+    """The 7x7/s2 stem conv, computed as a space-to-depth 4x4/s1 conv.
+
+    A 3-channel input starves the MXU (measured 5.4 ms/step at ~7.5 TFLOP/s
+    on the 800x1344 bench — 13% of the whole inference step).  Rearranging
+    2x2 pixel blocks into channels (the MLPerf-ResNet TPU recipe) turns the
+    op into a 4x4 stride-1 conv over 12 channels with a 192-element
+    contraction — an EXACT rearrangement of the same dot products, not an
+    approximation.  The parameter keeps nn.Conv's ``kernel`` name and the
+    torch-native (7,7,3,F) shape so checkpoint conversion
+    (``tools/convert_torch_weights.py``) is unchanged; the weight is
+    re-laid-out at apply time (zero-padded 8x8 -> (4,4,12,F)).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, f),
+            jnp.float32,
+        ).astype(self.dtype)
+        # (7,7,3,f) -> zero-pad to (8,8,3,f) -> (4,4,(di,dj,c)=12,f):
+        # w4[a,b,(di,dj,c),k] = w[2a+di, 2b+dj, c, k]
+        w4 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w4 = w4.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
+        w4 = w4.reshape(4, 4, 12, f)
+        b, h, wdt, c = x.shape
+        # SAME-3 padding, then round up to even so 2x2 blocks tile exactly
+        hp, wp = h + 6, wdt + 6
+        x = jnp.pad(
+            x.astype(self.dtype),
+            ((0, 0), (3, 3 + hp % 2), (3, 3 + wp % 2), (0, 0)))
+        hp, wp = hp + hp % 2, wp + wp % 2
+        y = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+        out = jax.lax.conv_general_dilated(
+            y, w4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        # rows = hp//2 - 3 = (h + 2*3 - 7)//2 + 1, the 7x7/s2 output size;
+        # the even-rounding extra column (if any) falls off the VALID window
+        oh = (h + 6 - 7) // 2 + 1
+        ow = (wdt + 6 - 7) // 2 + 1
+        return out[:, :oh, :ow, :]
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -216,6 +266,10 @@ class ResNet(nn.Module):
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     norm_eval: bool = True  # False -> live BN (from-scratch training)
     style: str = "pytorch"  # 'caffe': Bottleneck stride on the first 1x1
+    # exact space-to-depth rewrite of the 7x7/s2 stem (see _S2DStemConv);
+    # auto-disabled for deep_stem and for weight-standardized convs (WS
+    # statistics would see the zero-padded taps)
+    stem_s2d: bool = True
     dtype: Any = jnp.float32
 
     def _stage_plugins(self, stage: int):
@@ -248,6 +302,10 @@ class ResNet(nn.Module):
                 x = _norm(not self.norm_eval, self.dtype, f"stem_bn{i+1}",
                           self.norm_cfg)(x)
                 x = nn.relu(x)
+        elif self.stem_s2d and self.conv_cfg is None:
+            x = _S2DStemConv(stem, dtype=self.dtype, name="conv1")(x)
+            x = _norm(not self.norm_eval, self.dtype, "bn1", self.norm_cfg)(x)
+            x = nn.relu(x)
         else:
             x = conv(
                 stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],

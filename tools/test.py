@@ -72,6 +72,7 @@ def main():
         batch_size=data_cfg.get("samples_per_gpu", 2),
         canvas=canvas,
         train=False,
+        img_norm=pipeline.get("img_norm"),
     )
     variables = det.init(jax.random.PRNGKey(0), canvas)
     if args.checkpoint:
