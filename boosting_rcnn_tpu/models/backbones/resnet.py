@@ -93,21 +93,24 @@ class _S2DStemConv(nn.Module):
         w4 = w4.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
         w4 = w4.reshape(4, 4, 12, f)
         b, h, wdt, c = x.shape
-        # SAME-3 padding, then round up to even so 2x2 blocks tile exactly
-        hp, wp = h + 6, wdt + 6
-        x = jnp.pad(
-            x.astype(self.dtype),
-            ((0, 0), (3, 3 + hp % 2), (3, 3 + wp % 2), (0, 0)))
-        hp, wp = hp + hp % 2, wp + wp % 2
-        y = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+        # the space-to-depth itself is an identity 2x2xC -> 4C conv at
+        # stride 2: y[i,j,(di,dj,c)] = x_pad[2i+di, 2j+dj, c].  Expressing
+        # it as a conv (instead of pad+reshape+transpose) keeps XLA in
+        # conv-native layouts — the 6-D transpose variant materialized
+        # ~9 ms/step of relayout copies on the 800x1344 bench.
+        eye = jnp.eye(4 * c, dtype=self.dtype).reshape(2, 2, c, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), eye, (2, 2), [(3, 4), (3, 4)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
         out = jax.lax.conv_general_dilated(
             y, w4, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype,
         )
-        # rows = hp//2 - 3 = (h + 2*3 - 7)//2 + 1, the 7x7/s2 output size;
-        # the even-rounding extra column (if any) falls off the VALID window
+        # (h + 2*3 - 7)//2 + 1 rows — the 7x7/s2 output size; the padding
+        # round-up row (if any) falls off the VALID window
         oh = (h + 6 - 7) // 2 + 1
         ow = (wdt + 6 - 7) // 2 + 1
         return out[:, :oh, :ow, :]
