@@ -59,6 +59,7 @@ _LOSS_BOX_TYPES = {
     "FocalEIoULoss": "focal_eiou",
     "DIoULoss": "diou",
     "CIoULoss": "ciou",
+    "BoundedIoULoss": "bounded_iou",
     "L1Loss": "l1",
     "SmoothL1Loss": "smooth_l1",
     "BalancedL1Loss": "balanced_l1",
@@ -393,6 +394,7 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
         return HRFPN(
             out_channels=cfg.get("out_channels", 256),
             num_outs=cfg.get("num_outs", 5),
+            stride=cfg.get("stride", 1),
             dtype=dtype,
         )
     if t == "ChannelMapper":
@@ -1312,6 +1314,13 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
         m, bc = build_bbox_head(hcfg, dtype=dtype)
         modules.append(m)
         bbox_cfgs.append(bc)
+    # HybridTaskCascade: interleaved + info-flow by default; a plain
+    # CascadeRCNN with a mask head (the cascade_mask_rcnn family) gets
+    # independent per-stage FCN heads on the stage's own sampled rois
+    # (reference ``cascade_roi_head.py`` vs ``htc_roi_head.py``)
+    is_htc = model_cfg.get("type") in ("HybridTaskCascade", "HTC")
+    interleaved = roi.get("interleaved", is_htc)
+    mask_info_flow = roi.get("mask_info_flow", is_htc)
     mask_list = roi.get("mask_head", [])
     if isinstance(mask_list, dict):
         mask_list = [mask_list] * num_stages
@@ -1320,7 +1329,8 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
             num_classes=mh.get("num_classes", bbox_cfgs[0].num_classes),
             num_convs=mh.get("num_convs", 4),
             conv_channels=mh.get("conv_out_channels", 256),
-            with_conv_res=mh.get("with_conv_res", True),
+            with_conv_res=(mh.get("with_conv_res", True) and mask_info_flow
+                           and mh.get("type", "HTCMaskHead") == "HTCMaskHead"),
             dtype=dtype,
         )
         for mh in mask_list
@@ -1344,6 +1354,7 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
         bbox_heads=tuple(modules),
         mask_heads=mask_heads,
         semantic_head=semantic,
+        mask_info_flow=mask_info_flow,
         roi_strides=strides,
         roi_finest_scale=extractor.get("finest_scale", 56),
         semantic_stride=roi.get("semantic_roi_extractor", {}).get(
@@ -1369,6 +1380,7 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
             roi.get("stage_loss_weights", (1.0, 0.5, 0.25))
         ),
         stage_pos_iou=stage_pos,
+        interleaved=interleaved,
     )
     rpn_prop = train_cfg.get("rpn_proposal", {})
     rpn_test = test_cfg.get("rpn", {})
@@ -1418,6 +1430,7 @@ def build_solo(model_cfg: Dict[str, Any], dtype=jnp.float32):
         stacked_convs=h.get("stacked_convs", 4),
         num_grids=num_grids,
         cls_down_index=h.get("cls_down_index", 0),
+        decoupled=h.get("type", "SOLOHead") == "DecoupledSOLOHead",
         dtype=dtype,
     )
     cfg = SOLOCfg(
@@ -1737,6 +1750,7 @@ def build_reppoints(model_cfg: Dict[str, Any], dtype=jnp.float32):
         assigner_scale=init_assigner.get("scale", 4),
         init_pos_num=init_assigner.get("pos_num", 1),
         refine_pos_iou=refine_assigner.get("pos_iou_thr", 0.5),
+        transform_method=h.get("transform_method", "moment"),
         loss_cls_weight=h.get("loss_cls", {}).get("loss_weight", 1.0),
         init_loss_weight=h.get("loss_bbox_init", {}).get("loss_weight", 0.5),
         refine_loss_weight=h.get("loss_bbox_refine", {}).get(
@@ -2120,6 +2134,12 @@ def build_detector(
     train_cfg = model_cfg.get("train_cfg") or {}
     test_cfg = model_cfg.get("test_cfg") or {}
     if t == "CascadeRCNN":
+        if (model_cfg.get("roi_head") or {}).get("mask_head"):
+            # Cascade Mask R-CNN: per-stage mask heads on the stage's own
+            # sampled rois — the HTC machinery with interleaved execution
+            # and mask info flow switched off (reference
+            # ``cascade_roi_head.py`` vs ``htc_roi_head.py``)
+            return build_htc(model_cfg, dtype=dtype)
         return build_cascade(model_cfg, dtype=dtype)
     if t == "SABLRetinaNet" or model_cfg.get("bbox_head", {}).get(
             "type") == "SABLRetinaHead":
@@ -2285,6 +2305,8 @@ def build_detector(
             neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
             min_pos_iou=assigner.get("min_pos_iou", 0.5),
             match_low_quality=assigner.get("match_low_quality", False),
+            isr=rcnn_train.get("isr"),
+            carl=rcnn_train.get("carl"),
         )
         rpn_prop = train_cfg.get("rpn_proposal", {})
         rpn_test = test_cfg.get("rpn", {})
@@ -2395,6 +2417,9 @@ def build_fcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
             feat_channels=head.get("feat_channels", 256),
             stacked_convs=head.get("stacked_convs", 4),
             num_levels=len(strides),
+            centerness_on_reg=head.get("centerness_on_reg", False),
+            norm_on_bbox=head.get("norm_on_bbox", False),
+            strides=strides,
             dtype=dtype,
         ),
     )
@@ -2402,10 +2427,13 @@ def build_fcos(model_cfg: Dict[str, Any], dtype=jnp.float32):
         num_classes=num_classes,
         strides=strides,
         center_sampling=head.get("center_sampling", False),
+        center_sample_radius=head.get("center_sample_radius", 1.5),
         focal_gamma=loss_cls.get("gamma", 2.0),
         focal_alpha=loss_cls.get("alpha", 0.25),
         loss_cls_weight=loss_cls.get("loss_weight", 1.0),
         loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.0),
+        loss_bbox_type=("giou" if head.get("loss_bbox", {}).get(
+            "type") == "GIoULoss" else "iou"),
     )
     return FCOSDetector(
         net, hc,
@@ -2779,16 +2807,29 @@ def build_fovea(model_cfg: Dict[str, Any], dtype=jnp.float32):
     num_classes = head.get("num_classes", 80)
     strides = tuple(head.get("strides", (8, 16, 32, 64, 128)))
     loss_cls = head.get("loss_cls", {})
-    net = SingleStageNet(
-        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
-        neck=build_neck(model_cfg["neck"], dtype=dtype),
-        head=RetinaConvs(
+    if head.get("with_deform"):
+        from .models.dense_heads.fovea_head import FoveaAlignConvs
+
+        head_module = FoveaAlignConvs(
+            num_classes=num_classes,
+            feat_channels=head.get("feat_channels", 256),
+            stacked_convs=head.get("stacked_convs", 4),
+            deform_groups=head.get("deform_groups", 4),
+            norm_cfg=head.get("norm_cfg"),
+            dtype=dtype,
+        )
+    else:
+        head_module = RetinaConvs(
             num_classes=num_classes,
             num_anchors=1,
             feat_channels=head.get("feat_channels", 256),
             stacked_convs=head.get("stacked_convs", 4),
             dtype=dtype,
-        ),
+        )
+    net = SingleStageNet(
+        backbone=build_backbone(model_cfg["backbone"], dtype=dtype),
+        neck=build_neck(model_cfg["neck"], dtype=dtype),
+        head=head_module,
     )
     hc = FoveaCfg(
         num_classes=num_classes,

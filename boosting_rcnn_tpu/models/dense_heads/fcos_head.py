@@ -31,6 +31,16 @@ class FCOSConvs(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     num_levels: int = 5
+    # original FCOS: centerness branch on the cls tower; the improvements
+    # recipe (``fcos_center-normbbox-centeronreg-giou`` configs) moves it
+    # onto the reg tower (reference fcos_head.py ``centerness_on_reg``)
+    centerness_on_reg: bool = False
+    # normalize regression by stride: relu(scale*reg)*stride instead of
+    # exp(scale*reg) (reference ``norm_on_bbox``; IoU losses are invariant
+    # to the per-level uniform scaling, so losses match the reference's
+    # stride-normalized formulation)
+    norm_on_bbox: bool = False
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,11 +71,14 @@ class FCOSConvs(nn.Module):
             for c in reg_tower:
                 rf = c(rf)
             cls_out.append(conv_cls(cf))
-            # distances must be positive: exp(scale * reg)
-            reg_out.append(
-                jnp.exp(scales[lvl](conv_reg(rf)).astype(jnp.float32))
-            )
-            ctr_out.append(conv_ctr(rf))
+            raw = scales[lvl](conv_reg(rf)).astype(jnp.float32)
+            if self.norm_on_bbox:
+                # positive distances via relu, in stride units
+                reg_out.append(nn.relu(raw) * float(self.strides[lvl]))
+            else:
+                # distances must be positive: exp(scale * reg)
+                reg_out.append(jnp.exp(raw))
+            ctr_out.append(conv_ctr(rf if self.centerness_on_reg else cf))
         return cls_out, reg_out, ctr_out
 
 
@@ -83,6 +96,7 @@ class FCOSCfg:
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
     loss_ctr_weight: float = 1.0
+    loss_bbox_type: str = "iou"  # 'iou' | 'giou' (the improvements recipe)
 
 
 def fcos_points(featmap_sizes, strides):
@@ -204,7 +218,8 @@ def fcos_loss(
     ctr_sum = jnp.maximum(jnp.sum(ctr_t), 1e-6)
     if axis_name is not None:
         ctr_sum = jnp.maximum(jax.lax.pmean(jnp.sum(ctr_t), axis_name), 1e-6)
-    loss_bbox = L.iou_loss(
+    box_fn = L.giou_loss if cfg.loss_bbox_type == "giou" else L.iou_loss
+    loss_bbox = box_fn(
         pred_boxes, safe_t, weight=ctr_t, avg_factor=ctr_sum
     ) * cfg.loss_bbox_weight
     loss_ctr = L.binary_cross_entropy_loss(

@@ -30,6 +30,70 @@ from ...ops.nms import multiclass_nms_padded
 from .retina_head import RetinaConvs  # noqa: F401  (builder uses it)
 
 
+class FoveaAlignConvs(nn.Module):
+    """FoveaBox ``with_deform`` tower (reference fovea_head.py
+    ``FeatureAlign`` + the fovea_align configs): the reg branch predicts
+    first; a 1x1 conv maps exp(bbox_pred) to deformable offsets that align
+    the cls features before classification (deform_groups=4, GN towers)."""
+
+    num_classes: int = 80
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    deform_groups: int = 4
+    norm_cfg: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ...ops.deform_conv import deform_conv2d
+        from ..layers import ConvModule
+
+        cls_tower = [
+            ConvModule(self.feat_channels, 3, norm_cfg=self.norm_cfg,
+                       act="relu", dtype=self.dtype, name=f"cls_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        reg_tower = [
+            ConvModule(self.feat_channels, 3, norm_cfg=self.norm_cfg,
+                       act="relu", dtype=self.dtype, name=f"reg_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                           dtype=self.dtype, name="conv_reg")
+        conv_offset = nn.Conv(
+            self.deform_groups * 18, (1, 1), use_bias=False,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv_offset",
+        )
+        align_kernel = self.param(
+            "align_kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.feat_channels, self.feat_channels),
+            jnp.float32,
+        )
+        conv_cls = nn.Conv(
+            self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            bias_init=nn.initializers.constant(-4.595),
+            dtype=self.dtype, name="conv_cls",
+        )
+        cls_out, reg_out = [], []
+        for x in feats:
+            cf, rf = x, x
+            for c in reg_tower:
+                rf = c(rf)
+            bbox_pred = conv_reg(rf).astype(jnp.float32)
+            for c in cls_tower:
+                cf = c(cf)
+            offset = conv_offset(
+                jnp.exp(jnp.clip(bbox_pred, -10.0, 10.0)).astype(cf.dtype))
+            aligned = nn.relu(deform_conv2d(
+                cf, offset, align_kernel.astype(cf.dtype),
+                stride=1, padding=1, deform_groups=self.deform_groups,
+            ))
+            cls_out.append(conv_cls(aligned))
+            reg_out.append(bbox_pred)
+        return cls_out, reg_out, None
+
+
 @dataclasses.dataclass(frozen=True)
 class FoveaCfg:
     num_classes: int = 80

@@ -134,6 +134,7 @@ class RepPointsCfg:
     init_pos_num: int = 1
     refine_pos_iou: float = 0.5
     moment_mul: float = 0.01
+    transform_method: str = "moment"  # 'moment' | 'minmax' | 'partial_minmax'
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     loss_cls_weight: float = 1.0
@@ -143,9 +144,16 @@ class RepPointsCfg:
 
 
 def points2bbox(pts_xy: jnp.ndarray, moment: jnp.ndarray,
-                moment_mul: float) -> jnp.ndarray:
-    """Moment transform (reference ``points2bbox`` 'moment'):
+                moment_mul: float, method: str = "moment") -> jnp.ndarray:
+    """Point-set -> box transform (reference ``points2bbox``): 'moment'
+    (mean +- std * exp(learnable)), 'minmax' (bounding box of all points),
+    'partial_minmax' (bounding box of the first 4 points).
     pts_xy (P, n, 2) image coords -> (P, 4) boxes."""
+    if method in ("minmax", "partial_minmax"):
+        pts = pts_xy[:, :4] if method == "partial_minmax" else pts_xy
+        lo = jnp.min(pts, axis=1)
+        hi = jnp.max(pts, axis=1)
+        return jnp.concatenate([lo, hi], axis=-1)
     mean = jnp.mean(pts_xy, axis=1)  # (P, 2)
     # torch .std() is unbiased
     n = pts_xy.shape[1]
@@ -188,7 +196,7 @@ def reppoints_loss(
 
     def decode(o):
         xy = offsets_to_pts(o, centers, strides, cfg.num_points)
-        return points2bbox(xy, moment, cfg.moment_mul)
+        return points2bbox(xy, moment, cfg.moment_mul, cfg.transform_method)
 
     boxes_init = jax.vmap(decode)(pts_init)  # (B, P, 4)
     boxes_refine = jax.vmap(decode)(pts_refine)
@@ -264,7 +272,7 @@ def reppoints_get_bboxes(
     centers = points[:, :2]
     strides = points[:, 2]
     xy = offsets_to_pts(pts_refine, centers, strides, cfg.num_points)
-    boxes_all = points2bbox(xy, moment, cfg.moment_mul)
+    boxes_all = points2bbox(xy, moment, cfg.moment_mul, cfg.transform_method)
     scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     sel_s, sel_b = [], []
     start = 0

@@ -47,6 +47,11 @@ class SOLOHeadConvs(nn.Module):
     num_grids: Tuple[int, ...] = (40, 36, 24, 16, 12)
     cls_down_index: int = 0
     norm_groups: int = 32
+    # DecoupledSOLOHead (reference ``decoupled_solo_head.py``): separate
+    # x/y mask towers emit S channels each; instance (i, j)'s mask is
+    # sigmoid(mx[..., j]) * sigmoid(my[..., i]).  The product is folded
+    # back into S^2 logits so the coupled loss/decode path is shared.
+    decoupled: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -66,14 +71,21 @@ class SOLOHeadConvs(nn.Module):
             "bilinear",
         )
 
-        mask_convs = [
-            ConvModule(
-                self.feat_channels, 3,
-                norm_cfg={"type": "GN", "num_groups": self.norm_groups},
-                act="relu", dtype=self.dtype, name=f"mask_conv_{i}",
-            )
-            for i in range(self.stacked_convs)
-        ]
+        def tower(prefix):
+            return [
+                ConvModule(
+                    self.feat_channels, 3,
+                    norm_cfg={"type": "GN", "num_groups": self.norm_groups},
+                    act="relu", dtype=self.dtype, name=f"{prefix}_{i}",
+                )
+                for i in range(self.stacked_convs)
+            ]
+
+        if self.decoupled:
+            mask_convs_x = tower("mask_conv_x")
+            mask_convs_y = tower("mask_conv_y")
+        else:
+            mask_convs = tower("mask_conv")
         cls_convs = [
             ConvModule(
                 self.feat_channels, 3,
@@ -94,18 +106,46 @@ class SOLOHeadConvs(nn.Module):
             coords = jnp.broadcast_to(
                 coord_features(hh, ww, x.dtype)[None], (bb, hh, ww, 2)
             )
-            m = jnp.concatenate([x, coords], axis=-1)
-            for conv in mask_convs:
-                m = conv(m)
-            m = jax.image.resize(
-                m, (bb, hh * 2, ww * 2, m.shape[-1]), "bilinear"
-            )
             s = self.num_grids[lvl]
-            mask_pred = nn.Conv(
-                s * s, (1, 1),
-                bias_init=nn.initializers.constant(-4.595),
-                dtype=self.dtype, name=f"conv_mask_{lvl}",
-            )(m).astype(jnp.float32)
+            if self.decoupled:
+                # x branch sees the x coord, y branch the y coord
+                mx = jnp.concatenate([x, coords[..., 0:1]], axis=-1)
+                my = jnp.concatenate([x, coords[..., 1:2]], axis=-1)
+                for cx_, cy_ in zip(mask_convs_x, mask_convs_y):
+                    mx = cx_(mx)
+                    my = cy_(my)
+                up = (bb, hh * 2, ww * 2, self.feat_channels)
+                mx = jax.image.resize(mx, up, "bilinear")
+                my = jax.image.resize(my, up, "bilinear")
+                lx = nn.Conv(
+                    s, (3, 3), padding=[(1, 1), (1, 1)],
+                    bias_init=nn.initializers.constant(-4.595),
+                    dtype=self.dtype, name=f"conv_mask_x_{lvl}",
+                )(mx).astype(jnp.float32)
+                ly = nn.Conv(
+                    s, (3, 3), padding=[(1, 1), (1, 1)],
+                    bias_init=nn.initializers.constant(-4.595),
+                    dtype=self.dtype, name=f"conv_mask_y_{lvl}",
+                )(my).astype(jnp.float32)
+                # grid cell (i, j) -> channel i*s + j: p = sig(y_i)*sig(x_j),
+                # folded back to a logit for the shared loss/decode path
+                p = (jax.nn.sigmoid(ly)[..., :, None]
+                     * jax.nn.sigmoid(lx)[..., None, :])
+                p = p.reshape(bb, hh * 2, ww * 2, s * s)
+                p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+                mask_pred = jnp.log(p) - jnp.log1p(-p)
+            else:
+                m = jnp.concatenate([x, coords], axis=-1)
+                for conv in mask_convs:
+                    m = conv(m)
+                m = jax.image.resize(
+                    m, (bb, hh * 2, ww * 2, m.shape[-1]), "bilinear"
+                )
+                mask_pred = nn.Conv(
+                    s * s, (1, 1),
+                    bias_init=nn.initializers.constant(-4.595),
+                    dtype=self.dtype, name=f"conv_mask_{lvl}",
+                )(m).astype(jnp.float32)
 
             c = x
             for j, conv in enumerate(cls_convs):

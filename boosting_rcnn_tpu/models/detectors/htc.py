@@ -51,6 +51,10 @@ class HTCNet(nn.Module):
     bbox_heads: Tuple[nn.Module, ...]
     mask_heads: Tuple[nn.Module, ...]
     semantic_head: Optional[nn.Module] = None
+    # False -> plain Cascade Mask R-CNN: independent per-stage mask heads,
+    # no running-feature fusion (reference ``cascade_roi_head.py`` vs
+    # ``htc_roi_head.py:140-148``)
+    mask_info_flow: bool = True
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
@@ -109,10 +113,11 @@ class HTCNet(nn.Module):
                 sem_feat, rois, roi_valid, self.mask_roi_out_size
             )
         last_feat = None
-        for i in range(stage):
-            last_feat = self.mask_heads[i](
-                pooled, last_feat, return_logits=False, return_feat=True
-            )
+        if self.mask_info_flow:
+            for i in range(stage):
+                last_feat = self.mask_heads[i](
+                    pooled, last_feat, return_logits=False, return_feat=True
+                )
         return self.mask_heads[stage](
             pooled, last_feat, return_logits=True, return_feat=False
         )
@@ -131,6 +136,8 @@ class HTCNet(nn.Module):
             logits, last_feat = head(
                 pooled, last_feat, return_logits=True, return_feat=True
             )
+            if not self.mask_info_flow:
+                last_feat = None
             outs.append(logits)
         return outs
 
@@ -259,12 +266,20 @@ class HTCDetector(CascadeDetector):
             next_valid = sample.valid & ~is_gt_slot
 
             if with_mask:
-                mask_rngs = jax.random.split(
-                    jax.random.fold_in(roi_rng, 100 + stage), b
-                )
-                msample: RoISample = _sample(
-                    mask_rngs, next_boxes, next_scores, next_valid
-                )
+                if cc.interleaved:
+                    # HTC: the mask branch trains on boxes refined by this
+                    # stage's bbox branch, re-assigned + re-sampled
+                    mask_rngs = jax.random.split(
+                        jax.random.fold_in(roi_rng, 100 + stage), b
+                    )
+                    msample: RoISample = _sample(
+                        mask_rngs, next_boxes, next_scores, next_valid
+                    )
+                else:
+                    # plain Cascade Mask R-CNN: same sampled rois as the
+                    # bbox branch (reference ``cascade_roi_head.py``
+                    # _mask_forward_train on sampling_results)
+                    msample = sample
                 pos_valid = msample.valid & msample.is_pos
                 mask_logits = self.net.apply(
                     variables, feats, msample.boxes, pos_valid,

@@ -376,6 +376,7 @@ class HRFPN(nn.Module):
 
     out_channels: int = 256
     num_outs: int = 5
+    stride: int = 1  # per-out 3x3 conv stride (FCOS-HRNet configs use 2)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -397,7 +398,9 @@ class HRFPN(nn.Module):
                 k = 2 ** i
                 y = nn.avg_pool(x, (k, k), strides=(k, k))
             outs.append(
-                nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                nn.Conv(self.out_channels, (3, 3),
+                        (self.stride, self.stride),
+                        padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"fpn_conv_{i}")(y)
             )
         return tuple(outs)

@@ -209,12 +209,19 @@ def bbox_head_loss(
 
     if cfg.reg_decoded_bbox:
         pred_boxes = box_ops.delta2bbox(rois, pred4, cfg.target_means, cfg.target_stds)
-        box_fn = {"giou": L.giou_loss, "ciou": L.ciou_loss, "iou": L.iou_loss,
-                  "eiou": L.eiou_loss, "focal_eiou": L.focal_eiou_loss}[
-            cfg.loss_bbox_type
-        ]
         safe_t = jnp.where(pos[:, None], bbox_t, pred_boxes)
-        elem = box_fn(pred_boxes, safe_t, reduction="none")[:, None] * jnp.ones((1, 4)) / 4.0
+        if cfg.loss_bbox_type == "bounded_iou":
+            # per-coordinate elementwise (reference
+            # ``losses/iou_loss.py::bounded_iou_loss`` keeps the (N, 4)
+            # shape; configs/faster_rcnn bounded_iou variant)
+            from ..dense_heads.guided_anchor_head import bounded_iou_loss
+
+            elem = bounded_iou_loss(pred_boxes, safe_t)
+        else:
+            box_fn = {"giou": L.giou_loss, "ciou": L.ciou_loss,
+                      "iou": L.iou_loss, "eiou": L.eiou_loss,
+                      "focal_eiou": L.focal_eiou_loss}[cfg.loss_bbox_type]
+            elem = box_fn(pred_boxes, safe_t, reduction="none")[:, None] * jnp.ones((1, 4)) / 4.0
     else:
         if cfg.loss_bbox_type == "l1":
             elem = jnp.abs(pred4 - bbox_t)

@@ -38,6 +38,10 @@ class CascadeCfg:
     prob: bool = False
     boost: bool = False
     gamma: float = 0.1
+    # HTC trains each stage's mask on boxes refined by that stage
+    # (interleaved, ``htc_roi_head.py:296``); plain Cascade Mask R-CNN
+    # (``cascade_roi_head.py``) trains it on the stage's own sampled rois
+    interleaved: bool = True
 
 
 def stage_head_cfg(base: BBoxHeadCfg, stage: int) -> BBoxHeadCfg:

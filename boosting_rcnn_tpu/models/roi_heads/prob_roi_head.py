@@ -56,6 +56,11 @@ class ProbRoICfg:
     neg_iou_thr: float = 0.6
     min_pos_iou: float = 0.6
     match_low_quality: bool = False
+    # PISA on the R-CNN stage (reference ``pisa_roi_head.py``): ISR-P
+    # reweights positive cls samples by IoU-HLR, CARL adds a
+    # classification-aware regression term
+    isr: Optional[dict] = None  # dict(k=, bias=)
+    carl: Optional[dict] = None  # dict(k=, bias=)
 
 
 class RoISample(NamedTuple):
@@ -248,8 +253,43 @@ def prob_roi_loss(
     # proposals + gt < 512 per image (small scenes, early training).
     n_valid = jnp.maximum(jnp.sum(validf), 1.0)
 
+    extra = {}
     if not cfg.boost:
-        loss_cls = jnp.sum(raw["loss_cls"] * validf) / n_valid
+        cls_w = validf
+        if cfg.isr is not None:
+            # ISR-P (reference ``pisa_roi_head.py`` + ``isr_p:9``): IoU of
+            # the CURRENT decoded predictions against the matched gts
+            from ...ops import box_ops
+            from ...ops.pisa import isr_p_weights
+
+            c = head_cfg.num_classes
+            r = bbox_pred.shape[0]
+            if head_cfg.reg_class_agnostic:
+                pred4 = bbox_pred.reshape(r, 4)
+            else:
+                safe_lab = jnp.clip(labels, 0, c - 1)
+                pred4 = jnp.take_along_axis(
+                    bbox_pred.reshape(r, c, 4),
+                    safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
+            dec = box_ops.delta2bbox(
+                sample.boxes, jax.lax.stop_gradient(pred4),
+                head_cfg.target_means, head_cfg.target_stds)
+            cur_iou = box_ops.bbox_overlaps_aligned(dec, sample.matched_gt)
+            pos = sample.is_pos & sample.valid
+            cls_w = isr_p_weights(
+                labels, sample.gt_idx, cur_iou, validf, pos,
+                jax.lax.stop_gradient(raw["loss_cls"]),
+                k=cfg.isr.get("k", 2.0), bias=cfg.isr.get("bias", 0.0),
+            ) * validf
+        if cfg.carl is not None:
+            from ...ops.pisa import carl_loss
+
+            extra["loss_carl"] = carl_loss(
+                cls_score, labels, sample.is_pos & sample.valid,
+                raw["loss_bbox"], k=cfg.carl.get("k", 1.0),
+                bias=cfg.carl.get("bias", 0.2), avg_factor=n_valid,
+            )
+        loss_cls = jnp.sum(raw["loss_cls"] * cls_w) / n_valid
     else:
         if cfg.quality:
             probs = jax.lax.stop_gradient(jax.nn.softmax(cls_score, axis=-1))
@@ -271,7 +311,7 @@ def prob_roi_loss(
         )
     else:  # 'bbox_num': sum over pos elements / #sampled rois (``:144-147``)
         loss_bbox = jnp.sum(raw["loss_bbox"]) / n_valid
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, **extra}
 
 
 def prob_fuse_scores(cls_score: jnp.ndarray, prior: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,10 @@
+# Reference configs/faster_rcnn/faster_rcnn_r101_fpn_mstrain_3x_coco.
+_base_ = "./faster_rcnn_r50_fpn_mstrain_3x_coco.py"
+model = dict(
+    backbone=dict(
+        depth=101,
+        init_cfg=dict(
+            type="Pretrained", checkpoint="torchvision://resnet101"
+        ),
+    ),
+)

@@ -1,0 +1,11 @@
+# Reference configs/faster_rcnn/faster_rcnn_r50_fpn_soft_nms_1x_coco.
+_base_ = "./faster_rcnn_r50_fpn_1x_coco.py"
+model = dict(
+    test_cfg=dict(
+        rcnn=dict(
+            score_thr=0.05,
+            nms=dict(type="soft_nms", iou_threshold=0.5),
+            max_per_img=100,
+        )
+    )
+)

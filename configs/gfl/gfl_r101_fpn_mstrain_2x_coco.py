@@ -1,0 +1,10 @@
+# Reference configs/gfl/gfl_r101_fpn_mstrain_2x_coco.
+_base_ = "./gfl_r50_fpn_mstrain_2x_coco.py"
+model = dict(
+    backbone=dict(
+        depth=101,
+        init_cfg=dict(
+            type="Pretrained", checkpoint="torchvision://resnet101"
+        ),
+    ),
+)

@@ -1,0 +1,10 @@
+# Reference configs/gn+ws/faster_rcnn_r101_fpn_gn_ws-all_1x_coco.
+_base_ = "./faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py"
+model = dict(
+    backbone=dict(
+        depth=101,
+        init_cfg=dict(
+            type="Pretrained", checkpoint="torchvision://resnet101"
+        ),
+    ),
+)

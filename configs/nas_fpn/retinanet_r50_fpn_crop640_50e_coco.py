@@ -1,0 +1,16 @@
+# Reference configs/nas_fpn/retinanet_r50_fpn_crop640_50e_coco (the plain-FPN baseline of the NAS-FPN table).
+_base_ = "./retinanet_r50_nasfpn_crop640_50e_coco.py"
+model = dict(
+    neck=dict(
+        _delete_=True,
+        type="FPN",
+        in_channels=[256, 512, 1024, 2048],
+        out_channels=256,
+        start_level=1,
+        add_extra_convs="on_input",
+        num_outs=5,
+        relu_before_extra_convs=True,
+        no_norm_on_lateral=True,
+        norm_cfg=dict(type="BN", requires_grad=True),
+    ),
+)

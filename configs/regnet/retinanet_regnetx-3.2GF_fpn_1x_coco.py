@@ -1,0 +1,16 @@
+# Reference configs/regnet/retinanet_regnetx-3.2GF_fpn_1x_coco.
+_base_ = "../retinanet/retinanet_r50_fpn_1x_coco.py"
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="RegNet",
+        arch="regnetx_3.2gf",
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1,
+        norm_eval=True,
+        init_cfg=dict(
+            type="Pretrained", checkpoint="open-mmlab://regnetx_3.2gf"
+        ),
+    ),
+    neck=dict(in_channels=[96, 192, 432, 1008]),
+)
