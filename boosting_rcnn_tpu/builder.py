@@ -1796,6 +1796,8 @@ def build_deformable_detr(model_cfg: Dict[str, Any], dtype=jnp.float32):
         num_encoder_layers=tr.get("num_encoder_layers", 6),
         num_decoder_layers=tr.get("num_decoder_layers", 6),
         ffn_dims=tr.get("feedforward_channels", 1024),
+        with_box_refine=h.get("with_box_refine", False),
+        as_two_stage=h.get("as_two_stage", False),
         dtype=dtype,
     )
     cfg = DeformableDETRCfg(

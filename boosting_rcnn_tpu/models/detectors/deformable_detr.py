@@ -21,6 +21,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops, losses as L
@@ -44,9 +45,13 @@ class MSDeformAttnLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, query, value, spatial_shapes, reference_points):
+    def __call__(self, query, value, spatial_shapes, reference_points,
+                 ref_wh=None):
         """query (Lq, C); value (S, C); reference_points (Lq, L, 2)
-        normalized."""
+        normalized.  With ``ref_wh`` (Lq, 2) — 4-d box references, the
+        two-stage variant — offsets are scaled by the box size instead of
+        the level size (reference ``MultiScaleDeformableAttention``
+        ``reference_points.shape[-1] == 4`` branch)."""
         h, lv, p = self.num_heads, self.num_levels, self.num_points
         lq = query.shape[0]
         off = nn.Dense(h * lv * p * 2, dtype=self.dtype,
@@ -61,14 +66,20 @@ class MSDeformAttnLayer(nn.Module):
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(
             value
         )
-        # offset normalizer: (w_l, h_l) per level
-        normalizer = jnp.asarray(
-            [[w_, h_] for (h_, w_) in spatial_shapes], jnp.float32
-        )  # (L, 2)
-        locs = (
-            reference_points[:, None, :, None, :]
-            + off / normalizer[None, None, :, None, :]
-        )  # (Lq, H, L, P, 2)
+        if ref_wh is not None:
+            locs = (
+                reference_points[:, None, :, None, :]
+                + off / p * ref_wh[:, None, None, None, :] * 0.5
+            )
+        else:
+            # offset normalizer: (w_l, h_l) per level
+            normalizer = jnp.asarray(
+                [[w_, h_] for (h_, w_) in spatial_shapes], jnp.float32
+            )  # (L, 2)
+            locs = (
+                reference_points[:, None, :, None, :]
+                + off / normalizer[None, None, :, None, :]
+            )  # (Lq, H, L, P, 2)
         out = ms_deform_attn(v, spatial_shapes, locs, aw, h)
         return nn.Dense(self.embed_dims, dtype=self.dtype,
                         name="output_proj")(out)
@@ -132,18 +143,22 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, qpos, memory, spatial_shapes, reference_points):
+        """``reference_points``: (Q, 2) point refs, or (Q, 4) cxcywh box
+        refs (the two-stage variant — sampling offsets scale by wh)."""
         q = tgt + qpos
         sa = MHA(self.embed_dims, self.num_heads, dtype=self.dtype,
                  name="self_attn")(q, q, tgt)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
         refs = jnp.broadcast_to(
-            reference_points[:, None, :],
+            reference_points[:, None, :2],
             (reference_points.shape[0], self.num_levels, 2),
         )
+        ref_wh = (reference_points[:, 2:]
+                  if reference_points.shape[-1] == 4 else None)
         ca = MSDeformAttnLayer(
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points, dtype=self.dtype, name="cross_attn",
-        )(tgt + qpos, memory, spatial_shapes, refs)
+        )(tgt + qpos, memory, spatial_shapes, refs, ref_wh=ref_wh)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(
             FFN(self.embed_dims, self.ffn_dims, dtype=self.dtype,
@@ -163,6 +178,13 @@ class DeformableDETRNet(nn.Module):
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
     ffn_dims: int = 1024
+    # iterative bounding-box refinement (reference deformable_detr_refine
+    # config): per-layer heads, detached reference update after each layer
+    with_box_refine: bool = False
+    # encoder-proposal two-stage variant (deformable_detr_twostage_refine):
+    # top-k encoder tokens become 4-d box references + query embeddings;
+    # the encoder cls/box outputs join the loss stack as an extra aux layer
+    as_two_stage: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -221,41 +243,129 @@ class DeformableDETRNet(nn.Module):
                          name=f"dec_{i}")
             for i in range(self.num_decoder_layers)
         ]
-        query_embed = self.param(
-            "query_embed", nn.initializers.normal(1.0),
-            (self.num_queries, self.embed_dims * 2), jnp.float32,
-        )
-        ref_proj = nn.Dense(2, dtype=self.dtype, name="reference_points")
-        cls_head = nn.Dense(
-            self.num_classes, dtype=self.dtype,
-            bias_init=nn.initializers.constant(-4.595), name="cls_head",
-        )
-        box_fc1 = nn.Dense(self.embed_dims, dtype=self.dtype, name="box_fc1")
-        box_fc2 = nn.Dense(self.embed_dims, dtype=self.dtype, name="box_fc2")
-        box_out = nn.Dense(4, dtype=self.dtype, name="box_out")
+        # per-layer heads when refining (the reference deep-copies the
+        # branches for with_box_refine/two_stage); one shared set otherwise
+        n_heads = (self.num_decoder_layers
+                   if (self.with_box_refine or self.as_two_stage) else 1)
 
-        qpos = query_embed[:, : self.embed_dims].astype(self.dtype)
-        tgt0 = query_embed[:, self.embed_dims :].astype(self.dtype)
-        qref = jax.nn.sigmoid(ref_proj(qpos).astype(jnp.float32))  # (Q, 2)
+        def make_heads(i):
+            cls_h = nn.Dense(
+                self.num_classes, dtype=self.dtype,
+                bias_init=nn.initializers.constant(-4.595),
+                name=f"cls_head_{i}" if n_heads > 1 else "cls_head",
+            )
+            sfx = f"_{i}" if n_heads > 1 else ""
+            fc1 = nn.Dense(self.embed_dims, dtype=self.dtype,
+                           name=f"box_fc1{sfx}")
+            fc2 = nn.Dense(self.embed_dims, dtype=self.dtype,
+                           name=f"box_fc2{sfx}")
+            out = nn.Dense(4, dtype=self.dtype, name=f"box_out{sfx}")
+            return cls_h, (lambda t: out(
+                nn.relu(fc2(nn.relu(fc1(t))))).astype(jnp.float32))
+
+        heads = [make_heads(i) for i in range(n_heads)]
+
+        if self.as_two_stage:
+            # encoder-output proposal generation (reference
+            # ``gen_encoder_output_proposals``): per-token base box with
+            # level-scaled wh 0.05 * 2^lvl
+            base_wh = jnp.concatenate([
+                jnp.full((h_ * w_, 2), 0.05 * (2 ** lvl), jnp.float32)
+                for lvl, (h_, w_) in enumerate(spatial_shapes)
+            ])
+            base4 = jnp.concatenate([ref_pts, base_wh], axis=-1)  # (S, 4)
+            enc_norm = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")
+            enc_proj = nn.Dense(self.embed_dims, dtype=self.dtype,
+                                name="enc_output")
+            enc_cls_head = nn.Dense(
+                self.num_classes, dtype=self.dtype,
+                bias_init=nn.initializers.constant(-4.595),
+                name="enc_cls_head",
+            )
+            enc_fc1 = nn.Dense(self.embed_dims, dtype=self.dtype,
+                               name="enc_box_fc1")
+            enc_fc2 = nn.Dense(self.embed_dims, dtype=self.dtype,
+                               name="enc_box_fc2")
+            enc_out4 = nn.Dense(4, dtype=self.dtype, name="enc_box_out")
+            pos_trans = nn.Dense(self.embed_dims * 2, dtype=self.dtype,
+                                 name="pos_trans")
+            pos_trans_norm = nn.LayerNorm(dtype=self.dtype,
+                                          name="pos_trans_norm")
+        else:
+            query_embed = self.param(
+                "query_embed", nn.initializers.normal(1.0),
+                (self.num_queries, self.embed_dims * 2), jnp.float32,
+            )
+            ref_proj = nn.Dense(2, dtype=self.dtype, name="reference_points")
+            qpos0 = query_embed[:, : self.embed_dims].astype(self.dtype)
+            tgt00 = query_embed[:, self.embed_dims :].astype(self.dtype)
+            qref0 = jax.nn.sigmoid(
+                ref_proj(qpos0).astype(jnp.float32))  # (Q, 2)
+
+        def proposal_pos_embed(props):
+            """Sine embedding of a (Q, 4) normalized box, matching the
+            reference ``get_proposal_pos_embed`` (embed_dims//2 per
+            coordinate, temperature 10000)."""
+            half = self.embed_dims // 2
+            dim_t = jnp.arange(half // 2, dtype=jnp.float32)
+            dim_t = 10000.0 ** (2 * (dim_t // 2) / (half // 2))
+            x = props[:, :, None] * 2 * np.pi / dim_t[None, None, :]
+            emb = jnp.stack(
+                [jnp.sin(x[:, :, 0::2]), jnp.cos(x[:, :, 1::2])], axis=-1
+            ).reshape(props.shape[0], -1)
+            return emb  # (Q, 4 * half/2 * 2) = (Q, 2*embed)
 
         def single(tokens_i):
             mem = tokens_i
             for layer in enc_layers:
                 mem = layer(mem, pos, spatial_shapes, enc_refs)
-            tgt = tgt0
-            outs_cls, outs_box = [], []
-            for layer in dec_layers:
-                tgt = layer(tgt, qpos, mem, spatial_shapes, qref)
-                cls = cls_head(tgt).astype(jnp.float32)
-                delta = box_out(
-                    nn.relu(box_fc2(nn.relu(box_fc1(tgt))))
+
+            enc_extra = None
+            if self.as_two_stage:
+                memp = enc_norm(enc_proj(mem))
+                enc_cls = enc_cls_head(memp).astype(jnp.float32)  # (S, C)
+                enc_delta = enc_out4(
+                    nn.relu(enc_fc2(nn.relu(enc_fc1(memp))))
                 ).astype(jnp.float32)
-                xy = jax.nn.sigmoid(
-                    delta[:, :2] + inverse_sigmoid(qref)
-                )
-                wh = jax.nn.sigmoid(delta[:, 2:])
+                props = jax.nn.sigmoid(enc_delta + inverse_sigmoid(base4))
+                # reference: top-k by class-0 logit
+                _, topk = jax.lax.top_k(enc_cls[:, 0], self.num_queries)
+                sel = jax.lax.stop_gradient(props[topk])  # (Q, 4)
+                qref = sel
+                pe = proposal_pos_embed(sel.astype(jnp.float32))
+                qmix = pos_trans_norm(pos_trans(pe.astype(self.dtype)))
+                qpos = qmix[:, : self.embed_dims]
+                tgt = qmix[:, self.embed_dims:]
+                enc_extra = (enc_cls[topk], props[topk])
+            else:
+                qref = qref0
+                qpos, tgt = qpos0, tgt00
+
+            outs_cls, outs_box = [], []
+            for li, layer in enumerate(dec_layers):
+                tgt = layer(tgt, qpos, mem, spatial_shapes, qref)
+                cls_h, box_fn = heads[li if n_heads > 1 else 0]
+                cls = cls_h(tgt).astype(jnp.float32)
+                delta = box_fn(tgt)
+                inv = inverse_sigmoid(qref)
+                xy = jax.nn.sigmoid(delta[:, :2] + inv[:, :2])
+                if qref.shape[-1] == 4:
+                    wh = jax.nn.sigmoid(delta[:, 2:] + inv[:, 2:])
+                else:
+                    wh = jax.nn.sigmoid(delta[:, 2:])
+                box = jnp.concatenate([xy, wh], axis=-1)
                 outs_cls.append(cls)
-                outs_box.append(jnp.concatenate([xy, wh], axis=-1))
+                outs_box.append(box)
+                if self.with_box_refine or self.as_two_stage:
+                    # detached iterative refinement (reference decoder
+                    # ``reference_points = new_reference_points.detach()``)
+                    qref = jax.lax.stop_gradient(
+                        box if qref.shape[-1] == 4 else xy)
+            if enc_extra is not None:
+                # the encoder stage joins as the first (aux) layer of the
+                # loss stack (mmdet weights enc losses like aux losses)
+                outs_cls = [enc_extra[0]] + outs_cls
+                outs_box = [enc_extra[1]] + outs_box
             return jnp.stack(outs_cls), jnp.stack(outs_box)
 
         cls_all, box_all = jax.vmap(single)(src)

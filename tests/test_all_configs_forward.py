@@ -176,7 +176,7 @@ def shrink_any(mc):
             sh["conv_out_channels"] = 32
             sh["num_convs"] = 1
         tc = mc.get("train_cfg") or {}
-        if "rpn_proposal" in tc:
+        if tc.get("rpn_proposal") is not None:
             tc["rpn_proposal"].update(nms_pre=64, max_per_img=32)
         rcnn = tc.get("rcnn")
         if rcnn is not None:
@@ -184,7 +184,7 @@ def shrink_any(mc):
                 if "sampler" in rc:
                     rc["sampler"]["num"] = 16
         tec = mc.get("test_cfg") or {}
-        if "rpn" in tec:
+        if tec.get("rpn") is not None:
             tec["rpn"].update(nms_pre=48, max_per_img=16)
     else:
         tec = mc.get("test_cfg")
@@ -222,6 +222,30 @@ def _num_classes(mc):
     return 4
 
 
+# distinct shrunk graphs already forwarded this session: depth/schedule/
+# pretrain-only variants shrink to byte-identical tiny models, so one
+# forward covers them all; the rest of the test (load+build) still runs
+# per config
+_FORWARDED_GRAPHS = set()
+
+
+def _graph_key(mc):
+    import copy
+    import json
+
+    def strip(d):
+        # init_cfg / pretrained name checkpoint files; they do not change
+        # the built graph (loading is a separate, separately-tested step)
+        if isinstance(d, dict):
+            return {k: strip(v) for k, v in d.items()
+                    if k not in ("init_cfg", "pretrained")}
+        if isinstance(d, (list, tuple)):
+            return [strip(v) for v in d]
+        return d
+
+    return json.dumps(strip(copy.deepcopy(mc)), sort_keys=True, default=repr)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "cfg_path", ALL_CONFIGS, ids=[os.path.basename(c) for c in ALL_CONFIGS])
@@ -236,7 +260,11 @@ def test_every_config_forwards(cfg_path):
     mc = shrink_any(cfg.model.to_dict())
     _per_config_tweaks(cfg_path, mc)
     nc = _num_classes(mc)
+    key = _graph_key(mc)
     det = build_detector(mc)
+    if key in _FORWARDED_GRAPHS:
+        pytest.skip("identical shrunk graph already forwarded")
+    _FORWARDED_GRAPHS.add(key)
 
     canvas = CANVAS_OVERRIDE.get(cfg_path, CANVAS)
     variables = det.init(jax.random.PRNGKey(0), canvas)

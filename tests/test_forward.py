@@ -970,3 +970,48 @@ def test_fast_rcnn_external_proposals():
         assert np.isfinite(float(val)), (k, float(val))
     dets, labels, valid = det.predict(v, b, anchors, nla)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+@pytest.mark.parametrize("variant", ["refine", "twostage_refine"])
+def test_deformable_detr_refine_variants(variant):
+    """Iterative box refinement + encoder-proposal two-stage (reference
+    deformable_detr_refine / _twostage_refine configs): per-layer heads,
+    detached reference updates, and for two-stage the encoder outputs join
+    the aux-loss stack (one extra layer)."""
+    cfg = load_config(
+        os.path.join(
+            REPO,
+            f"configs/deformable_detr/deformable_detr_{variant}_r50_16x2"
+            "_50e_coco.py",
+        )
+    )
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["neck"].update(in_channels=[16, 32, 64], out_channels=16)
+    mc["bbox_head"].update(num_query=20, num_classes=4, embed_dims=16)
+    mc["bbox_head"]["transformer"].update(
+        num_heads=2, num_encoder_layers=1, num_decoder_layers=2,
+        feedforward_channels=32,
+    )
+    det = build_detector(mc)
+    variables = det.init(jax.random.PRNGKey(0), CANVAS)
+    batch = demo_batch(4)
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch)
+    # refine: 2 decoder layers -> 1 aux set; two-stage adds the enc layer
+    n_aux = 1 if variant == "refine" else 2
+    assert "loss_cls" in losses
+    assert f"loss_cls_aux{n_aux - 1}" in losses
+    assert f"loss_cls_aux{n_aux}" not in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(np.asarray(v))), (k, v)
+
+    # per-layer heads exist (refine deep-copies branches in the reference)
+    params = variables["params"]
+    assert "cls_head_0" in params and "cls_head_1" in params
+    if variant == "twostage_refine":
+        assert "enc_cls_head" in params
+        assert "query_embed" not in params  # queries come from proposals
+
+    dets, labels, valid = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
