@@ -583,6 +583,11 @@ def build_rpn(cfg: Dict[str, Any], train_cfg: Dict[str, Any], dtype=jnp.float32)
             smooth_l1_beta=cfg.get("loss_bbox", {}).get("beta", 1.0 / 9.0),
             loss_cls_weight=cfg.get("loss_cls", {}).get("loss_weight", 1.0),
             loss_bbox_weight=cfg.get("loss_bbox", {}).get("loss_weight", 1.0),
+            loss_cls_type=("focal"
+                           if cfg.get("loss_cls", {}).get("type")
+                           == "FocalLoss" else "bce"),
+            focal_gamma=cfg.get("loss_cls", {}).get("gamma", 2.0),
+            focal_alpha=cfg.get("loss_cls", {}).get("alpha", 0.25),
         )
         return module, head_cfg, "rpn", ag
     raise KeyError(t)

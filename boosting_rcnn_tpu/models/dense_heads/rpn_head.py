@@ -63,6 +63,11 @@ class RPNCfg:
     smooth_l1_beta: float = 1.0 / 9.0
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
+    # the fork's ensemble cascade_retinanet configs train the RPN
+    # objectness with a focal loss (reference configs/ensemble/*)
+    loss_cls_type: str = "bce"  # 'bce' | 'focal'
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
 
 
 def rpn_loss(
@@ -106,15 +111,28 @@ def rpn_loss(
     if axis_name is not None:
         num_total = jnp.maximum(jax.lax.pmean(jnp.sum(w), axis_name), 1.0)
 
-    loss_cls = (
-        L.binary_cross_entropy_loss(
-            cls_logits.reshape(-1),
-            pos.reshape(-1).astype(jnp.float32),
-            weight=w.reshape(-1),
-            avg_factor=num_total,
+    if cfg.loss_cls_type == "focal":
+        loss_cls = (
+            L.sigmoid_focal_loss(
+                cls_logits.reshape(-1, 1),
+                pos.reshape(-1, 1).astype(jnp.float32),
+                gamma=cfg.focal_gamma,
+                alpha=cfg.focal_alpha,
+                weight=w.reshape(-1, 1),
+                avg_factor=num_total,
+            )
+            * cfg.loss_cls_weight
         )
-        * cfg.loss_cls_weight
-    )
+    else:
+        loss_cls = (
+            L.binary_cross_entropy_loss(
+                cls_logits.reshape(-1),
+                pos.reshape(-1).astype(jnp.float32),
+                weight=w.reshape(-1),
+                avg_factor=num_total,
+            )
+            * cfg.loss_cls_weight
+        )
     posf = pos.reshape(-1, 1).astype(jnp.float32)
     loss_bbox = (
         L.smooth_l1_loss(
