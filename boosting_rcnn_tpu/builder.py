@@ -2176,7 +2176,19 @@ def build_detector(
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend", "GridRCNN", "FastRCNN"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
-        neck = build_neck(model_cfg["neck"], dtype=dtype)
+        if model_cfg.get("neck"):
+            neck = build_neck(model_cfg["neck"], dtype=dtype)
+        else:
+            # neck-less C4/DC5 variants (reference
+            # faster_rcnn_r50_caffe_c4/dc5): the single backbone map feeds
+            # RPN and RoI directly
+            from flax import linen as _nn
+
+            class _IdentityNeck(_nn.Module):
+                def __call__(self, x):
+                    return x
+
+            neck = _IdentityNeck()
         rpn_head_cfg = model_cfg.get("rpn_head")
         if rpn_head_cfg is None:  # FastRCNN: external proposals, no RPN
             rpn_head_cfg = {
@@ -2192,7 +2204,31 @@ def build_detector(
             rpn_head_cfg, train_cfg.get("rpn", {}), dtype=dtype
         )
         roi = model_cfg["roi_head"]
-        bbox_module, bbox_cfg = build_bbox_head(roi["bbox_head"], dtype=dtype)
+        if roi.get("shared_head"):
+            # C4: shared res5 head + avg-pool bbox head (reference
+            # ``roi_heads/shared_heads/res_layer.py``)
+            from .models.detectors.trident import Res5BBoxHead
+
+            bhc = roi["bbox_head"]
+            means, stds = _coder_params(bhc.get("bbox_coder", {}))
+            bbox_module = Res5BBoxHead(
+                num_classes=bhc.get("num_classes", 80),
+                reg_class_agnostic=bhc.get("reg_class_agnostic", False),
+                style=roi["shared_head"].get("style", "pytorch"),
+                dtype=dtype,
+            )
+            bbox_cfg = BBoxHeadCfg(
+                num_classes=bhc.get("num_classes", 80),
+                target_means=means,
+                target_stds=stds,
+                reg_class_agnostic=bhc.get("reg_class_agnostic", False),
+                loss_bbox_weight=bhc.get("loss_bbox", {}).get(
+                    "loss_weight", 1.0),
+                smooth_l1_beta=bhc.get("loss_bbox", {}).get("beta", 1.0),
+            )
+        else:
+            bbox_module, bbox_cfg = build_bbox_head(
+                roi["bbox_head"], dtype=dtype)
         if roi.get("type") == "DynamicRoIHead":
             # Dynamic R-CNN (reference configs/dynamic_rcnn): working
             # iou_thr/beta live in the head's batch_stats

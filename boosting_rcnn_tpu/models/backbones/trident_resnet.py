@@ -28,15 +28,18 @@ C4_BLOCKS = {50: (3, 4, 6), 101: (3, 4, 23)}
 class _Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    style: str = "pytorch"  # 'caffe': stride on conv1 (C4 caffe configs)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.planes * 4
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        c1s = self.stride if self.style == "caffe" else 1
+        c2s = 1 if self.style == "caffe" else self.stride
+        y = nn.Conv(self.planes, (1, 1), (c1s,) * 2, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(y))
-        y = nn.Conv(self.planes, (3, 3), (self.stride,) * 2,
+        y = nn.Conv(self.planes, (3, 3), (c2s,) * 2,
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn2")(y))

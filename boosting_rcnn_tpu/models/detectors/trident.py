@@ -29,6 +29,7 @@ class Res5BBoxHead(nn.Module):
     num_blocks: int = 3
     reg_class_agnostic: bool = False
     with_reg: bool = True
+    style: str = "pytorch"  # res5 stride placement (C4 caffe configs)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -37,7 +38,8 @@ class Res5BBoxHead(nn.Module):
 
         for b in range(self.num_blocks):
             x = _Bottleneck(self.base_planes, stride=2 if b == 0 else 1,
-                            dtype=self.dtype, name=f"res5_{b}")(x)
+                            style=self.style, dtype=self.dtype,
+                            name=f"res5_{b}")(x)
         x = x.mean(axis=(1, 2))
         cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                        name="fc_cls")(x)
