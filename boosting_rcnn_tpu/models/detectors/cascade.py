@@ -48,6 +48,11 @@ class CascadeNet(nn.Module):
     def rpn_out(self, feats):
         return self.rpn(feats)
 
+    def seesaw_counts(self, labels, weights, stage: int):
+        """Per-stage Seesaw cumulative class counts (each cascade stage's
+        SeesawLoss keeps its own ``cum_samples`` in the reference)."""
+        return self.bbox_heads[stage].update_seesaw_counts(labels, weights)
+
     def roi_out(self, feats, rois, roi_valid, stage: int):
         b, r, _ = rois.shape
         pooled = jax.vmap(
@@ -75,6 +80,24 @@ class CascadeDetector(TwoStageDetector):
     def __init__(self, *args, cascade_cfg: CascadeCfg = CascadeCfg(), **kwargs):
         super().__init__(*args, **kwargs)
         self.cascade_cfg = cascade_cfg
+
+    def _stage_seesaw_counts(self, variables, flat, stage: int):
+        """Per-stage Seesaw count update/fetch (mirrors
+        ``TwoStageDetector._seesaw_counts``: mutable under the train step's
+        _MutableNet shim, pure fetch in a direct ``loss`` call)."""
+        if getattr(self.bbox_cfg, "loss_cls_type", "ce") != "seesaw":
+            return None
+        labels = jnp.where(
+            flat.is_pos, flat.matched_label, self.bbox_cfg.num_classes)
+        w = flat.valid.astype(jnp.float32)
+        if hasattr(self.net, "_net"):  # _MutableNet shim (train step)
+            return self.net.apply(
+                variables, labels, w, stage, method="seesaw_counts")
+        counts, _upd = self.net.apply(
+            variables, labels, w, stage, method="seesaw_counts",
+            mutable=["batch_stats"],
+        )
+        return counts
 
     def loss(
         self,
@@ -142,7 +165,11 @@ class CascadeDetector(TwoStageDetector):
             )
             flat = RoISample(*[x.reshape((-1,) + x.shape[2:]) for x in sample])
             losses.update(
-                cascade_stage_loss(cc, self.bbox_cfg, stage, cls_s, reg_s, flat)
+                cascade_stage_loss(
+                    cc, self.bbox_cfg, stage, cls_s, reg_s, flat,
+                    seesaw_counts=self._stage_seesaw_counts(
+                        variables, flat, stage),
+                )
             )
             if stage < cc.num_stages - 1:
                 # refine sampled boxes into next-stage proposals (gt rows

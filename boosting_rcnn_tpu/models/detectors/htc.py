@@ -71,6 +71,11 @@ class HTCNet(nn.Module):
     def semantic_out(self, feats):
         return self.semantic_head(feats)
 
+    def seesaw_counts(self, labels, weights, stage: int):
+        """Per-stage Seesaw cumulative class counts (the LVIS cascade
+        seesaw configs)."""
+        return self.bbox_heads[stage].update_seesaw_counts(labels, weights)
+
     def _pool(self, feats, rois, roi_valid, out_size):
         b, r, _ = rois.shape
         pooled = jax.vmap(
@@ -243,7 +248,11 @@ class HTCDetector(CascadeDetector):
             )
             flat = RoISample(*[x.reshape((-1,) + x.shape[2:]) for x in sample])
             losses.update(
-                cascade_stage_loss(cc, self.bbox_cfg, stage, cls_s, reg_s, flat)
+                cascade_stage_loss(
+                    cc, self.bbox_cfg, stage, cls_s, reg_s, flat,
+                    seesaw_counts=self._stage_seesaw_counts(
+                        variables, flat, stage),
+                )
             )
 
             # interleaved: refine -> re-sample -> mask branch on the refined

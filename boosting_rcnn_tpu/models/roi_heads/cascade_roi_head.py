@@ -113,6 +113,7 @@ def cascade_stage_loss(
     cls_score: jnp.ndarray,  # (R_total, C+1) flattened over batch
     bbox_pred: jnp.ndarray,
     sample: RoISample,  # flattened
+    seesaw_counts=None,  # per-stage cumulative class counts (Seesaw)
 ):
     hc = stage_head_cfg(head_cfg, stage)
     labels, label_w, bbox_t, bbox_w = bbox_targets(
@@ -127,7 +128,7 @@ def cascade_stage_loss(
     validf = sample.valid.astype(jnp.float32)
     raw = bbox_head_loss(
         hc, cls_score, bbox_pred, sample.boxes, labels, label_w, bbox_t,
-        bbox_w, reduction_override="none",
+        bbox_w, reduction_override="none", seesaw_counts=seesaw_counts,
     )
     if cas_cfg.boost:
         lw = (1.0 - sample.prior) ** cas_cfg.gamma * validf

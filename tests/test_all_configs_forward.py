@@ -39,9 +39,23 @@ SKIP = {
     "configs/wider_face/ssd300_wider_face.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
     "configs/deformable_detr/deformable_detr_r50_16x2_50e_coco.py":
         "transformer dims need a coupled shrink (test_forward.py::test_deformable_detr_forward)",
+    "configs/deformable_detr/deformable_detr_refine_r50_16x2_50e_coco.py":
+        "coupled shrink (test_forward.py::test_deformable_detr_refine_variants)",
+    "configs/deformable_detr/deformable_detr_twostage_refine_r50_16x2_50e_coco.py":
+        "coupled shrink (test_forward.py::test_deformable_detr_refine_variants)",
     "configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py":
         "DII-head dims need a coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
+    "configs/sparse_rcnn/sparse_rcnn_r50_fpn_mstrain_480-800_3x_coco.py":
+        "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
+    "configs/sparse_rcnn/sparse_rcnn_r101_fpn_mstrain_480-800_3x_coco.py":
+        "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
+    "configs/sparse_rcnn/sparse_rcnn_r50_fpn_300_proposals_crop_mstrain_480-800_3x_coco.py":
+        "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
     "configs/yolact/yolact_r50_1x8_coco.py":
+        "550-square geometry assumptions (test_yolact.py)",
+    "configs/yolact/yolact_r101_1x8_coco.py":
+        "550-square geometry assumptions (test_yolact.py)",
+    "configs/yolact/yolact_r50_8x8_coco.py":
         "550-square geometry assumptions (test_yolact.py)",
 }
 
@@ -267,6 +281,9 @@ def test_every_config_forwards(cfg_path):
     _FORWARDED_GRAPHS.add(key)
 
     canvas = CANVAS_OVERRIDE.get(cfg_path, CANVAS)
+    if mc.get("backbone", {}).get("type") == "HRNet":
+        # HRFPN pooling arithmetic needs a stride-64-divisible canvas
+        canvas = (128, 128)
     variables = det.init(jax.random.PRNGKey(0), canvas)
     pack, nlp = det.anchors_for(canvas)
 
