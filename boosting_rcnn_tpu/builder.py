@@ -1336,6 +1336,7 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
             conv_channels=mh.get("conv_out_channels", 256),
             with_conv_res=(mh.get("with_conv_res", True) and mask_info_flow
                            and mh.get("type", "HTCMaskHead") == "HTCMaskHead"),
+            predictor_cfg=mh.get("predictor_cfg"),
             dtype=dtype,
         )
         for mh in mask_list
@@ -2287,6 +2288,7 @@ def build_detector(
                 num_convs=mh.get("num_convs", 4),
                 conv_channels=mh.get("conv_out_channels", 256),
                 norm_cfg=mh.get("norm_cfg"),
+                predictor_cfg=mh.get("predictor_cfg"),
                 dtype=dtype,
             )
             if roi.get("mask_iou_head") or t == "MaskScoringRCNN":

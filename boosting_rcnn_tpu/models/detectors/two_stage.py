@@ -938,6 +938,21 @@ class RPNDetector(TwoStageDetector):
                 batch["gt_bboxes"], batch["gt_mask"],
                 num_level_anchors, axis_name=axis_name,
             )
+        if self.rpn_type == "ga_rpn":
+            # GA-RPN (reference configs/guided_anchoring/ga_rpn_*): the
+            # guided-anchor loss state is populated by _rpn_flat
+            from ..dense_heads.guided_anchor_head import (
+                approx_anchors,
+                ga_rpn_loss,
+            )
+
+            approxs = approx_anchors(self.rpn_cfg, self._ga_featmap_sizes)
+            return ga_rpn_loss(
+                self.rpn_cfg, cls, reg, self._ga_shapes, self._ga_locs,
+                anchors, approxs, self._ga_featmap_sizes,
+                batch["gt_bboxes"], batch["gt_mask"], rng=rng,
+                axis_name=axis_name,
+            )
         return rpn_loss(
             self.rpn_cfg, cls, reg, anchors, valid,
             batch["gt_bboxes"], batch["gt_mask"], rng=rng,

@@ -22,11 +22,37 @@ from flax import linen as nn
 from ...ops import losses as L
 
 
+class _NormedConv1x1(nn.Module):
+    """Weight- and feature-normalized 1x1 conv with temperature (reference
+    mmdet ``NormedConv2d``, the seesaw_loss *_normed_mask configs).  The
+    parameter keeps nn.Conv's ``kernel`` name/shape for the converter."""
+
+    features: int
+    temperature: float = 20.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, cin, self.features), jnp.float32)
+        wn = w / (jnp.sqrt(jnp.sum(w ** 2, axis=(0, 1, 2),
+                                   keepdims=True)) + 1e-6)
+        xn = x / (jnp.sqrt(jnp.sum(
+            x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)) + 1e-6
+        ).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            xn, wn.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return self.temperature * y
+
+
 class FCNMaskHead(nn.Module):
     num_classes: int = 80
     num_convs: int = 4
     conv_channels: int = 256
     norm_cfg: Any = None  # e.g. GN (configs/gn) / SyncBN (strong_baselines)
+    predictor_cfg: Any = None  # dict(type='NormedConv2d', tempearture=20)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,6 +77,14 @@ class FCNMaskHead(nn.Module):
             name="upsample",
         )(x)
         x = nn.relu(x)
+        if (self.predictor_cfg or {}).get("type") == "NormedConv2d":
+            return _NormedConv1x1(
+                self.num_classes,
+                # the reference config key is (sic) 'tempearture'
+                temperature=self.predictor_cfg.get(
+                    "tempearture", self.predictor_cfg.get("temperature", 20)),
+                dtype=self.dtype, name="conv_logits",
+            )(x).astype(jnp.float32)
         return nn.Conv(
             self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits"
         )(x).astype(jnp.float32)
@@ -65,6 +99,7 @@ class HTCMaskHead(nn.Module):
     num_convs: int = 4
     conv_channels: int = 256
     with_conv_res: bool = True
+    predictor_cfg: Any = None  # NormedConv2d (seesaw normed_mask configs)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,9 +128,19 @@ class HTCMaskHead(nn.Module):
                 name="upsample",
             )(x)
             y = nn.relu(y)
-            logits = nn.Conv(
-                self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits"
-            )(y).astype(jnp.float32)
+            if (self.predictor_cfg or {}).get("type") == "NormedConv2d":
+                logits = _NormedConv1x1(
+                    self.num_classes,
+                    temperature=self.predictor_cfg.get(
+                        "tempearture",
+                        self.predictor_cfg.get("temperature", 20)),
+                    dtype=self.dtype, name="conv_logits",
+                )(y).astype(jnp.float32)
+            else:
+                logits = nn.Conv(
+                    self.num_classes, (1, 1), dtype=self.dtype,
+                    name="conv_logits",
+                )(y).astype(jnp.float32)
             outs.append(logits)
         if return_feat:
             outs.append(feat)

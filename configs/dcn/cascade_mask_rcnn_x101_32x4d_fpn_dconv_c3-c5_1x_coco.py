@@ -1,0 +1,22 @@
+# Reference configs/dcn/cascade_mask_rcnn_x101_32x4d_fpn_dconv_c3-c5_1x_coco.
+_base_ = "./cascade_mask_rcnn_r50_fpn_dconv_c3-c5_1x_coco.py"
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="ResNeXt",
+        depth=101,
+        num_stages=4,
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1,
+        groups=32,
+        base_width=4,
+        norm_eval=True,
+        init_cfg=dict(
+            type="Pretrained",
+            checkpoint="open-mmlab://resnext101_32x4d",
+        ),
+        dcn=dict(type="DCN", deform_groups=1,
+                 fallback_on_stride=False),
+        stage_with_dcn=(False, True, True, True),
+    ),
+)

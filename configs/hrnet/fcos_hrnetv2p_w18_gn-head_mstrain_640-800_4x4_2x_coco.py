@@ -1,0 +1,3 @@
+# Reference configs/hrnet/fcos_hrnetv2p_w18_gn-head_mstrain_640-800_4x4_2x_coco.
+_base_ = "./fcos_hrnetv2p_w18_gn-head_4x4_2x_coco.py"
+data = dict(train=dict(pipeline=dict(mstrain_range=(640, 800))))

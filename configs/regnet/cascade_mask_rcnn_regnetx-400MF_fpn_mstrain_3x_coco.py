@@ -1,0 +1,17 @@
+# Reference configs/regnet/cascade_mask_rcnn_regnetx-400MF_fpn_mstrain_3x_coco.
+_base_ = "../cascade_rcnn/cascade_mask_rcnn_r50_fpn_mstrain_3x_coco.py"
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="RegNet",
+        arch="regnetx_400mf",
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1,
+        norm_eval=True,
+        init_cfg=dict(
+            type="Pretrained",
+            checkpoint="open-mmlab://regnetx_400mf",
+        ),
+    ),
+    neck=dict(in_channels=[32, 64, 160, 384]),
+)

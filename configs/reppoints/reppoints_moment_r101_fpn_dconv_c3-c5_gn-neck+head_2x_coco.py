@@ -1,0 +1,8 @@
+# Reference configs/reppoints/reppoints_moment_r101_fpn_dconv_c3-c5_gn-neck+head_2x_coco.
+_base_ = "./reppoints_moment_r101_fpn_gn-neck+head_2x_coco.py"
+model = dict(
+    backbone=dict(
+        dcn=dict(type="DCN", deform_groups=1, fallback_on_stride=False),
+        stage_with_dcn=(False, True, True, True),
+    )
+)

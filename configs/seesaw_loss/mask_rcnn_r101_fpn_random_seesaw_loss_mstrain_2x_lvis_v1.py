@@ -1,0 +1,11 @@
+# Reference configs/seesaw_loss/mask_rcnn_r101_fpn_random_seesaw_loss_mstrain_2x_lvis_v1.
+_base_ = "./mask_rcnn_r50_fpn_seesaw_loss_random_2x_lvis_v1.py"
+data = dict(train=dict(pipeline=dict(mstrain_range=(640, 800))))
+model = dict(
+    backbone=dict(
+        depth=101,
+        init_cfg=dict(
+            type="Pretrained", checkpoint="torchvision://resnet101"
+        ),
+    ),
+)
