@@ -321,6 +321,15 @@ def build_neck(cfg: Dict[str, Any], dtype=jnp.float32):
             fpt_rendering=cfg.get("fpt_rendering", True),
             dtype=dtype,
         )
+    if t == "FPT_lite":
+        from .models.necks.fpt import FPTLite
+
+        return FPTLite(
+            out_channels=cfg.get("out_channels", 256),
+            num_outs=cfg.get("num_outs", 5),
+            start_level=cfg.get("start_level", 0),
+            dtype=dtype,
+        )
     if t == "NASFCOS_FPN":
         from .models.dense_heads.nasfcos import NASFCOSFPN
 
@@ -2908,7 +2917,17 @@ def build_rpn_detector(model_cfg: Dict[str, Any], dtype=jnp.float32):
     train_cfg = model_cfg.get("train_cfg") or {}
     test_cfg = model_cfg.get("test_cfg") or {}
     backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
-    neck = build_neck(model_cfg["neck"], dtype=dtype)
+    if model_cfg.get("neck"):
+        neck = build_neck(model_cfg["neck"], dtype=dtype)
+    else:
+        # RPN over a neck-less single-level backbone (rpn_r50_caffe_c4)
+        from flax import linen as _nn
+
+        class _IdentityNeck(_nn.Module):
+            def __call__(self, x):
+                return x
+
+        neck = _IdentityNeck()
     rpn_module, rpn_cfg, rpn_type, ag = build_rpn(
         model_cfg["rpn_head"], train_cfg.get("rpn", {}), dtype=dtype
     )

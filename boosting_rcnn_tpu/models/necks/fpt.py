@@ -162,3 +162,66 @@ class FPT(nn.Module):
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return tuple(outs)
+
+
+class _GroundTransLite(nn.Module):
+    """The lite grounding block (reference ``GroundTrans_lite:525``): a
+    pre-norm cross-attention (lateral queries into top tokens) + FFN.
+    Faithfully reproduces the fork's residual quirk — both residual adds
+    reuse the block output instead of its input (``x_lateral_2 +
+    dropout1(x_lateral_2)``), so the carried signal is 2x the attention
+    output, not input + attention."""
+
+    dim: int
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_lat, x_top):
+        b, h, w, c = x_lat.shape
+        lat = x_lat.reshape(b, h * w, c)
+        top = x_top.reshape(b, -1, c)
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        q = norm1(lat)
+        kv = norm1(top)
+        a = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(q, kv, kv)
+        x = a + a
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="linear2")(nn.relu(y))
+        out = y + y
+        return out.reshape(b, h, w, c)
+
+
+class FPTLite(nn.Module):
+    """FPT_lite (reference ``fpt.py:583``): an FPN whose top-down addition
+    is replaced by the lite grounding cross-attention at full width."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        used = list(inputs[self.start_level:])
+        n = len(used)
+        lats = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(x)
+            for i, x in enumerate(used)
+        ]
+        for i in range(n - 1, 0, -1):
+            lats[i - 1] = _GroundTransLite(
+                self.out_channels, dtype=self.dtype, name=f"gt_{i - 1}"
+            )(lats[i - 1], lats[i])
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"fpn_conv_{i}")(t)
+            for i, t in enumerate(lats)
+        ]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)

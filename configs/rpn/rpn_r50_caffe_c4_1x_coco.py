@@ -1,0 +1,17 @@
+# Reference configs/rpn/rpn_r50_caffe_c4_1x_coco (RPN over the C4 backbone).
+_base_ = [
+    "../_base_/models/faster_rcnn_r50_caffe_c4.py",
+    "../_base_/datasets/coco_detection.py",
+    "../_base_/default_runtime.py",
+    "../_base_/schedules/schedule_1x.py",
+]
+model = dict(type="RPN", roi_head=None)
+caffe_img_norm = dict(
+    mean=[103.530, 116.280, 123.675], std=[1.0, 1.0, 1.0], to_rgb=False
+)
+data = dict(
+    train=dict(pipeline=dict(img_norm=caffe_img_norm)),
+    val=dict(pipeline=dict(img_norm=caffe_img_norm)),
+    test=dict(pipeline=dict(img_norm=caffe_img_norm)),
+)
+evaluation = dict(metric="proposal_fast")

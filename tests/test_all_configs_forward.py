@@ -165,7 +165,7 @@ def shrink_any(mc):
                     h[ck] = 32
             if "stacked_convs" in h and isinstance(h["stacked_convs"], int):
                 h["stacked_convs"] = min(h["stacked_convs"], 2)
-    if "roi_head" in mc:
+    if mc.get("roi_head") is not None:
         bh = mc["roi_head"].get("bbox_head")
         heads = bh if isinstance(bh, list) else ([bh] if bh else [])
         for h in heads:
@@ -211,7 +211,7 @@ def shrink_any(mc):
 
 
 def _num_classes(mc):
-    if "roi_head" in mc and mc["roi_head"].get("bbox_head"):
+    if mc.get("roi_head") and mc["roi_head"].get("bbox_head"):
         bh = mc["roi_head"]["bbox_head"]
         h = bh[0] if isinstance(bh, list) else bh
         nc = h.get("num_classes", 80)
