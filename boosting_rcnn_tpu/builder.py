@@ -2316,6 +2316,23 @@ def build_detector(
         extractor = roi.get("bbox_roi_extractor", {})
         strides = tuple(extractor.get("featmap_strides", (8, 16, 32, 64, 128)))
         roi_layer = extractor.get("roi_layer", {})
+        deform_pool_module = None
+        if roi_layer.get("type") in ("DeformRoIPoolPack",
+                                     "ModulatedDeformRoIPoolPack"):
+            from .models.roi_heads.deform_roi_pool_pack import (
+                DeformRoIPoolPack,
+            )
+
+            deform_pool_module = DeformRoIPoolPack(
+                out_size=roi_layer.get("output_size", 7),
+                strides=strides,
+                deform_fc_channels=roi_layer.get("deform_fc_channels", 1024),
+                gamma=roi_layer.get("gamma", 0.1),
+                modulated=roi_layer.get("type")
+                == "ModulatedDeformRoIPoolPack",
+                finest_scale=extractor.get("finest_scale", 56),
+                dtype=dtype,
+            )
         mask_extractor = roi.get("mask_roi_extractor", {})
         net = TwoStageNet(
             backbone=backbone,
@@ -2326,6 +2343,7 @@ def build_detector(
             mask_iou_head=mask_iou_module,
             point_head=point_module,
             grid_head=grid_module,
+            roi_deform_pool=deform_pool_module,
             bridge=(t == "ProbTwoStage")
             or (model_cfg.get("rpn_head") or {}).get("bridge", False),
             roi_strides=strides,

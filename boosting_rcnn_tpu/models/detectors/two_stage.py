@@ -78,6 +78,9 @@ class TwoStageNet(nn.Module):
     mask_iou_head: Optional[nn.Module] = None
     point_head: Optional[nn.Module] = None  # PointRend refinement MLP
     grid_head: Optional[nn.Module] = None  # Grid R-CNN grid-point branch
+    # deformable RoI pooling (configs/dcn dpool/mdpool): replaces the
+    # RoIAlign extraction with DeformRoIPoolPack
+    roi_deform_pool: Optional[nn.Module] = None
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
@@ -148,6 +151,10 @@ class TwoStageNet(nn.Module):
             )(feats, rois, roi_valid)
             pooled = pooled.reshape(
                 b * r, self.roi_out_size, self.roi_out_size, -1)
+            cls, reg = self.bbox_head(pooled)
+            return cls, reg
+        if self.roi_deform_pool is not None:
+            pooled = self.roi_deform_pool(feats, rois, roi_valid)
             cls, reg = self.bbox_head(pooled)
             return cls, reg
         align = self._roi_align_fn(inference)
