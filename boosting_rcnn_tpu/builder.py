@@ -846,7 +846,20 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
     rpn_prop = train_cfg.get("rpn_proposal", {})
     rpn_test = test_cfg.get("rpn", {})
     rcnn_test = test_cfg.get("rcnn", {})
-    return CascadeDetector(
+    det_cls = CascadeDetector
+    det_kwargs = {}
+    if head_cfgs_list[0].get("type") == "SABLHead":
+        # SABL cascade (configs/sabl/sabl_cascade_rcnn_*): bucketing
+        # stage losses + bucket2bbox between-stage refinement
+        from .models.roi_heads.sabl_head import make_sabl_cascade_class
+
+        coder = head_cfgs_list[0].get("bbox_coder", {})
+        det_cls = make_sabl_cascade_class()
+        det_kwargs = dict(
+            num_buckets=coder.get("num_buckets", 14),
+            bucket_scale_factor=coder.get("scale_factor", 1.7),
+        )
+    return det_cls(
         net,
         ag,
         rpn_cfg=rpn_cfg,
@@ -871,6 +884,7 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
         ),
         rpn_type=rpn_type,
         cascade_cfg=cascade_cfg,
+        **det_kwargs,
     )
 
 

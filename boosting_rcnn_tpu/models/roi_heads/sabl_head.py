@@ -249,3 +249,148 @@ def make_sabl_detector_class():
             )
 
     return SABLDetector
+
+
+def make_sabl_cascade_class():
+    """Cascade R-CNN with SABL bucketing bbox heads per stage (reference
+    ``configs/sabl/sabl_cascade_rcnn_r50_fpn_1x_coco.py``): each stage's
+    loss is the SABL bucketing loss, between-stage refinement decodes via
+    ``bucket2bbox`` (detached), inference averages stage cls scores and
+    decodes the last stage's buckets with bucket-confidence score factors."""
+    import dataclasses as _dc
+
+    from ..detectors.cascade import CascadeDetector, CascadeNet
+    from .prob_roi_head import RoISample, sample_rois
+
+    class SABLCascadeDetector(CascadeDetector):
+        def __init__(self, *args, num_buckets: int = 14,
+                     bucket_scale_factor: float = 1.7, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.num_buckets = num_buckets
+            self.bucket_scale_factor = bucket_scale_factor
+            self.side_num = int(math.ceil(num_buckets / 2))
+
+        def _bucket_decode(self, boxes, packed, img_shape):
+            out, confids = bucket2bbox(
+                boxes, packed[:, : 4 * self.side_num],
+                packed[:, 4 * self.side_num:],
+                self.num_buckets, self.bucket_scale_factor,
+                max_shape=img_shape,
+            )
+            return out, confids
+
+        def loss(self, variables, rng, batch, anchors, num_level_anchors,
+                 anchor_valid=None, axis_name=None):
+            from ..dense_heads.atss_rpn_head import atss_rpn_loss
+            from ..dense_heads.rpn_head import rpn_loss
+
+            images = batch["images"]
+            b = images.shape[0]
+            rpn_rng, roi_rng = jax.random.split(rng)
+            feats = self.net.apply(
+                variables, images, method=CascadeNet.features)
+            cls, reg, iou = self._rpn_flat(variables, feats)
+            valid = (anchor_valid if anchor_valid is not None
+                     else jnp.ones((b, anchors.shape[0]), bool))
+            if self.rpn_type == "atss_rpn":
+                losses = atss_rpn_loss(
+                    self.rpn_cfg, cls, reg, iou, anchors, valid,
+                    batch["gt_bboxes"], batch["gt_mask"],
+                    num_level_anchors, axis_name=axis_name)
+            else:
+                losses = rpn_loss(
+                    self.rpn_cfg, cls, reg, anchors, valid,
+                    batch["gt_bboxes"], batch["gt_mask"], rng=rpn_rng,
+                    axis_name=axis_name)
+            prop_boxes, prop_scores, prop_valid = jax.tree.map(
+                jax.lax.stop_gradient,
+                self._proposals(
+                    cls, reg, iou, anchors, num_level_anchors,
+                    batch["img_shape"], self.train_proposal_cfg))
+
+            cc = self.cascade_cfg
+            for stage in range(cc.num_stages):
+                stage_rngs = jax.random.split(
+                    jax.random.fold_in(roi_rng, stage), b)
+                thr = cc.stage_pos_iou[stage]
+                stage_roi_cfg = _dc.replace(
+                    self.roi_cfg, pos_iou_thr=thr, neg_iou_thr=thr,
+                    min_pos_iou=thr)
+                sample: RoISample = jax.vmap(
+                    lambda r_, pb, ps, pv, gb, gm, gl: sample_rois(
+                        stage_roi_cfg, r_, pb, ps, pv, gb, gm, gl)
+                )(stage_rngs, prop_boxes, prop_scores, prop_valid,
+                  batch["gt_bboxes"], batch["gt_mask"], batch["gt_labels"])
+                cls_s, packed = self.net.apply(
+                    variables, feats, sample.boxes, sample.valid,
+                    method=CascadeNet.roi_out, stage=stage)
+                flat = RoISample(
+                    *[x.reshape((-1,) + x.shape[2:]) for x in sample])
+                stage_losses = sabl_roi_loss(
+                    self.bbox_cfg.num_classes, self.side_num,
+                    self.num_buckets, self.bucket_scale_factor,
+                    cls_s, packed, flat)
+                w = cc.stage_loss_weights[stage]
+                losses.update({
+                    f"s{stage}.{k}": w * v for k, v in stage_losses.items()
+                })
+                if stage < cc.num_stages - 1:
+                    r = sample.boxes.shape[1]
+                    pk = jax.lax.stop_gradient(packed).reshape(b, r, -1)
+                    refined, _ = jax.vmap(
+                        lambda bx, p_, shp: self._bucket_decode(bx, p_, shp)
+                    )(sample.boxes, pk, batch["img_shape"])
+                    is_gt_slot = sample.is_pos & (sample.prior == 0.0)
+                    prop_boxes = refined
+                    prop_scores = jnp.where(
+                        sample.is_pos, sample.prior, 1.0 - sample.prior)
+                    prop_valid = sample.valid & ~is_gt_slot
+            return losses
+
+        def predict(self, variables, batch, anchors, num_level_anchors,
+                    rescale: bool = True):
+            from ...ops.nms import multiclass_nms_padded
+
+            images = batch["images"]
+            b = images.shape[0]
+            feats = self.net.apply(
+                variables, images, method=CascadeNet.features)
+            cls, reg, iou = self._rpn_flat(variables, feats)
+            prop_boxes, prop_scores, prop_valid = self._proposals(
+                cls, reg, iou, anchors, num_level_anchors,
+                batch["img_shape"], self.test_proposal_cfg)
+            cc = self.cascade_cfg
+            r = prop_boxes.shape[1]
+            rois = prop_boxes
+            ms_logits = []
+            packed = None
+            for stage in range(cc.num_stages):
+                cls_s, packed = self.net.apply(
+                    variables, feats, rois, prop_valid,
+                    method=CascadeNet.roi_out, stage=stage)
+                cls_s = cls_s.reshape(b, r, -1).astype(jnp.float32)
+                packed = packed.reshape(b, r, -1).astype(jnp.float32)
+                ms_logits.append(cls_s)
+                if stage < cc.num_stages - 1:
+                    rois, _ = jax.vmap(
+                        lambda bx, p_, shp: self._bucket_decode(bx, p_, shp)
+                    )(rois, packed, batch["img_shape"])
+            avg = sum(ms_logits) / float(len(ms_logits))
+            scores = jax.nn.softmax(avg, axis=-1)
+            tc = self.rcnn_test_cfg
+
+            def one(pb, pv, sc, pk, shp, sf):
+                boxes, confids = self._bucket_decode(pb, pk, shp)
+                if rescale:
+                    boxes = boxes / sf[None, :]
+                fg = sc[:, :-1]
+                return multiclass_nms_padded(
+                    boxes, fg, tc.score_thr, tc.nms_iou_thr, tc.max_per_img,
+                    score_factors=confids, valid=pv,
+                    pre_nms_top_k=tc.pre_nms_top_k)
+
+            return jax.vmap(one)(
+                rois, prop_valid, scores, packed,
+                batch["img_shape"], batch["scale_factor"])
+
+    return SABLCascadeDetector
