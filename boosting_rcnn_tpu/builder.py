@@ -1627,6 +1627,8 @@ def build_paa(model_cfg: Dict[str, Any], dtype=jnp.float32):
         target_stds=stds,
         focal_gamma=loss_cls.get("gamma", 2.0),
         focal_alpha=loss_cls.get("alpha", 0.25),
+        loss_cls_type=("qfl" if loss_cls.get("type") == "QualityFocalLoss"
+                       else "focal"),
         loss_cls_weight=loss_cls.get("loss_weight", 1.0),
         loss_bbox_weight=head.get("loss_bbox", {}).get("loss_weight", 1.3),
         loss_iou_weight=head.get("loss_centerness", {}).get(

@@ -35,6 +35,8 @@ class PAACfg:
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
+    # 'focal' | 'qfl' (the paa_qfl config: quality focal with IoU targets)
+    loss_cls_type: str = "focal"
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.3
     loss_iou_weight: float = 0.5
@@ -217,13 +219,6 @@ def paa_loss(
         num_pos = jax.lax.pmean(num_pos, axis_name)
     num_pos = jnp.maximum(num_pos, 1.0)
 
-    onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
-    loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
-        cls_logits.reshape(-1, c), onehot,
-        weight=valid.reshape(-1).astype(jnp.float32),
-        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha, avg_factor=num_pos,
-    )
-
     anchors_b = jnp.broadcast_to(anchors[None], (b, a, 4)).reshape(-1, 4)
     decoded = box_ops.delta2bbox(
         anchors_b, bbox_preds.reshape(-1, 4), cfg.target_means,
@@ -234,6 +229,24 @@ def paa_loss(
     iou_t = box_ops.bbox_overlaps_aligned(
         jax.lax.stop_gradient(decoded), safe_t
     ) * posf
+
+    if cfg.loss_cls_type == "qfl":
+        # paa_qfl config: quality focal with the decoded-prediction IoU as
+        # the soft target at positives (GFL formulation)
+        loss_cls = cfg.loss_cls_weight * L.quality_focal_loss(
+            cls_logits.reshape(-1, c), labels.reshape(-1),
+            jax.lax.stop_gradient(iou_t),
+            weight=valid.reshape(-1).astype(jnp.float32),
+            beta=cfg.focal_gamma, avg_factor=num_pos,
+        )
+    else:
+        onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
+        loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
+            cls_logits.reshape(-1, c), onehot,
+            weight=valid.reshape(-1).astype(jnp.float32),
+            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha,
+            avg_factor=num_pos,
+        )
     loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
         decoded, jax.lax.stop_gradient(safe_t), weight=posf,
         avg_factor=num_pos,
