@@ -1769,6 +1769,8 @@ def build_reppoints(model_cfg: Dict[str, Any], dtype=jnp.float32):
         num_points=h.get("num_points", 9),
         gradient_mul=h.get("gradient_mul", 0.1),
         num_levels=len(strides),
+        use_grid_points=h.get("use_grid_points", False),
+        point_base_scale=h.get("point_base_scale", 4),
         dtype=dtype,
     )
     init_assigner = (train_cfg.get("init") or {}).get("assigner", {})

@@ -48,6 +48,11 @@ class RepPointsConvs(nn.Module):
     num_points: int = 9
     gradient_mul: float = 0.1
     num_levels: int = 5
+    # reference ``use_grid_points``: the init/refine branches regress a
+    # 4-param box and the point set is a kxk grid over it
+    # (``gen_grid_from_reg``, the bbox_r50_grid configs)
+    use_grid_points: bool = False
+    point_base_scale: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,11 +72,12 @@ class RepPointsConvs(nn.Module):
             for i in range(self.stacked_convs)
         ]
         n2 = self.num_points * 2
+        init_out_ch = 4 if self.use_grid_points else n2
         pts_init_conv = nn.Conv(
             self.point_feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
             dtype=self.dtype, name="reppoints_pts_init_conv",
         )
-        pts_init_out = nn.Conv(n2, (1, 1), dtype=self.dtype,
+        pts_init_out = nn.Conv(init_out_ch, (1, 1), dtype=self.dtype,
                                name="reppoints_pts_init_out")
         cls_dconv = _ExplicitDConv(self.point_feat_channels,
                                    dtype=self.dtype, name="reppoints_cls_conv")
@@ -84,7 +90,7 @@ class RepPointsConvs(nn.Module):
             self.point_feat_channels, dtype=self.dtype,
             name="reppoints_pts_refine_conv",
         )
-        refine_out = nn.Conv(n2, (1, 1), dtype=self.dtype,
+        refine_out = nn.Conv(init_out_ch, (1, 1), dtype=self.dtype,
                              name="reppoints_pts_refine_out")
 
         # 3x3 base grid, y-first interleaved, row-major
@@ -97,6 +103,29 @@ class RepPointsConvs(nn.Module):
         moment = self.param(
             "moment_transfer", nn.initializers.zeros, (2,), jnp.float32
         )
+
+        k = int(self.num_points ** 0.5)
+
+        def grid_from_reg(reg, prev):
+            """reference ``gen_grid_from_reg``: (B,H,W,4) reg + (...,4)
+            base box -> (y-first interleaved kxk grid points, box)."""
+            bxy = (prev[..., :2] + prev[..., 2:]) / 2.0
+            bwh = jnp.maximum(prev[..., 2:] - prev[..., :2], 1e-6)
+            tl = bxy + bwh * reg[..., :2] - 0.5 * bwh * jnp.exp(
+                reg[..., 2:])
+            wh = bwh * jnp.exp(reg[..., 2:])
+            iv = jnp.linspace(0.0, 1.0, k)
+            gx = tl[..., 0:1] + wh[..., 0:1] * iv  # (B,H,W,k) x fast
+            gy = tl[..., 1:2] + wh[..., 1:2] * iv
+            yy = jnp.repeat(gy, k, axis=-1)  # y slow
+            xx = jnp.tile(gx, (1,) * (gx.ndim - 1) + (k,))
+            pts = jnp.stack([yy, xx], axis=-1)
+            pts = pts.reshape(pts.shape[:-2] + (2 * k * k,))
+            box = jnp.concatenate([tl, tl + wh], axis=-1)
+            return pts, box
+
+        half = self.point_base_scale / 2.0
+        base_box = jnp.asarray([-half, -half, half, half], jnp.float32)
         cls_list, init_list, refine_list = [], [], []
         for x in feats:
             cf = x
@@ -105,19 +134,27 @@ class RepPointsConvs(nn.Module):
                 cf = conv(cf)
             for conv in reg_convs:
                 pf = conv(pf)
-            pts_init = pts_init_out(
+            raw_init = pts_init_out(
                 nn.relu(pts_init_conv(pf))
             ).astype(jnp.float32)
+            if self.use_grid_points:
+                pts_init, box_init = grid_from_reg(raw_init, base_box)
+            else:
+                pts_init = raw_init
             gm = self.gradient_mul
             damped = (1 - gm) * jax.lax.stop_gradient(pts_init) + gm * pts_init
             dcn_offset = damped - base
             cls = cls_out_conv(
                 nn.relu(cls_dconv(cf, dcn_offset.astype(cf.dtype)))
             ).astype(jnp.float32)
-            pts_refine = refine_out(
+            raw_refine = refine_out(
                 nn.relu(refine_dconv(pf, dcn_offset.astype(pf.dtype)))
             ).astype(jnp.float32)
-            pts_refine = pts_refine + jax.lax.stop_gradient(pts_init)
+            if self.use_grid_points:
+                pts_refine, _ = grid_from_reg(
+                    raw_refine, jax.lax.stop_gradient(box_init))
+            else:
+                pts_refine = raw_refine + jax.lax.stop_gradient(pts_init)
             cls_list.append(cls)
             init_list.append(pts_init)
             refine_list.append(pts_refine)
