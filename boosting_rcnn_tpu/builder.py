@@ -2605,6 +2605,8 @@ def build_ssd(model_cfg: Dict[str, Any], dtype=jnp.float32):
         ratios=tuple(tuple(r) for r in agc.get("ratios",
                      ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)))),
         basesize_ratio_range=tuple(agc.get("basesize_ratio_range", (0.15, 0.9))),
+        min_sizes=agc.get("min_sizes"),
+        max_sizes=agc.get("max_sizes"),
     )
     num_anchors = tuple(len(g.base_anchors[0]) for g in gens)
 
@@ -2621,21 +2623,44 @@ def build_ssd(model_cfg: Dict[str, Any], dtype=jnp.float32):
     # SSDNeck-style extras spec (reference ssd512 config neck=dict(...)):
     # out_channels after conv4_3/fc7 define the extra pyramid; mid = out//2
     neck_cfg = model_cfg.get("neck") or {}
-    vgg_kwargs = {}
-    if neck_cfg.get("out_channels"):
-        outs = tuple(neck_cfg["out_channels"])[2:]
-        lvl_strides = tuple(neck_cfg.get("level_strides",
-                                         (2,) * (len(outs) - 2) + (1, 1)))
-        vgg_kwargs = dict(
-            extra_channels=tuple(
-                (o // 2, o, s) for o, s in zip(outs, lvl_strides)),
-            last_kernel_size=neck_cfg.get("last_kernel_size", 3),
+    if model_cfg.get("backbone", {}).get("type") == "MobileNetV2":
+        # SSDLite (reference ssdlite_mobilenetv2_scratch_600e_coco):
+        # MobileNetV2 (4, 7) features + depthwise SSDNeck extras +
+        # depthwise prediction convs
+        from .models.dense_heads.ssd_head import SSDNeck
+
+        backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
+        net = SingleStageNet(
+            backbone=backbone,
+            neck=SSDNeck(
+                out_channels=tuple(neck_cfg.get(
+                    "out_channels", (96, 1280, 512, 256, 256, 128))),
+                num_backbone_levels=len(tuple(model_cfg["backbone"].get(
+                    "out_indices", (4, 7)))),
+                dtype=dtype,
+            ),
+            head=SSDConvs(
+                num_classes=num_classes, num_anchors=num_anchors,
+                use_depthwise=head.get("use_depthwise", True), dtype=dtype,
+            ),
         )
-    net = SingleStageNet(
-        backbone=SSDVGG(dtype=dtype, **vgg_kwargs),
-        neck=IdentityNeck(),
-        head=SSDConvs(num_classes=num_classes, num_anchors=num_anchors, dtype=dtype),
-    )
+    else:
+        vgg_kwargs = {}
+        if neck_cfg.get("out_channels"):
+            outs = tuple(neck_cfg["out_channels"])[2:]
+            lvl_strides = tuple(neck_cfg.get("level_strides",
+                                             (2,) * (len(outs) - 2) + (1, 1)))
+            vgg_kwargs = dict(
+                extra_channels=tuple(
+                    (o // 2, o, s) for o, s in zip(outs, lvl_strides)),
+                last_kernel_size=neck_cfg.get("last_kernel_size", 3),
+            )
+        net = SingleStageNet(
+            backbone=SSDVGG(dtype=dtype, **vgg_kwargs),
+            neck=IdentityNeck(),
+            head=SSDConvs(num_classes=num_classes, num_anchors=num_anchors,
+                          dtype=dtype),
+        )
     coder = head.get("bbox_coder", {})
     assigner = (model_cfg.get("train_cfg") or {}).get("assigner", {})
     hc = SSDCfg(

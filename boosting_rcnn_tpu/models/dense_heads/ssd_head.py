@@ -28,23 +28,29 @@ def ssd_anchor_generator(
     strides: Sequence[int] = (8, 16, 32, 64, 100, 300),
     ratios: Sequence[Sequence[float]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
     basesize_ratio_range: Tuple[float, float] = (0.15, 0.9),
+    min_sizes: Sequence[int] = None,
+    max_sizes: Sequence[int] = None,
 ) -> List[AnchorGenerator]:
-    """Per-level anchor generators with SSD's size progression."""
-    min_ratio, max_ratio = basesize_ratio_range
-    min_ratio, max_ratio = int(min_ratio * 100), int(max_ratio * 100)
-    step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
-    min_sizes, max_sizes = [], []
-    for ratio in range(min_ratio, max_ratio + 1, step):
-        min_sizes.append(int(input_size * ratio / 100))
-        max_sizes.append(int(input_size * (ratio + step) / 100))
-    # first-level size (reference SSDAnchorGenerator input_size/ratio table:
-    # 300-COCO 7/15, 300-VOC 10/20, 512-COCO 4/10, 512-VOC 7/15)
-    if input_size == 512:
-        lo, hi = (4, 10) if basesize_ratio_range[0] == 0.1 else (7, 15)
+    """Per-level anchor generators with SSD's size progression, or explicit
+    ``min_sizes``/``max_sizes`` (the SSDLite config sets them manually)."""
+    if min_sizes is None:
+        min_ratio, max_ratio = basesize_ratio_range
+        min_ratio, max_ratio = int(min_ratio * 100), int(max_ratio * 100)
+        step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
+        min_sizes, max_sizes = [], []
+        for ratio in range(min_ratio, max_ratio + 1, step):
+            min_sizes.append(int(input_size * ratio / 100))
+            max_sizes.append(int(input_size * (ratio + step) / 100))
+        # first-level size (reference SSDAnchorGenerator input_size/ratio
+        # table: 300-COCO 7/15, 300-VOC 10/20, 512-COCO 4/10, 512-VOC 7/15)
+        if input_size == 512:
+            lo, hi = (4, 10) if basesize_ratio_range[0] == 0.1 else (7, 15)
+        else:
+            lo, hi = (7, 15) if basesize_ratio_range[0] == 0.15 else (10, 20)
+        min_sizes.insert(0, int(input_size * lo / 100))
+        max_sizes.insert(0, int(input_size * hi / 100))
     else:
-        lo, hi = (7, 15) if basesize_ratio_range[0] == 0.15 else (10, 20)
-    min_sizes.insert(0, int(input_size * lo / 100))
-    max_sizes.insert(0, int(input_size * hi / 100))
+        min_sizes, max_sizes = list(min_sizes), list(max_sizes)
 
     gens = []
     for lvl, stride in enumerate(strides):
@@ -74,13 +80,37 @@ def ssd_anchor_generator(
 class SSDConvs(nn.Module):
     num_classes: int = 80
     num_anchors: Tuple[int, ...] = (4, 6, 6, 6, 4, 4)
+    # SSDLite (reference SSDHead use_depthwise): each prediction conv is a
+    # depthwise 3x3 + BN + ReLU6 followed by a 1x1 projection
+    use_depthwise: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
+        from ..layers import LiveBatchNorm
+
+        def dw_block(x, lvl, branch):
+            c = x.shape[-1]
+            y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)],
+                        feature_group_count=c, use_bias=False,
+                        dtype=self.dtype, name=f"{branch}_dw_{lvl}")(x)
+            y = LiveBatchNorm(dtype=self.dtype,
+                              name=f"{branch}_dwbn_{lvl}")(y)
+            return jnp.clip(nn.relu(y), 0.0, 6.0)
+
         cls_out, reg_out = [], []
         for lvl, x in enumerate(feats):
             a = self.num_anchors[lvl]
+            if self.use_depthwise:
+                xc = dw_block(x, lvl, "cls")
+                xr = dw_block(x, lvl, "reg")
+                cls_out.append(
+                    nn.Conv(a * (self.num_classes + 1), (1, 1),
+                            dtype=self.dtype, name=f"cls_conv_{lvl}")(xc))
+                reg_out.append(
+                    nn.Conv(a * 4, (1, 1), dtype=self.dtype,
+                            name=f"reg_conv_{lvl}")(xr).astype(jnp.float32))
+                continue
             cls_out.append(
                 nn.Conv(a * (self.num_classes + 1), (3, 3),
                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
@@ -234,3 +264,40 @@ def ssd_get_bboxes(
         boxes, scores, score_thr=score_thr, iou_threshold=nms_iou_thr,
         max_per_img=max_per_img,
     )
+
+
+class SSDNeck(nn.Module):
+    """SSDLite extra pyramid (reference ``necks/ssd_neck.py``
+    use_depthwise): each extra level is 1x1 (out//2) + BN + ReLU6, then a
+    stride-2 depthwise 3x3 + BN + ReLU6, then 1x1 (out) + BN + ReLU6.
+    The backbone's own maps pass through unchanged."""
+
+    out_channels: Tuple[int, ...] = (96, 1280, 512, 256, 256, 128)
+    num_backbone_levels: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..layers import LiveBatchNorm
+
+        def bn_act(y, name):
+            y = LiveBatchNorm(dtype=self.dtype, name=name)(y)
+            return jnp.clip(nn.relu(y), 0.0, 6.0)
+
+        outs = list(feats[: self.num_backbone_levels])
+        x = outs[-1]
+        for i, ch in enumerate(self.out_channels[self.num_backbone_levels:]):
+            mid = ch // 2
+            y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"extra_{i}_conv1")(x)
+            y = bn_act(y, f"extra_{i}_bn1")
+            y = nn.Conv(mid, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                        feature_group_count=mid, use_bias=False,
+                        dtype=self.dtype, name=f"extra_{i}_dw")(y)
+            y = bn_act(y, f"extra_{i}_dwbn")
+            y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"extra_{i}_conv2")(y)
+            y = bn_act(y, f"extra_{i}_bn2")
+            outs.append(y)
+            x = y
+        return tuple(outs)

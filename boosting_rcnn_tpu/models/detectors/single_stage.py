@@ -323,22 +323,29 @@ class SSDDetector:
         return jnp.asarray(np.concatenate(per, 0)), nla
 
     def _traced_sizes(self, canvas_hw):
+        """Abstract forward through backbone + neck: the SSD pyramid may
+        end in the backbone extras (VGG) or in an SSDNeck (SSDLite)."""
         import jax
 
-        shapes = jax.eval_shape(
-            lambda x: self.net.apply(None, x, method=SingleStageNet.features)
-            if False
-            else None,
-            jnp.zeros((1, *canvas_hw, 3)),
-        )
-        # fall back to an abstract forward through the backbone
-        bb = self.net.backbone
-        out = jax.eval_shape(
-            lambda v, x: bb.apply(v, x),
-            jax.eval_shape(bb.init, jax.random.PRNGKey(0),
-                           jnp.zeros((1, *canvas_hw, 3))),
-            jnp.zeros((1, *canvas_hw, 3)),
-        )
+        x = jnp.zeros((1, *canvas_hw, 3))
+        bb, nk = self.net.backbone, self.net.neck
+
+        def fwd(vs, im):
+            feats = bb.apply(vs["bb"], im)
+            if vs["nk"] is None:
+                return feats
+            return nk.apply(vs["nk"], feats)
+
+        key = jax.random.PRNGKey(0)
+        bb_vars = jax.eval_shape(bb.init, key, x)
+        feats_shape = jax.eval_shape(lambda v, im: bb.apply(v, im),
+                                     bb_vars, x)
+        nk_vars = None
+        if hasattr(nk, "init"):  # a flax neck (SSDNeck); IdentityNeck isn't
+            feats_zeros = tuple(
+                jnp.zeros(f.shape, f.dtype) for f in feats_shape)
+            nk_vars = jax.eval_shape(nk.init, key, feats_zeros)
+        out = jax.eval_shape(fwd, {"bb": bb_vars, "nk": nk_vars}, x)
         return [(o.shape[1], o.shape[2]) for o in out]
 
     def init(self, rng, canvas_hw, batch_size: int = 1):

@@ -37,6 +37,8 @@ SKIP = {
     "configs/pascal_voc/ssd300_voc0712.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
     "configs/pascal_voc/ssd512_voc0712.py": "fixed 512x512 geometry (test_forward.py::test_ssd512_forward)",
     "configs/wider_face/ssd300_wider_face.py": "fixed 300x300 geometry (test_forward.py::test_ssd_forward)",
+    "configs/ssd/ssdlite_mobilenetv2_scratch_600e_coco.py":
+        "fixed 320x320 geometry (test_forward.py::test_ssdlite_forward)",
     "configs/deformable_detr/deformable_detr_r50_16x2_50e_coco.py":
         "transformer dims need a coupled shrink (test_forward.py::test_deformable_detr_forward)",
     "configs/deformable_detr/deformable_detr_refine_r50_16x2_50e_coco.py":

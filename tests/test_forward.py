@@ -1015,3 +1015,30 @@ def test_deformable_detr_refine_variants(variant):
 
     dets, labels, valid = det.predict(variables, batch)
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
+
+
+def test_ssdlite_forward():
+    """SSDLite (reference ssdlite_mobilenetv2_scratch_600e_coco):
+    MobileNetV2 (4, 7) + depthwise SSDNeck extras + depthwise prediction
+    convs at 320x320, explicit anchor sizes."""
+    cfg = load_config(os.path.join(
+        REPO, "configs/ssd/ssdlite_mobilenetv2_scratch_600e_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["bbox_head"]["num_classes"] = 4
+    det = build_detector(mc)
+    canvas = (320, 320)
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+    anchors, nla = det.anchors_for(canvas)
+    # 6 anchors per location on every level (ratio 1 x2 scales + 2,3 pairs)
+    assert anchors.shape[0] == sum(
+        n * 6 for n in (20 * 20, 10 * 10, 5 * 5, 3 * 3, 2 * 2, 1 * 1))
+    loader = FakeDetLoader(batch_size=2, canvas=canvas, num_classes=4,
+                           num_batches=1)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets, labels, valid = det.predict(variables, batch, anchors, nla)
+    assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
