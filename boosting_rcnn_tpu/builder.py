@@ -2351,7 +2351,15 @@ def build_detector(
                 finest_scale=extractor.get("finest_scale", 56),
                 dtype=dtype,
             )
-        mask_extractor = roi.get("mask_roi_extractor", {})
+        mask_extractor = roi.get("mask_roi_extractor") or {}
+        # C4 Mask R-CNN: mask_roi_extractor=None + shared_head -> the mask
+        # branch shares the bbox extraction and the res5 stage (reference
+        # configs/_base_/models/mask_rcnn_r50_caffe_c4.py)
+        mask_on_shared = bool(
+            roi.get("shared_head")
+            and mask_module is not None
+            and not roi.get("mask_roi_extractor")
+        )
         net = TwoStageNet(
             backbone=backbone,
             neck=neck,
@@ -2366,9 +2374,12 @@ def build_detector(
             or (model_cfg.get("rpn_head") or {}).get("bridge", False),
             roi_strides=strides,
             roi_out_size=roi_layer.get("output_size", 7),
-            mask_roi_out_size=mask_extractor.get("roi_layer", {}).get(
-                "output_size", 14
+            mask_roi_out_size=(
+                roi_layer.get("output_size", 14) if mask_on_shared
+                else mask_extractor.get("roi_layer", {}).get(
+                    "output_size", 14)
             ),
+            mask_on_shared=mask_on_shared,
             roi_finest_scale=extractor.get("finest_scale", 56),
             roi_aggregation=(
                 extractor.get("aggregation", "sum")
@@ -2383,7 +2394,11 @@ def build_detector(
             alpha=roi.get("alpha", 0.0),
             gamma=roi.get("gamma", 0.1),
             boost=roi.get("boost", roi.get("type") == "ProbRoIHead"),
-            prob=roi.get("prob", roi.get("type") in ("ProbRoIHead", "BoostRoIHead")),
+            # ProbPISARoIHead (reference pisa_roi_head.py:163, the fork's
+            # PISA+prob combination): PISA ISR-P/CARL training + prob
+            # prior-fusion at test, but no boosting loss renormalisation
+            prob=roi.get("prob", roi.get("type") in (
+                "ProbRoIHead", "BoostRoIHead", "ProbPISARoIHead")),
             quality=roi.get("quality", False),
             iou_gamma=roi.get("iou_gamma", 0.0),
             reg_norm=roi.get("reg_norm", "bbox_num"),

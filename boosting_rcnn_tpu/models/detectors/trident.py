@@ -22,7 +22,10 @@ from .two_stage import TwoStageDetector
 class Res5BBoxHead(nn.Module):
     """C4 bbox head (reference ``roi_heads/shared_heads/res_layer.py`` +
     ``bbox_heads/bbox_head.py`` with_avg_pool): res5 on 14x14 pooled
-    features, global average pool, linear cls/reg."""
+    features, global average pool, linear cls/reg.  ``res5`` is a separate
+    method so the C4 Mask R-CNN mask branch can reuse the shared res5
+    features (reference ``standard_roi_head.py`` share_roi_extractor +
+    with_shared_head path)."""
 
     num_classes: int
     base_planes: int = 512
@@ -32,20 +35,29 @@ class Res5BBoxHead(nn.Module):
     style: str = "pytorch"  # res5 stride placement (C4 caffe configs)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         from ..backbones.trident_resnet import _Bottleneck
 
         for b in range(self.num_blocks):
-            x = _Bottleneck(self.base_planes, stride=2 if b == 0 else 1,
-                            style=self.style, dtype=self.dtype,
-                            name=f"res5_{b}")(x)
-        x = x.mean(axis=(1, 2))
-        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
-                       name="fc_cls")(x)
+            setattr(
+                self, f"res5_{b}",
+                _Bottleneck(self.base_planes, stride=2 if b == 0 else 1,
+                            style=self.style, dtype=self.dtype),
+            )
+        self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype)
         k = 1 if self.reg_class_agnostic else self.num_classes
-        reg = nn.Dense(4 * k, dtype=self.dtype, name="fc_reg")(x)
-        return cls, reg
+        self.fc_reg = nn.Dense(4 * k, dtype=self.dtype)
+
+    def res5(self, x):
+        """(R, 14, 14, 1024) pooled RoI features -> (R, 7, 7, 2048)."""
+        for b in range(self.num_blocks):
+            x = getattr(self, f"res5_{b}")(x)
+        return x
+
+    def __call__(self, x):
+        x = self.res5(x)
+        x = x.mean(axis=(1, 2))
+        return self.fc_cls(x), self.fc_reg(x)
 
 
 class TridentFasterRCNN(TwoStageDetector):

@@ -84,6 +84,10 @@ class TwoStageNet(nn.Module):
     roi_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     roi_out_size: int = 7
     mask_roi_out_size: int = 14
+    # C4 Mask R-CNN (reference mask_rcnn_r50_caffe_c4: mask_roi_extractor=
+    # None + shared_head): the mask branch pools with the bbox extractor
+    # geometry and runs the shared res5 stage before the FCN head
+    mask_on_shared: bool = False
     roi_sample_num: int = 2
     roi_finest_scale: int = 56
     # 'route' (SingleRoIExtractor level routing) or GRoIE 'sum'/'concat'
@@ -214,6 +218,11 @@ class TwoStageNet(nn.Module):
         pooled = pooled.reshape(
             b * r, self.mask_roi_out_size, self.mask_roi_out_size, -1
         )
+        if self.mask_on_shared:
+            # C4: shared res5 (same params as the bbox branch) before the
+            # FCN head (reference standard_roi_head.py _mask_forward with
+            # share_roi_extractor + with_shared_head)
+            pooled = self.bbox_head.res5(pooled)
         logits = self.mask_head(pooled)
         if return_pooled:
             return logits, pooled

@@ -1,7 +1,7 @@
-# Reference configs/rpn/rpn_r50_caffe_c4_1x_coco (RPN over the C4 backbone).
+# Reference configs/mask_rcnn/mask_rcnn_r50_caffe_c4_1x_coco.
 _base_ = [
-    "../_base_/models/rpn_r50_caffe_c4.py",
-    "../_base_/datasets/coco_detection.py",
+    "../_base_/models/mask_rcnn_r50_caffe_c4.py",
+    "../_base_/datasets/coco_instance.py",
     "../_base_/default_runtime.py",
     "../_base_/schedules/schedule_1x.py",
 ]
@@ -13,4 +13,3 @@ data = dict(
     val=dict(pipeline=dict(img_norm=caffe_img_norm)),
     test=dict(pipeline=dict(img_norm=caffe_img_norm)),
 )
-evaluation = dict(metric="proposal_fast")

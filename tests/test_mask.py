@@ -166,3 +166,60 @@ def test_mask_scoring_rcnn_forward():
     ms = np.asarray(mask_scores)[np.asarray(valid)]
     cs = np.asarray(dets)[np.asarray(valid)][:, 4]
     assert (ms <= cs + 1e-6).all()  # iou in [0, 1] only shrinks confidence
+
+
+def test_mask_rcnn_c4_shared_res5():
+    """C4 Mask R-CNN (reference configs/_base_/models/mask_rcnn_r50_caffe_c4
+    + standard_roi_head.py share_roi_extractor): the mask branch pools with
+    the bbox extractor geometry, runs the SAME res5 parameters as the bbox
+    branch (no second copy), and emits 14x14 masks (7x7 res5 out, one 2x
+    deconv)."""
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from boosting_rcnn_tpu.data.loader import FakeDetLoader
+
+    canvas = (64, 96)
+    cfg = load_config(os.path.join(
+        REPO, "configs/mask_rcnn/mask_rcnn_r50_caffe_c4_1x_coco.py"))
+    mc = cfg.model.to_dict()
+    mc["backbone"].update(depth=18, base_channels=8)
+    mc["rpn_head"].update(in_channels=32, feat_channels=16)
+    mc["roi_head"]["bbox_head"]["num_classes"] = 4
+    mc["roi_head"]["mask_head"]["num_classes"] = 4
+    mc["train_cfg"]["rpn_proposal"].update(nms_pre=64, max_per_img=32)
+    mc["train_cfg"]["rcnn"]["sampler"]["num"] = 8
+    mc["test_cfg"]["rpn"].update(nms_pre=48, max_per_img=16)
+    det = build_detector(mc)
+    assert det.net.mask_on_shared
+    variables = det.init(jax.random.PRNGKey(0), canvas)
+
+    # exactly ONE res5 tower: the mask branch shares the bbox head's params
+    bh = variables["params"]["bbox_head"]
+    assert "res5_0" in bh and "fc_cls" in bh
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    res5_paths = {jax.tree_util.keystr(p) for p, _ in flat
+                  if "res5_0" in jax.tree_util.keystr(p)}
+    assert all(p.startswith("['bbox_head']") for p in res5_paths), res5_paths
+
+    anchors, nla = det.anchors_for(canvas)
+    loader = FakeDetLoader(batch_size=2, canvas=canvas, num_classes=4,
+                           max_gt=5, num_batches=1, with_masks=True)
+    batch = next(loader.epoch_iter(0))
+    batch.pop("ori_shape")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = det.loss(variables, jax.random.PRNGKey(1), batch, anchors, nla)
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    g = jax.grad(lambda p: det.loss(
+        {**variables, "params": p}, jax.random.PRNGKey(1), batch, anchors,
+        nla)["loss_mask"])(variables["params"])
+    # the shared res5 receives mask-loss gradient
+    gnorm = sum(float(jnp.abs(x).sum()) for x in
+                jax.tree_util.tree_leaves(g["bbox_head"]["res5_0"]))
+    assert gnorm > 0
+
+    dets, labels, valid, masks = det.predict(variables, batch, anchors, nla)
+    assert masks.shape[-2:] == (14, 14)
+    assert np.asarray(masks).min() >= 0 and np.asarray(masks).max() <= 1
