@@ -2265,7 +2265,7 @@ def build_detector(
                 dynamic=True,
                 dyn_initial_iou=_dr.get("initial_iou", 0.4),
                 dyn_initial_beta=_dr.get("initial_beta", 1.0),
-                dyn_ema=1.0 / _dr.get("update_iter_interval", 100),
+                dyn_interval=_dr.get("update_iter_interval", 100),
             )
         mask_module = None
         mask_iou_module = None

@@ -43,6 +43,8 @@ class DetDataLoader:
         autoaugment: bool = False,
         lsj_range: Optional[Tuple[float, float]] = None,
         ssd_aug: bool = False,
+        albu: Optional[Dict] = None,  # dict(transforms=[...], min_visibility=)
+        instaboost: Optional[Dict] = None,  # reference InstaBoost kwargs
         domain_file: Optional[str] = None,
         img_norm: Optional[Dict] = None,  # dict(mean=, std=, to_rgb=)
     ):
@@ -67,6 +69,8 @@ class DetDataLoader:
         self.autoaugment = autoaugment and train
         self.lsj_range = tuple(lsj_range) if (lsj_range and train) else None
         self.ssd_aug = ssd_aug and train
+        self.albu = albu if train else None
+        self.instaboost = instaboost if train else None
         self.domain_map = None
         if domain_file:  # SUO-DAC domain labels (reference loading.py:87)
             from .suodac import DomainMap
@@ -143,12 +147,37 @@ class DetDataLoader:
             composed = True
         else:
             img, bboxes, labels = self._raw(i)
+        if self.instaboost and not composed and segs is not None:
+            # instance jitter-paste (reference pipelines/instaboost.py;
+            # native matting-free variant — data/instaboost.py).  Runs
+            # first, like the reference op (pre-Resize, on the anns).
+            from .instaboost import instaboost as _instaboost
+
+            img, bboxes, segs = _instaboost(
+                img, bboxes, labels, segs, rng, **self.instaboost)
+            if sem is not None:  # pasted pixels invalidate the raster
+                sem = np.full(img.shape[:2], 255, np.int32)
         if self.autoaugment:
             from .auto_augment import apply_policy
 
             img, bboxes, labels = apply_policy(img, bboxes, labels, rng)
             segs = None  # geometric policies invalidate polygon anns
             composed = True
+        if self.albu and not composed:
+            # native Albu chain (reference configs/albu_example; see
+            # data/albu.py): applied at original resolution — pixel ops
+            # are resolution-independent and the SSR affine composes with
+            # the downstream keep-ratio resize
+            from .albu import apply_albu
+
+            img, bboxes, labels, segs = apply_albu(
+                img, bboxes, labels, segs,
+                self.albu.get("transforms", []), rng,
+                min_visibility=self.albu.get("min_visibility", 0.0),
+            )
+            if sem is not None:
+                # the raster is not warped alongside; emit full-ignore
+                sem = np.full(img.shape[:2], 255, np.int32)
         if composed and sem is not None:
             # the composed image no longer matches the raster geometry —
             # emit a full-ignore map so the batch keeps a fixed key set

@@ -150,6 +150,16 @@ def preprocess(
             # image was flipped
             if isinstance(seg, dict):
                 crops[i] = rle_to_box_crop(seg, bboxes[i], h0, w0, s)
+            elif isinstance(seg, np.ndarray) and seg.ndim == 2:
+                # full-image bitmap (e.g. an albu-warped RLE instance):
+                # crop the box region and resize, as the RLE path does
+                x1, y1, x2, y2 = [int(round(v)) for v in bboxes[i]]
+                x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+                region = seg[max(y1, 0):y2, max(x1, 0):x2]
+                if cv2 is not None and region.size:
+                    crops[i] = cv2.resize(
+                        region.astype(np.uint8), (s, s),
+                        interpolation=cv2.INTER_NEAREST)
             else:
                 crops[i] = polygons_to_box_crop(seg, bboxes[i], s)
             if flip:

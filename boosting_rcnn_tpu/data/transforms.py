@@ -365,21 +365,23 @@ CORRUPTIONS = (
 )
 
 
-def albu_transform(*args, **kwargs):
-    """Albu wrapper (reference ``pipelines/transforms.py:1321``): requires
-    the ``albumentations`` package, which is not vendored; the built-in
-    pipeline (PhotoMetricDistortion/Expand/MinIoURandomCrop/CutOut/
-    AutoAugment/Mosaic/MixUp) covers the shipped configs."""
-    raise ImportError(
-        "Albu transforms need the 'albumentations' package (not installed "
-        "in this environment); use the built-in augmentations instead"
-    )
+def albu_transform(img, bboxes, labels, segs, transforms, rng,
+                   min_visibility: float = 0.0):
+    """Albu chain (reference ``pipelines/transforms.py:1321``): the
+    third-party ``albumentations`` package is not vendored — the subset the
+    reference config zoo requests is implemented natively in
+    ``data/albu.py`` (unknown transform types raise there)."""
+    from .albu import apply_albu
+
+    return apply_albu(img, bboxes, labels, segs, transforms, rng,
+                      min_visibility=min_visibility)
 
 
-def instaboost_transform(*args, **kwargs):
-    """InstaBoost wrapper (reference ``pipelines/instaboost.py``): requires
-    the ``instaboostfast`` package, which is not vendored."""
-    raise ImportError(
-        "InstaBoost needs the 'instaboostfast' package (not installed in "
-        "this environment)"
-    )
+def instaboost_transform(img, bboxes, labels, segs, rng, **kwargs):
+    """InstaBoost (reference ``pipelines/instaboost.py``): the
+    ``instaboostfast`` package is not vendored — the matting-free variant
+    the shipped configs run is implemented natively in
+    ``data/instaboost.py``."""
+    from .instaboost import instaboost
+
+    return instaboost(img, bboxes, labels, segs, rng, **kwargs)

@@ -1072,11 +1072,11 @@ class DynamicRCNNDetector(TwoStageDetector):
       (``_bbox_forward_train``).
 
     The working (iou_thr, beta) live in the bbox head's ``batch_stats``
-    (``ConvFCBBoxHead.update_dynamic``) and thread through the train step
-    via the live-BN mutable mechanism; the reference's
-    ``update_iter_interval`` host-side history replay becomes an EMA with
-    rate ``1/update_iter_interval`` and the same floor/cap semantics
-    (documented deviation, same smoothing as DyProbRoIHead).
+    (``ConvFCBBoxHead.update_dynamic``) together with an
+    ``update_iter_interval``-slot ring buffer of the per-step statistics;
+    every interval boundary replays the reference's
+    ``update_hyperparameters`` exactly (mean IoU / median beta over the
+    window, floor/cap at the initial values) — all inside the jitted step.
 
     The current-step loss uses the state as of the step's start (matching
     the reference, where the update fires after the loss); the

@@ -40,14 +40,16 @@ class ConvFCBBoxHead(nn.Module):
     norm_cfg: Optional[dict] = None  # e.g. dict(type='GN', num_groups=32)
     seesaw: bool = False  # hold cumulative class counts in batch_stats
     # Dynamic R-CNN (reference ``dynamic_roi_head.py``): the working
-    # assigner IoU threshold and SmoothL1 beta live in ``batch_stats`` and
-    # are moved toward the batch statistics by ``update_dynamic`` (EMA form
-    # of the reference's interval-replayed history — ARCHITECTURE.md
-    # deviation #6, same smoothing as DyProbRoIHead).
+    # assigner IoU threshold and SmoothL1 beta live in ``batch_stats``
+    # together with a ``dyn_interval``-slot ring buffer of the per-step
+    # batch statistics; every ``dyn_interval`` steps the working values are
+    # recomputed replay-exactly (mean IoU / median beta over the window,
+    # floor/cap at the initial values) — the reference's
+    # ``update_hyperparameters`` history semantics, jit-compatible.
     dynamic: bool = False
     dyn_initial_iou: float = 0.4
     dyn_initial_beta: float = 1.0
-    dyn_ema: float = 0.01  # ~ 1 / update_iter_interval
+    dyn_interval: int = 100  # reference train_cfg update_iter_interval
     dtype: Any = jnp.float32
 
     def get_dynamic_state(self):
@@ -56,22 +58,40 @@ class ConvFCBBoxHead(nn.Module):
                 self.get_variable("batch_stats", "dyn_beta"))
 
     def update_dynamic(self, batch_iou: jnp.ndarray, batch_beta: jnp.ndarray):
-        """EMA-move the working threshold/beta toward the batch statistics
-        with the reference's floor/cap semantics
-        (``dynamic_roi_head.py::update_hyperparameters``: iou floored at
-        ``initial_iou``, beta capped at ``initial_beta``; NaN statistics —
-        no positives / degenerate targets — are skipped)."""
+        """Append the batch statistics to the interval history and, on
+        every ``dyn_interval``-th step, replay the reference update
+        (``dynamic_roi_head.py::update_hyperparameters``:
+        ``new_iou = max(initial_iou, mean(history))``,
+        ``new_beta = min(initial_beta, median(history))`` — beta kept
+        unchanged when the median degenerates below EPS=1e-15).  NaN
+        statistics (no positives in the batch — cannot happen upstream
+        where add_gt_as_proposals=True guarantees positives) are recorded
+        as the current working values."""
         iou = self.get_variable("batch_stats", "dyn_iou_thr")
         beta = self.get_variable("batch_stats", "dyn_beta")
+        iou_hist = self.get_variable("batch_stats", "dyn_iou_hist")
+        beta_hist = self.get_variable("batch_stats", "dyn_beta_hist")
+        count = self.get_variable("batch_stats", "dyn_count")
         batch_iou = jnp.where(jnp.isnan(batch_iou), iou, batch_iou)
         batch_beta = jnp.where(jnp.isnan(batch_beta), beta, batch_beta)
-        e = self.dyn_ema
-        new_iou = jnp.maximum(
-            self.dyn_initial_iou, (1 - e) * iou + e * batch_iou)
-        new_beta = jnp.minimum(
-            self.dyn_initial_beta, (1 - e) * beta + e * batch_beta)
+        k = self.dyn_interval
+        idx = jnp.mod(count, k)
+        iou_hist = iou_hist.at[idx].set(batch_iou.astype(jnp.float32))
+        beta_hist = beta_hist.at[idx].set(batch_beta.astype(jnp.float32))
+        count = count + 1
+        boundary = jnp.mod(count, k) == 0
+        cand_iou = jnp.maximum(self.dyn_initial_iou, jnp.mean(iou_hist))
+        med = jnp.median(beta_hist)
+        cand_beta = jnp.where(
+            med < 1e-15, beta,
+            jnp.minimum(self.dyn_initial_beta, med))
+        new_iou = jnp.where(boundary, cand_iou, iou)
+        new_beta = jnp.where(boundary, cand_beta, beta)
         self.put_variable("batch_stats", "dyn_iou_thr", new_iou)
         self.put_variable("batch_stats", "dyn_beta", new_beta)
+        self.put_variable("batch_stats", "dyn_iou_hist", iou_hist)
+        self.put_variable("batch_stats", "dyn_beta_hist", beta_hist)
+        self.put_variable("batch_stats", "dyn_count", count)
         return new_iou, new_beta
 
     def update_seesaw_counts(self, labels: jnp.ndarray, weights: jnp.ndarray):
@@ -104,6 +124,18 @@ class ConvFCBBoxHead(nn.Module):
             self.variable(
                 "batch_stats", "dyn_beta",
                 lambda: jnp.asarray(self.dyn_initial_beta, jnp.float32),
+            )
+            self.variable(
+                "batch_stats", "dyn_iou_hist",
+                lambda: jnp.zeros((self.dyn_interval,), jnp.float32),
+            )
+            self.variable(
+                "batch_stats", "dyn_beta_hist",
+                lambda: jnp.zeros((self.dyn_interval,), jnp.float32),
+            )
+            self.variable(
+                "batch_stats", "dyn_count",
+                lambda: jnp.asarray(0, jnp.int32),
             )
         for i in range(self.num_shared_convs):
             x = ConvModule(

@@ -325,19 +325,30 @@ def prob_fuse_scores(cls_score: jnp.ndarray, prior: jnp.ndarray) -> jnp.ndarray:
 # DyProbRoIHead: boosting + Dynamic R-CNN (reference ``prob_roi_head.py:
 # 473-623``).  The reference collects IoU/regression-error history lists and
 # rewrites the assigner threshold & SmoothL1 beta every
-# ``update_iter_interval`` python-side; in a jitted step that becomes a small
-# dynamic state updated with an EMA of the same statistics (equivalent
-# smoothing, no host round-trip).
+# ``update_iter_interval`` python-side; here the same history lives in a
+# fixed-size ring buffer carried through the jitted step, and the update is
+# replayed exactly on every interval boundary (mean IoU / median beta,
+# floor/cap at the initial values) — no host round-trip, no smoothing
+# approximation.
 # ---------------------------------------------------------------------------
 
 
 class DynamicRCNNState(NamedTuple):
     iou_thr: jnp.ndarray  # () current assigner threshold
     beta: jnp.ndarray  # () current SmoothL1 beta
+    iou_hist: jnp.ndarray  # (K,) interval ring buffer of batch IoU stats
+    beta_hist: jnp.ndarray  # (K,) interval ring buffer of batch beta stats
+    count: jnp.ndarray  # () int32 steps recorded
 
 
-def dynamic_rcnn_init(initial_iou: float = 0.4, initial_beta: float = 1.0):
-    return DynamicRCNNState(jnp.asarray(initial_iou), jnp.asarray(initial_beta))
+def dynamic_rcnn_init(initial_iou: float = 0.4, initial_beta: float = 1.0,
+                      interval: int = 100):
+    return DynamicRCNNState(
+        jnp.asarray(initial_iou), jnp.asarray(initial_beta),
+        jnp.zeros((interval,), jnp.float32),
+        jnp.zeros((interval,), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
 
 
 def dynamic_rcnn_batch_stats(
@@ -380,19 +391,31 @@ def dynamic_rcnn_update(
     batch_beta: jnp.ndarray,
     initial_iou: float = 0.4,
     initial_beta: float = 1.0,
-    ema: float = 0.05,
 ) -> DynamicRCNNState:
-    """Move the working threshold/beta toward the batch statistics.
-
-    Documented deviation: the reference replays an ``update_iter_interval``
-    history (mean for IoU, median for beta) host-side; inside a jitted step
-    that becomes an EMA with the same floor/cap semantics
-    (``new_iou = max(initial, ·)``, ``new_beta = min(initial, ·)``)."""
+    """Record the batch statistics in the interval ring buffer; on every
+    boundary (``count % K == 0`` after the append) replay the reference
+    update exactly (``update_hyperparameters``: ``max(initial_iou,
+    mean(iou_history))`` / ``min(initial_beta, median(beta_history))``,
+    beta unchanged when the median degenerates below EPS=1e-15).  NaN
+    statistics (no positives) are recorded as the current working values —
+    upstream this cannot occur (add_gt_as_proposals guarantees positives)."""
     batch_iou = jnp.where(jnp.isnan(batch_iou), state.iou_thr, batch_iou)
     batch_beta = jnp.where(jnp.isnan(batch_beta), state.beta, batch_beta)
-    new_iou = jnp.maximum(initial_iou, (1 - ema) * state.iou_thr + ema * batch_iou)
-    new_beta = jnp.minimum(initial_beta, (1 - ema) * state.beta + ema * batch_beta)
-    return DynamicRCNNState(new_iou, new_beta)
+    k = state.iou_hist.shape[0]
+    idx = jnp.mod(state.count, k)
+    iou_hist = state.iou_hist.at[idx].set(batch_iou.astype(jnp.float32))
+    beta_hist = state.beta_hist.at[idx].set(batch_beta.astype(jnp.float32))
+    count = state.count + 1
+    boundary = jnp.mod(count, k) == 0
+    cand_iou = jnp.maximum(initial_iou, jnp.mean(iou_hist))
+    med = jnp.median(beta_hist)
+    cand_beta = jnp.where(med < 1e-15, state.beta,
+                          jnp.minimum(initial_beta, med))
+    return DynamicRCNNState(
+        jnp.where(boundary, cand_iou, state.iou_thr),
+        jnp.where(boundary, cand_beta, state.beta),
+        iou_hist, beta_hist, count,
+    )
 
 
 def sample_rois_dynamic(

@@ -1,8 +1,8 @@
 # Albumentations-augmented Mask R-CNN (reference configs/albu_example/
-# mask_rcnn_r50_fpn_albu_1x_coco.py).  The albu transform chain requires
-# the third-party ``albumentations`` package, which is not available in
-# this environment — data/transforms.py::albu_transform raises cleanly at
-# pipeline build; the model itself builds and runs.
+# mask_rcnn_r50_fpn_albu_1x_coco.py).  The albu transform chain runs on
+# the NATIVE implementations in data/albu.py (the third-party
+# ``albumentations`` package is not available here); unknown transform
+# types raise at apply time.
 _base_ = "../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"
 train_pipeline = dict(
     scale=(1333, 800), keep_ratio=True, flip_prob=0.5,

@@ -1,8 +1,8 @@
 # InstaBoost Mask R-CNN (reference configs/instaboost/
 # mask_rcnn_r50_fpn_instaboost_4x_coco.py: 48 epochs, step [32, 44]).
-# The instaboost transform requires the third-party ``instaboostfast``
-# package, absent here — data/transforms.py::instaboost_transform raises
-# cleanly at pipeline build; the model itself builds and runs.
+# The instaboost jitter-paste runs on the native matting-free
+# implementation in data/instaboost.py (the third-party
+# ``instaboostfast`` package is absent here).
 _base_ = "../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"
 train_pipeline = dict(
     scale=(1333, 800), keep_ratio=True, flip_prob=0.5,

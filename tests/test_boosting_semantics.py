@@ -166,23 +166,41 @@ def test_dynamic_rcnn_state_update_and_sampling():
     # k = min(beta_topk*B=4, num_pos=4) = 4 -> 4th smallest of positives = 0.2
     np.testing.assert_allclose(float(bbeta), 0.2, atol=1e-6)
 
-    s0 = dynamic_rcnn_init()
-    s1 = dynamic_rcnn_update(s0, biou, bbeta, ema=1.0)
+    s0 = dynamic_rcnn_init(interval=1)  # boundary every step
+    s1 = dynamic_rcnn_update(s0, biou, bbeta)
     np.testing.assert_allclose(float(s1.iou_thr), 0.625, atol=1e-6)
     np.testing.assert_allclose(float(s1.beta), 0.2, atol=1e-6)
     # floor/cap: a worthless batch cannot drag below/above the initial values
-    s2 = dynamic_rcnn_update(
-        s0, jnp.asarray(0.1), jnp.asarray(9.0), ema=1.0
-    )
+    s2 = dynamic_rcnn_update(s0, jnp.asarray(0.1), jnp.asarray(9.0))
     np.testing.assert_allclose(float(s2.iou_thr), 0.4, atol=1e-6)
     # no positives -> beta stat is NaN -> state unchanged
     _, nanb = dynamic_rcnn_batch_stats(
         overlaps, pvalid, tgt, jnp.zeros((6,), bool), iou_topk=3, beta_topk=2
     )
     assert bool(jnp.isnan(nanb))
-    s3 = dynamic_rcnn_update(s0, jnp.asarray(jnp.nan), nanb, ema=1.0)
+    s3 = dynamic_rcnn_update(s0, jnp.asarray(jnp.nan), nanb)
     np.testing.assert_allclose(float(s3.iou_thr), float(s0.iou_thr), atol=1e-6)
     np.testing.assert_allclose(float(s2.beta), 1.0, atol=1e-6)
+
+    # interval replay is EXACT (reference update_hyperparameters: mean of
+    # the IoU history, median of the beta history, applied only on the
+    # update_iter_interval boundary; history then restarts)
+    ious = [0.55, 0.72, 0.61, 0.80, 0.66, 0.58, 0.77, 0.62]
+    betas = [0.30, 0.10, 0.25, 0.05, 0.40, 0.15, 0.20, 0.35]
+    s = dynamic_rcnn_init(initial_iou=0.4, initial_beta=1.0, interval=4)
+    for i in range(8):
+        prev_iou = float(s.iou_thr)
+        s = dynamic_rcnn_update(s, jnp.asarray(ious[i]), jnp.asarray(betas[i]))
+        if (i + 1) % 4 != 0:  # mid-interval: working values untouched
+            np.testing.assert_allclose(float(s.iou_thr), prev_iou, atol=1e-7)
+        else:
+            window = slice(i - 3, i + 1)
+            np.testing.assert_allclose(
+                float(s.iou_thr),
+                max(0.4, np.mean(ious[window])), atol=1e-6)
+            np.testing.assert_allclose(
+                float(s.beta),
+                min(1.0, np.median(betas[window])), atol=1e-6)
 
     # traced threshold changes who counts as positive
     cfg = ProbRoICfg(num_samples=8, pos_fraction=0.5, add_gt_as_proposals=False)

@@ -4,8 +4,8 @@ SmoothL1 beta, state held in the bbox head's ``batch_stats``.
 
 Covers:
   * DynamicRoIHead config -> ``dyn_iou_thr``/``dyn_beta`` declared at init;
-  * ``ConvFCBBoxHead.update_dynamic`` exact EMA + floor/cap + NaN-skip
-    semantics (deterministic unit check through a module apply);
+  * ``ConvFCBBoxHead.update_dynamic`` interval-replay + floor/cap +
+    NaN-skip semantics (deterministic unit check through a module apply);
   * train steps thread the state (bounds hold, loss finite), direct
     ``detector.loss`` stays pure;
   * traced ``beta_override`` reproduces the static-beta loss exactly.
@@ -86,8 +86,9 @@ def test_dynamic_state_declared_and_update_semantics():
 
     from boosting_rcnn_tpu.models.detectors.two_stage import TwoStageNet
 
-    # update_iter_interval=1 -> ema=1.0: state jumps to the batch statistic
-    # under the reference floor/cap (iou floored at 0.4, beta capped at 1.0)
+    # update_iter_interval=1 -> boundary every step: the state jumps to the
+    # batch statistic under the reference floor/cap (iou floored at 0.4,
+    # beta capped at 1.0)
     (niou, nbeta), upd = det.net.apply(
         variables, jnp.asarray(0.7), jnp.asarray(0.3),
         method=TwoStageNet.update_dynamic, mutable=["batch_stats"])

@@ -206,6 +206,8 @@ def main():
             autoaugment=pipeline.get("autoaugment", False),
             lsj_range=pipeline.get("lsj_range"),
             ssd_aug=pipeline.get("ssd_aug", False),
+            albu=pipeline.get("albu"),
+            instaboost=pipeline.get("instaboost"),
             img_norm=pipeline.get("img_norm"),
             with_semantic=with_semantic,
             semantic_stride=pipeline.get("semantic_stride", 8),
