@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--work-dir", default="/tmp/synth_coco_run")
     ap.add_argument("--n-train", type=int, default=200)
     ap.add_argument("--lr", type=float, default=0.0025)  # linear-scaled bs2
+    ap.add_argument(
+        "--segm", action="store_true",
+        help="train the tiny Mask R-CNN instead and assert SEGM mAP — "
+        "proves the mask training/eval path end-to-end (the synthetic "
+        "dataset carries exact shape polygons)")
     args = ap.parse_args()
 
     from scripts.make_synthetic_coco import generate
@@ -40,6 +45,8 @@ def main():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     cfg = os.path.join(
         REPO, "configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py")
+    if args.segm:
+        cfg = os.path.join(REPO, "configs/mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py")
     overrides = [
         f"data.train.ann_file={args.data_dir}/train.json",
         f"data.train.img_prefix={args.data_dir}/train",
@@ -58,6 +65,11 @@ def main():
         "model.backbone.frozen_stages=-1",  # from scratch: train the stem
         "model.backbone.init_cfg=None",
     ]
+    if args.segm:
+        overrides += [
+            "model.roi_head.bbox_head.num_classes=4",
+            "model.roi_head.mask_head.num_classes=4",
+        ]
     print("== train ==", flush=True)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/train.py"), cfg,
@@ -68,9 +80,10 @@ def main():
 
     ckpt = os.path.join(args.work_dir, f"epoch_{args.epochs}")
     print("== test ==", flush=True)
+    eval_metrics = ["bbox", "segm"] if args.segm else ["bbox"]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/test.py"), cfg, ckpt,
-         "--tiny", "--eval", "bbox", "--cfg-options", *overrides],
+         "--tiny", "--eval", *eval_metrics, "--cfg-options", *overrides],
         env=env, cwd=REPO, capture_output=True, text=True)
     print(out.stdout[-2000:])
     assert out.returncode == 0, out.stderr[-2000:]
@@ -79,6 +92,11 @@ def main():
     print(f"e2e bbox mAP = {ap_val}")
     assert ap_val is not None and ap_val >= args.min_map, (
         f"mAP {ap_val} < {args.min_map}")
+    if args.segm:
+        seg_val = metrics.get("segm_mAP")
+        print(f"e2e segm mAP = {seg_val}")
+        assert seg_val is not None and seg_val >= args.min_map, (
+            f"segm mAP {seg_val} < {args.min_map}")
     print("E2E AP CHECK OK")
 
 

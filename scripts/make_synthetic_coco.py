@@ -20,26 +20,38 @@ CLASSES = ("echinus", "holothurian", "scallop", "starfish")
 IMG_H, IMG_W = 160, 200
 
 
+def _ngon(cx, cy, a, b, n=24):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + a * np.cos(t), cy + b * np.sin(t)], axis=1)
+
+
 def _draw_shape(img, cls, cx, cy, s, rng):
+    """Draw one shape; returns (x1, y1, x2, y2, polygon (P, 2))."""
     import cv2
 
     colors = [(40, 40, 230), (40, 220, 40), (230, 60, 40), (40, 220, 230)]
     color = tuple(int(c + rng.randint(-20, 20)) for c in colors[cls])
     if cls == 0:
         cv2.circle(img, (cx, cy), s // 2, color, -1)
-        return cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2
+        poly = _ngon(cx, cy, s / 2, s / 2)
+        return cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2, poly
     if cls == 1:
         cv2.rectangle(img, (cx - s // 2, cy - s // 2),
                       (cx + s // 2, cy + s // 2), color, -1)
-        return cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2
+        poly = np.array(
+            [[cx - s / 2, cy - s / 2], [cx + s / 2, cy - s / 2],
+             [cx + s / 2, cy + s / 2], [cx - s / 2, cy + s / 2]], np.float64)
+        return cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2, poly
     if cls == 2:
         pts = np.array(
             [[cx, cy - s // 2], [cx - s // 2, cy + s // 2],
              [cx + s // 2, cy + s // 2]], np.int32)
         cv2.fillPoly(img, [pts], color)
-        return cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2
+        return (cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2,
+                pts.astype(np.float64))
     cv2.ellipse(img, (cx, cy), (s // 2, s // 3), 0, 0, 360, color, -1)
-    return cx - s // 2, cy - s // 3, cx + s // 2, cy + s // 3
+    poly = _ngon(cx, cy, s / 2, s / 3)
+    return cx - s // 2, cy - s // 3, cx + s // 2, cy + s // 3, poly
 
 
 def generate(out_dir: str, n_train: int = 200, n_val: int = 50,
@@ -67,13 +79,21 @@ def generate(out_dir: str, n_train: int = 200, n_val: int = 50,
                        for px, py, ps in placed):
                     continue
                 placed.append((cx, cy, s))
-                x1, y1, x2, y2 = _draw_shape(img, cls, cx, cy, s, rng)
+                x1, y1, x2, y2, poly = _draw_shape(img, cls, cx, cy, s, rng)
                 x1, y1 = max(x1, 0), max(y1, 0)
                 x2, y2 = min(x2, IMG_W), min(y2, IMG_H)
+                poly[:, 0] = poly[:, 0].clip(0, IMG_W)
+                poly[:, 1] = poly[:, 1].clip(0, IMG_H)
+                # shoelace polygon area (COCO-style segm area)
+                px, py = poly[:, 0], poly[:, 1]
+                seg_area = 0.5 * abs(float(
+                    np.dot(px, np.roll(py, -1)) - np.dot(py, np.roll(px, -1))
+                ))
                 annotations.append(dict(
                     id=ann_id, image_id=i + 1, category_id=cls + 1,
                     bbox=[x1, y1, x2 - x1, y2 - y1],
-                    area=float((x2 - x1) * (y2 - y1)), iscrowd=0,
+                    segmentation=[np.round(poly, 2).reshape(-1).tolist()],
+                    area=seg_area, iscrowd=0,
                 ))
                 ann_id += 1
             fn = f"{split}_{i:04d}.jpg"

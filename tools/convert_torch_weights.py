@@ -214,6 +214,25 @@ def convert_mmdet_checkpoint(ckpt_path: str):
             m = re.match(r"rpn_head\.scales\.(\d+)\.scale", k)
             if m:
                 put("rpn", [f"scale_{m.group(1)}"], "scale", v.reshape(()))
+        elif k.startswith("roi_head.shared_head.layer4."):
+            # C4 shared res5 head (reference roi_heads/shared_heads/
+            # res_layer.py): torch roi_head.shared_head.layer4.{b}.* ->
+            # bbox_head/res5_{b}/* (Res5BBoxHead block naming)
+            m = re.match(r"roi_head\.shared_head\.layer4\.(\d+)\.(.*)", k)
+            if not m:
+                continue
+            b, rest = int(m.group(1)), m.group(2)
+            if rest.startswith("downsample.0."):
+                tgt, leaf = "down_conv", rest.split(".")[-1]
+            elif rest.startswith("downsample.1."):
+                tgt, leaf = "down_bn", rest.split(".")[-1]
+            else:
+                tgt, leaf = rest.split(".", 1)
+            params.setdefault("bbox_head", {})
+            stats.setdefault("bbox_head", {})
+            _assign_conv_or_bn(
+                params["bbox_head"], stats["bbox_head"],
+                [f"res5_{b}", tgt], leaf, v)
         elif re.match(r"roi_head\.bbox_head\.\d+\.", k):
             # cascade: roi_head.bbox_head.N.* -> bbox_heads_N/* (flax tuple
             # submodule naming of CascadeNet.bbox_heads)
