@@ -820,12 +820,15 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
     rcnn_cfgs = train_cfg.get("rcnn", [])
     if isinstance(rcnn_cfgs, dict):
         rcnn_cfgs = [rcnn_cfgs]
+    # one threshold per stage; defaults follow the reference ladder
+    # (0.5, 0.6, 0.7, 0.8, ... — cascade_rcnn_s4 runs 4 stages)
+    _ns = roi.get("num_stages", 3)
     stage_pos = tuple(
-        rc.get("assigner", {}).get("pos_iou_thr", thr)
-        for rc, thr in zip(
-            rcnn_cfgs + [{}] * 3, (0.5, 0.6, 0.7)
-        )
-    )[: roi.get("num_stages", 3)]
+        (rcnn_cfgs[i] if i < len(rcnn_cfgs) else {})
+        .get("assigner", {})
+        .get("pos_iou_thr", min(0.5 + 0.1 * i, 0.9))
+        for i in range(_ns)
+    )
     sampler = (rcnn_cfgs[0] if rcnn_cfgs else {}).get("sampler", {})
     roi_cfg = ProbRoICfg(
         boost=roi.get("boost", False),

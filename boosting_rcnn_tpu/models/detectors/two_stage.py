@@ -942,12 +942,25 @@ class RPNDetector(TwoStageDetector):
         images = batch["images"]
         b = images.shape[0]
         feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        if self.rpn_type == "cascade_rpn":
+            self._crpn_anchors, self._crpn_nla = anchors, num_level_anchors
         cls, reg, iou = self._rpn_flat(variables, feats)
         valid = (
             anchor_valid
             if anchor_valid is not None
             else jnp.ones((b, anchors.shape[0]), bool)
         )
+        if self.rpn_type == "cascade_rpn":
+            # standalone Cascade RPN (reference configs/cascade_rpn/
+            # crpn_r50_caffe_fpn_1x_coco: RPN-only, AR-evaluated)
+            from ..dense_heads.cascade_rpn_head import crpn_loss
+
+            return crpn_loss(
+                self.rpn_cfg, self._crpn_s1_reg, cls, reg,
+                self._crpn_anchors, self._crpn_refined,
+                self._crpn_nla, batch["gt_bboxes"], batch["gt_mask"],
+                rng=rng, axis_name=axis_name,
+            )
         if self.rpn_type == "atss_rpn":
             return atss_rpn_loss(
                 self.rpn_cfg, cls, reg, iou, anchors, valid,
@@ -980,6 +993,8 @@ class RPNDetector(TwoStageDetector):
         feats = self.net.apply(
             variables, batch["images"], method=TwoStageNet.features
         )
+        if self.rpn_type == "cascade_rpn":
+            self._crpn_anchors, self._crpn_nla = anchors, num_level_anchors
         cls, reg, iou = self._rpn_flat(variables, feats)
         boxes, scores, valid = self._proposals(
             cls, reg, iou, anchors, num_level_anchors,

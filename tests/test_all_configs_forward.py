@@ -53,6 +53,11 @@ SKIP = {
         "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
     "configs/sparse_rcnn/sparse_rcnn_r50_fpn_300_proposals_crop_mstrain_480-800_3x_coco.py":
         "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
+    "configs/sparse_rcnn/sparse_rcnn_r101_fpn_300_proposals_crop_mstrain_480-800_3x_coco.py":
+        "coupled shrink (test_forward.py::test_sparse_rcnn_forward)",
+    "configs/pisa/pisa_ssd512_coco.py":
+        "fixed 512x512 geometry (test_forward.py::test_ssd512_forward; "
+        "PISA-SSD head smoke runs via pisa_ssd300_coco)",
     "configs/yolact/yolact_r50_1x8_coco.py":
         "550-square geometry assumptions (test_yolact.py)",
     "configs/yolact/yolact_r101_1x8_coco.py":
