@@ -1462,7 +1462,10 @@ def build_solo(model_cfg: Dict[str, Any], dtype=jnp.float32):
         stacked_convs=h.get("stacked_convs", 4),
         num_grids=num_grids,
         cls_down_index=h.get("cls_down_index", 0),
-        decoupled=h.get("type", "SOLOHead") == "DecoupledSOLOHead",
+        decoupled=h.get("type", "SOLOHead") in (
+            "DecoupledSOLOHead", "DecoupledSOLOLightHead"),
+        decoupled_light=h.get("type", "SOLOHead")
+        == "DecoupledSOLOLightHead",
         dtype=dtype,
     )
     cfg = SOLOCfg(
@@ -2205,7 +2208,8 @@ def build_detector(
     if t == "RepPointsDetector" or t == "RepPoints":
         return build_reppoints(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
-             "TwoStageDetector", "PointRend", "GridRCNN", "FastRCNN"):
+             "TwoStageDetector", "PointRend", "GridRCNN", "FastRCNN",
+             "EMAFasterRCNN"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         if model_cfg.get("neck"):
             neck = build_neck(model_cfg["neck"], dtype=dtype)
@@ -2363,9 +2367,17 @@ def build_detector(
             and mask_module is not None
             and not roi.get("mask_roi_extractor")
         )
+        emau_module = None
+        if t == "EMAFasterRCNN":
+            # reference detectors/faster_rcnn.py:730 (thesis EMAU variant):
+            # one FP_EMAU over the neck outputs, k from the config
+            from .models.thesis_extras import FPEMAU
+
+            emau_module = FPEMAU(k=model_cfg.get("k", 64), dtype=dtype)
         net = TwoStageNet(
             backbone=backbone,
             neck=neck,
+            emau=emau_module,
             rpn=rpn_module,
             bbox_head=bbox_module,
             mask_head=mask_module,

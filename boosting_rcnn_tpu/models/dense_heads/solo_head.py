@@ -52,6 +52,10 @@ class SOLOHeadConvs(nn.Module):
     # sigmoid(mx[..., j]) * sigmoid(my[..., i]).  The product is folded
     # back into S^2 logits so the coupled loss/decode path is shared.
     decoupled: bool = False
+    # DecoupledSOLOLightHead (reference ``solo_head.py:1043``): ONE shared
+    # mask tower (first conv sees both coords) feeding separate per-level
+    # 3x3 x/y output convs — the light variant saves a full conv tower.
+    decoupled_light: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,7 +85,7 @@ class SOLOHeadConvs(nn.Module):
                 for i in range(self.stacked_convs)
             ]
 
-        if self.decoupled:
+        if self.decoupled and not self.decoupled_light:
             mask_convs_x = tower("mask_conv_x")
             mask_convs_y = tower("mask_conv_y")
         else:
@@ -108,15 +112,23 @@ class SOLOHeadConvs(nn.Module):
             )
             s = self.num_grids[lvl]
             if self.decoupled:
-                # x branch sees the x coord, y branch the y coord
-                mx = jnp.concatenate([x, coords[..., 0:1]], axis=-1)
-                my = jnp.concatenate([x, coords[..., 1:2]], axis=-1)
-                for cx_, cy_ in zip(mask_convs_x, mask_convs_y):
-                    mx = cx_(mx)
-                    my = cy_(my)
                 up = (bb, hh * 2, ww * 2, self.feat_channels)
-                mx = jax.image.resize(mx, up, "bilinear")
-                my = jax.image.resize(my, up, "bilinear")
+                if self.decoupled_light:
+                    # light: one shared tower over [x, both coords]; the
+                    # x/y split happens only at the per-level output convs
+                    m = jnp.concatenate([x, coords], axis=-1)
+                    for conv in mask_convs:
+                        m = conv(m)
+                    mx = my = jax.image.resize(m, up, "bilinear")
+                else:
+                    # x branch sees the x coord, y branch the y coord
+                    mx = jnp.concatenate([x, coords[..., 0:1]], axis=-1)
+                    my = jnp.concatenate([x, coords[..., 1:2]], axis=-1)
+                    for cx_, cy_ in zip(mask_convs_x, mask_convs_y):
+                        mx = cx_(mx)
+                        my = cy_(my)
+                    mx = jax.image.resize(mx, up, "bilinear")
+                    my = jax.image.resize(my, up, "bilinear")
                 lx = nn.Conv(
                     s, (3, 3), padding=[(1, 1), (1, 1)],
                     bias_init=nn.initializers.constant(-4.595),

@@ -94,9 +94,16 @@ class TwoStageNet(nn.Module):
     # (GenericRoIExtractor, reference generic_roi_extractor.py)
     roi_aggregation: str = "route"
     bridge: bool = False  # ProbTwoStage fusion (reference prob_two_stage.py)
+    # EMAFasterRCNN (reference detectors/faster_rcnn.py:730): a shared
+    # FP-EMAU applied to the neck outputs; its mu buffer self-updates in
+    # batch_stats during mutable (train) applies
+    emau: Optional[nn.Module] = None
 
     def features(self, images):
-        return self.neck(self.backbone(images))
+        feats = self.neck(self.backbone(images))
+        if self.emau is not None:
+            feats, _ = self.emau(feats)
+        return feats
 
     def rpn_out(self, feats):
         return self.rpn(feats)

@@ -38,11 +38,28 @@ def _l2norm(x, axis):
     return x / (1e-6 + jnp.linalg.norm(x, axis=axis, keepdims=True))
 
 
+def _mu_buffer(module: nn.Module, c: int, k: int):
+    """The EM basis ``mu`` is a torch *buffer* in the reference (registered
+    at ``faster_rcnn.py:860``, updated under no_grad with momentum 0.9 in
+    ``EMAFasterRCNN.forward_train:818-822``), not a trainable parameter —
+    stored here in ``batch_stats`` and self-updated when the collection is
+    mutable (the train step applies with ``mutable=['batch_stats']``)."""
+    return module.variable(
+        "batch_stats", "mu",
+        lambda: _l2norm(
+            jax.random.normal(jax.random.PRNGKey(0), (c, k))
+            * math.sqrt(2.0 / k),
+            axis=0,
+        ),
+    )
+
+
 class EMAU(nn.Module):
     """EM Attention Unit on one NHWC map -> (out, batch mu)."""
 
     k: int = 64
     stage_num: int = 3
+    momentum: float = 0.9
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,16 +68,9 @@ class EMAU(nn.Module):
         idn = x
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv1")(x)
 
-        mu0 = self.param(
-            "mu",
-            lambda key, shape: _l2norm(
-                jax.random.normal(key, shape) * math.sqrt(2.0 / self.k),
-                axis=0,
-            ),
-            (c, self.k),
-        )
+        mu_var = _mu_buffer(self, c, self.k)
         xf = x.reshape(b, h * w, c).astype(jnp.float32)
-        mu = jnp.broadcast_to(mu0[None], (b, c, self.k))
+        mu = jnp.broadcast_to(mu_var.value[None], (b, c, self.k))
 
         def em_step(mu, _):
             z = jax.nn.softmax(jnp.einsum("bnc,bck->bnk", xf, mu), axis=2)
@@ -71,6 +81,11 @@ class EMAU(nn.Module):
         # reference wraps the EM loop in torch.no_grad()
         mu, _ = jax.lax.stop_gradient(
             jax.lax.scan(em_step, mu, None, length=self.stage_num))
+        if self.is_mutable_collection("batch_stats"):
+            mu_var.value = (
+                self.momentum * mu_var.value
+                + (1.0 - self.momentum) * jnp.mean(mu, axis=0)
+            )
         z = jax.nn.softmax(jnp.einsum("bnc,bck->bnk", xf, mu), axis=2)
         rec = jnp.einsum("bck,bnk->bnc", mu, z).reshape(b, h, w, c)
         rec = nn.relu(rec.astype(self.dtype))
@@ -87,6 +102,7 @@ class FPEMAU(nn.Module):
 
     k: int = 64
     stage_num: int = 3
+    momentum: float = 0.9
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,21 +113,14 @@ class FPEMAU(nn.Module):
                         name="conv2")
         bn2 = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                            name="bn2")
-        mu0 = self.param(
-            "mu",
-            lambda key, shape: _l2norm(
-                jax.random.normal(key, shape) * math.sqrt(2.0 / self.k),
-                axis=0,
-            ),
-            (c, self.k),
-        )
+        mu_var = _mu_buffer(self, c, self.k)
         b = feats[0].shape[0]
         idn = feats
         xs = [conv1(f) for f in feats]
         # E/M over the concatenated pyramid (all levels share the basis)
         flat = jnp.concatenate(
             [f.reshape(b, -1, c).astype(jnp.float32) for f in xs], axis=1)
-        mu = jnp.broadcast_to(mu0[None], (b, c, self.k))
+        mu = jnp.broadcast_to(mu_var.value[None], (b, c, self.k))
 
         def em_step(mu, _):
             z = jax.nn.softmax(jnp.einsum("bnc,bck->bnk", flat, mu), axis=2)
@@ -120,6 +129,12 @@ class FPEMAU(nn.Module):
 
         mu, _ = jax.lax.stop_gradient(
             jax.lax.scan(em_step, mu, None, length=self.stage_num))
+        if self.is_mutable_collection("batch_stats"):
+            # EMAFasterRCNN.forward_train: mu buffer <- 0.9*mu + 0.1*mean_b
+            mu_var.value = (
+                self.momentum * mu_var.value
+                + (1.0 - self.momentum) * jnp.mean(mu, axis=0)
+            )
         outs = []
         for f, i in zip(xs, idn):
             bb, h, w, _ = f.shape

@@ -107,32 +107,52 @@ def nms_padded(
     idx_tile = jnp.arange(tile)
     tri = idx_tile[:, None] < idx_tile[None, :]
 
+    # Suppression can only come from *surviving* earlier boxes, and the loop
+    # exits once ``max_out`` survive — so each tile only ever needs IoU
+    # against a compacted (max_out + tile)-row buffer of survivors, not
+    # against all N candidates.  This cuts the dominant (tile, N) IoU block
+    # to (tile, K): ~6x less work at train geometry (K 2.2k vs N 16k), ~8x
+    # at test geometry (K 0.5k vs N 5k).  Exactness: entering a tile,
+    # kept_cnt < max_out (loop condition), so the compaction position of any
+    # tile survivor is < max_out + tile <= kbuf — no survivor is ever
+    # dropped while the loop is still running.
+    kbuf = min(-(-(max_out + tile) // 128) * 128, np_)
+    kidx = jnp.arange(kbuf)
+
     def tile_body(state):
-        i, alive, kept = state
+        i, alive, kept_boxes, kept_cnt = state
         start = i * tile
         tb = lax.dynamic_slice(boxes_s, (start, 0), (tile, 4))
         t_alive = lax.dynamic_slice(alive, (start,), (tile,))
-        iou = bbox_overlaps(tb, boxes_s)  # (tile, N)
-        prev_mask = (idx_all < start) & alive
-        sup_prev = jnp.any((iou > iou_threshold) & prev_mask[None, :], axis=1)
+        iou_prev = bbox_overlaps(tb, kept_boxes)  # (tile, kbuf)
+        sup_prev = jnp.any(
+            (iou_prev > iou_threshold) & (kidx < kept_cnt)[None, :], axis=1
+        )
         t_alive = t_alive & ~sup_prev
-        iou_t = lax.dynamic_slice(iou, (0, start), (tile, tile))
+        iou_t = bbox_overlaps(tb, tb)
         over = (iou_t > iou_threshold) & tri
         t_alive = _self_suppress(over, t_alive)
         alive = lax.dynamic_update_slice(alive, t_alive, (start,))
-        return i + 1, alive, kept + jnp.sum(t_alive.astype(jnp.int32))
+        pos = kept_cnt + jnp.cumsum(t_alive.astype(jnp.int32)) - 1
+        pos = jnp.where(t_alive, pos, kbuf)  # invalid rows drop
+        kept_boxes = kept_boxes.at[pos].set(tb, mode="drop")
+        kept_cnt = kept_cnt + jnp.sum(t_alive.astype(jnp.int32))
+        return i + 1, alive, kept_boxes, kept_cnt
 
     def tile_cond(state):
         # Early exit: survivors only accumulate in score order and later
         # tiles can never resurrect earlier boxes, so once ``max_out``
         # survivors exist the output set is final.
-        i, alive, kept = state
+        i, alive, kept_boxes, kept = state
         return jnp.logical_and(i < num_tiles, kept < max_out)
 
     # On early exit, boxes in unprocessed (lower-score) tiles are still
     # flagged alive, but they rank strictly after the >= max_out processed
     # survivors, so the [:max_out] compaction below can never select them.
-    _, alive, _ = lax.while_loop(tile_cond, tile_body, (0, alive0, jnp.int32(0)))
+    _, alive, _, _ = lax.while_loop(
+        tile_cond, tile_body,
+        (0, alive0, jnp.zeros((kbuf, 4), boxes_s.dtype), jnp.int32(0)),
+    )
 
     # Compact: rank alive boxes (already score-sorted) to the front.
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1

@@ -50,8 +50,18 @@ def test_fp_emau_shares_basis_across_levels():
     assert len(outs) == 3
     for o, f in zip(outs, feats):
         assert o.shape == f.shape and np.isfinite(np.asarray(o)).all()
-    # one shared conv/basis parameter set
-    assert set(variables["params"]) == {"conv1", "conv2", "bn2", "mu"}
+    # one shared conv parameter set; mu is a buffer (reference registers it
+    # with register_buffer and updates it under no_grad)
+    assert set(variables["params"]) == {"conv1", "conv2", "bn2"}
+    assert "mu" in variables["batch_stats"]
+    # a mutable apply EMA-updates the buffer toward the batch mu
+    _, upd = m.apply(variables, feats, mutable=["batch_stats"])
+    new_mu = np.asarray(upd["batch_stats"]["mu"])
+    old_mu = np.asarray(variables["batch_stats"]["mu"])
+    expect = 0.9 * old_mu + 0.1 * np.asarray(mu).mean(axis=0)
+    np.testing.assert_allclose(new_mu, expect, atol=1e-5)
+    # a non-mutable apply leaves it untouched (inference path)
+    assert np.abs(new_mu - old_mu).max() > 0
 
 
 def test_contrastive_losses_golden():
