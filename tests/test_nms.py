@@ -128,3 +128,17 @@ def test_soft_nms_gaussian(rng):
     np.testing.assert_allclose(
         [g[1] for g in got], [e[1] for e in exp], rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("n,max_out,tile", [(2000, 150, 256), (4096, 300, 256)])
+def test_nms_kept_buffer_stress(rng, n, max_out, tile):
+    """Many tiles + truncation: exercises the compacted survivor buffer
+    (suppression of late tiles must come from the scatter-compacted kept
+    boxes, across several buffer-filling rounds)."""
+    boxes = rng.rand(n, 4).astype(np.float32) * 300
+    boxes[:, 2:] = boxes[:, :2] + 3 + rng.rand(n, 2).astype(np.float32) * 60
+    scores = rng.rand(n).astype(np.float32)
+    ob, os_, ov, oi = nms_mod.nms_padded(boxes, scores, 0.6, max_out, tile=tile)
+    got = np.asarray(oi)[np.asarray(ov)].tolist()
+    expected = greedy_nms(boxes, scores, 0.6)[:max_out]
+    assert got == expected
