@@ -220,7 +220,8 @@ def multilevel_roi_align_pallas(
 
 def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                 cc_size: int, n_chunks: int, row_splits,
-                row0_ref, x0a_ref, wy_ref, wx_ref, g_ref, out_ref):
+                row0_ref, x0a_ref, bounds_ref, wy_ref, wx_ref, g_ref,
+                out_ref):
     """RoIAlign backward wrt features (round-3 train-path lever).
 
     The transpose of R vmapped dynamic_slice gathers is an XLA scatter —
@@ -240,14 +241,20 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
     rows; windows never straddle a level boundary (window origins are
     clamped inside their level when H_l >= win, and clamped-to-zero
     interpolation weights make any overhang rows all-zero), so the split
-    at the level-0 boundary is exact.  ``g_ref`` (R, out_y, out_x, C) in
-    HBM; ``wy_ref`` (R, out, win) / ``wx_ref`` (R, out, win_w) pool-folded
-    interp matrices in VMEM; ``out_ref`` (rows, Wpad, C) f32 in HBM.
+    at the level-0 boundary is exact.  The caller sorts the RoIs by the
+    pass that owns their window and passes the per-pass [lo, hi) index
+    ``bounds_ref`` (n_passes + 1 scalars), so each pass loops only over
+    its own RoIs — R * n_chunks sequential iterations total instead of
+    R * n_passes * n_chunks (the loop, not the MXU work, dominates this
+    kernel).  ``g_ref`` (R, out_y, out_x, C) in HBM; ``wy_ref``
+    (R, out, win) / ``wx_ref`` (R, out, win_w) pool-folded interp
+    matrices in VMEM; ``out_ref`` (rows, Wpad, C) f32 in HBM.
     """
-    r = wy_ref.shape[0]
 
     def body(acc, gbuf, g_sems, out_sem):
-        for p_start, p_len in row_splits:  # static unroll
+        for p_idx, (p_start, p_len) in enumerate(row_splits):
+            lo = bounds_ref[p_idx]
+            hi = bounds_ref[p_idx + 1]
             for cc in range(n_chunks):  # static unroll
 
                 def get_dma(slot, i):
@@ -261,17 +268,23 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                     )
 
                 acc[...] = jnp.zeros_like(acc)
-                get_dma(0, 0).start()
+
+                @pl.when(lo < hi)
+                def _():
+                    get_dma(lo % 2, lo).start()
 
                 def roi_loop(i, _):
                     slot = i % 2
 
-                    @pl.when(i + 1 < r)
+                    @pl.when(i + 1 < hi)
                     def _():
                         get_dma((i + 1) % 2, i + 1).start()
 
                     get_dma(slot, i).wait()
                     r0 = row0_ref[i]
+                    # sorted RoIs make this guard vacuous; kept as a
+                    # correctness belt (an out-of-pass window must never
+                    # write outside the accumulator)
                     in_pass = jnp.logical_and(
                         r0 >= p_start, r0 < p_start + p_len)
 
@@ -303,7 +316,7 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
 
                     return 0
 
-                jax.lax.fori_loop(0, r, roi_loop, 0)
+                jax.lax.fori_loop(lo, hi, roi_loop, 0)
                 cpo = pltpu.make_async_copy(
                     acc.at[pl.ds(0, p_len)],
                     out_ref.at[cc, pl.ds(p_start, p_len)],
@@ -378,6 +391,22 @@ def pallas_window_roi_align_bwd(
         _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks,
         row_splits)
     r = g.shape[0]
+    # Sort RoIs by the pass (row split) that owns their window so the
+    # kernel's sequential loop visits each RoI once per channel chunk
+    # (addition commutes; the permutation needs no undo — outputs are
+    # dense row gradients, not per-RoI values).
+    if len(row_splits) > 1:
+        starts = [p[0] for p in row_splits]
+        pass_id = sum(
+            (row0 >= s).astype(jnp.int32) for s in starts[1:])
+        order = jnp.argsort(pass_id)
+        row0, x0a, wy, wx, g = (
+            row0[order], x0a[order], wy[order], wx[order], g[order])
+        bounds = jnp.searchsorted(
+            pass_id[order], jnp.arange(len(row_splits) + 1))
+    else:
+        bounds = jnp.asarray([0, r])
+    bounds = bounds.astype(jnp.int32)
     # channel chunks as a leading (untiled) dim so every DMA slice is
     # tile-aligned on both sides
     g5 = g.reshape(r, out_size, out_size, n_chunks, cc_size).transpose(
@@ -387,7 +416,8 @@ def pallas_window_roi_align_bwd(
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks, rows, wpad, cc_size), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # row0, x0//align drive DMAs + routing
+            # row0, x0//align, per-pass bounds drive DMAs + routing
+            num_scalar_prefetch=3,
             grid=(),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
@@ -397,7 +427,7 @@ def pallas_window_roi_align_bwd(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
         ),
         interpret=interpret,
-    )(row0, x0a, wy, wx, g5)
+    )(row0, x0a, bounds, wy, wx, g5)
     return out.transpose(1, 2, 0, 3).reshape(rows, wpad, c)
 
 
