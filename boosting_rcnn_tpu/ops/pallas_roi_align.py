@@ -46,13 +46,21 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+_NBUF = 4  # forward window DMA pipeline depth (~2 MB VMEM at 24x40x256 bf16)
+
+
 def _kernel(out_size: int, win: int, win_w: int, align: int,
             row0_ref, x0a_ref, wy_ref, wx_ref, stacked_ref, out_ref):
     """wy/wx carry the 2x2 bin pooling pre-folded: (R, out, win[_w]).
     Output layout (R, out_x, out_y, C) keeps C on the 128-lane axis; the
     cheap x/y transpose to (R, out_y, out_x, C) happens in XLA outside.
     ``x0a_ref`` holds the window column origin divided by ``align`` so the
-    in-kernel offset ``x0a * align`` is provably sublane-aligned."""
+    in-kernel offset ``x0a * align`` is provably sublane-aligned.
+
+    The window DMAs are ~0.5 MB each against ~1 us of MXU work, so the
+    loop is DMA-latency-bound: ``_NBUF`` windows stay in flight (depth-2
+    double buffering measured 8.6 ms at the flagship train geometry,
+    leaving ~3x the HBM-traffic floor on the table)."""
     r = out_ref.shape[0]
     c = out_ref.shape[-1]
 
@@ -66,14 +74,15 @@ def _kernel(out_size: int, win: int, win_w: int, align: int,
                 sems.at[slot],
             )
 
-        get_dma(0, 0).start()
+        for j in range(min(_NBUF - 1, r)):  # static unroll: fill the pipe
+            get_dma(j, j).start()
 
         def loop(i, _):
-            slot = i % 2
+            slot = i % _NBUF
 
-            @pl.when(i + 1 < r)
+            @pl.when(i + _NBUF - 1 < r)
             def _():
-                get_dma((i + 1) % 2, i + 1).start()
+                get_dma((i + _NBUF - 1) % _NBUF, i + _NBUF - 1).start()
 
             get_dma(slot, i).wait()
             window = scratch[slot]  # (win, win_w, C)
@@ -98,8 +107,9 @@ def _kernel(out_size: int, win: int, win_w: int, align: int,
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, win, win_w, stacked_ref.shape[-1]), stacked_ref.dtype),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        scratch=pltpu.VMEM(
+            (_NBUF, win, win_w, stacked_ref.shape[-1]), stacked_ref.dtype),
+        sems=pltpu.SemaphoreType.DMA((_NBUF,)),
     )
 
 
@@ -269,16 +279,19 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
 
                 acc[...] = jnp.zeros_like(acc)
 
-                @pl.when(lo < hi)
-                def _():
-                    get_dma(lo % 2, lo).start()
+                for j in range(_NBUF - 1):  # static unroll: fill the pipe
+
+                    @pl.when(lo + j < hi)
+                    def _(j=j):
+                        get_dma((lo + j) % _NBUF, lo + j).start()
 
                 def roi_loop(i, _):
-                    slot = i % 2
+                    slot = i % _NBUF
 
-                    @pl.when(i + 1 < hi)
+                    @pl.when(i + _NBUF - 1 < hi)
                     def _():
-                        get_dma((i + 1) % 2, i + 1).start()
+                        get_dma(
+                            (i + _NBUF - 1) % _NBUF, i + _NBUF - 1).start()
 
                     get_dma(slot, i).wait()
                     r0 = row0_ref[i]
@@ -329,8 +342,8 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
     pl.run_scoped(
         body,
         acc=pltpu.VMEM((max_len, out_ref.shape[2], cc_size), jnp.float32),
-        gbuf=pltpu.VMEM((2, out_size, out_size, cc_size), g_ref.dtype),
-        g_sems=pltpu.SemaphoreType.DMA((2,)),
+        gbuf=pltpu.VMEM((_NBUF, out_size, out_size, cc_size), g_ref.dtype),
+        g_sems=pltpu.SemaphoreType.DMA((_NBUF,)),
         out_sem=pltpu.SemaphoreType.DMA,
     )
 

@@ -322,3 +322,58 @@ def test_pallas_bwd_split_accumulator_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+def test_pallas_bwd_sorted_pass_empty_and_vmap():
+    """Sorted-pass bounds (round-3): an empty pass (every RoI on one side of
+    the row split) must still produce exact gradients, and the kernel must
+    stay correct under vmap (the train path maps it over the batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    import boosting_rcnn_tpu.ops.pallas_roi_align as pra
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(7)
+    shapes = [(40, 48), (20, 24), (10, 12), (5, 6)]
+    strides = (8, 16, 32, 64)
+    c = 32
+    b, r = 2, 12
+    feats = tuple(
+        jnp.asarray(rs.randn(b, h, w, c), jnp.float32) for h, w in shapes
+    )
+    # tiny boxes -> all route to level 0: pass 1 (rest of the pyramid) empty
+    cx = rs.uniform(20, 340, (b, r))
+    cy = rs.uniform(20, 280, (b, r))
+    bw = rs.uniform(8, 24, (b, r))
+    bh = rs.uniform(8, 24, (b, r))
+    rois = jnp.asarray(
+        np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1),
+        jnp.float32,
+    )
+    valid = jnp.ones((b, r), bool)
+    g = jnp.asarray(rs.randn(b, r, 7, 7, c), jnp.float32)
+
+    def ref_one(fs, rb, vb, gb):
+        _, vjp = jax.vjp(
+            lambda ff: multilevel_roi_align_fast(ff, rb, vb, strides), fs
+        )
+        (d,) = vjp(gb)
+        return d
+
+    ref = jax.vmap(ref_one)(feats, rois, valid, g)
+
+    budget = pra._ACC_BUDGET_BYTES
+    pra._ACC_BUDGET_BYTES = 40 * 48 * (32 + 8) * 4 * 2  # forces 2 passes
+    try:
+        got = jax.vmap(
+            lambda fs, rb, vb, gb: pra.multilevel_roi_align_pallas_bwd(
+                fs, rb, vb, gb, strides, interpret=True
+            )
+        )(feats, rois, valid, g)
+    finally:
+        pra._ACC_BUDGET_BYTES = budget
+    assert got is not None
+    for a, e in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
+        )
