@@ -90,6 +90,17 @@ def build_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
     )
 
 
+@BACKBONES.register("HiddenMixupResNet")
+def build_hidden_mixup_resnet(cfg: Dict[str, Any], dtype=jnp.float32):
+    """Thesis two-view backbone (reference
+    ``backbones/hiddenMixupResnet.py:307``): plain ResNet on one view;
+    the two-view mixup/contrastive machinery lives in
+    ``models/thesis_extras.HiddenMixupResNet``."""
+    from .models.thesis_extras import HiddenMixupResNet
+
+    return HiddenMixupResNet(resnet=build_resnet(cfg, dtype=dtype))
+
+
 @BACKBONES.register("ResNeXt")
 def build_resnext(cfg: Dict[str, Any], dtype=jnp.float32):
     return ResNet(
@@ -2209,7 +2220,8 @@ def build_detector(
         return build_reppoints(model_cfg, dtype=dtype)
     if t in ("FasterRCNN", "MaskRCNN", "MaskScoringRCNN", "ProbTwoStage",
              "TwoStageDetector", "PointRend", "GridRCNN", "FastRCNN",
-             "EMAFasterRCNN"):
+             "EMAFasterRCNN", "DGFasterRCNN", "JiGENFasterRCNN",
+             "DGaugFasterRCNN"):
         backbone = build_backbone(model_cfg["backbone"], dtype=dtype)
         if model_cfg.get("neck"):
             neck = build_neck(model_cfg["neck"], dtype=dtype)
@@ -2367,6 +2379,24 @@ def build_detector(
             and mask_module is not None
             and not roi.get("mask_roi_extractor")
         )
+        domain_module = None
+        jig_module = None
+        if t == "DGFasterRCNN":
+            # reference detectors/faster_rcnn.py:84 (DANN thesis variant):
+            # domain_cls(512, num_domains=2) + total_img = 112128/2
+            from .models.detectors.dg import DomainClassifier
+
+            domain_module = DomainClassifier(
+                num_domains=model_cfg.get("num_domains", 2),
+                total_img=float(model_cfg.get("total_img", 56064)),
+                dtype=dtype,
+            )
+        if t == "JiGENFasterRCNN":
+            # reference detectors/faster_rcnn.py:427: jig_cls(2048, 31)
+            from .models.detectors.dg import JigsawClassifier
+
+            jig_module = JigsawClassifier(
+                jig_classes=model_cfg.get("jig_classes", 31), dtype=dtype)
         emau_module = None
         if t == "EMAFasterRCNN":
             # reference detectors/faster_rcnn.py:730 (thesis EMAU variant):
@@ -2378,6 +2408,8 @@ def build_detector(
             backbone=backbone,
             neck=neck,
             emau=emau_module,
+            domain_head=domain_module,
+            jig_head=jig_module,
             rpn=rpn_module,
             bbox_head=bbox_module,
             mask_head=mask_module,
@@ -2433,6 +2465,14 @@ def build_detector(
         rcnn_test = test_cfg.get("rcnn", {})
         det_cls = TwoStageDetector
         det_kwargs = {}
+        if t in ("DGFasterRCNN", "JiGENFasterRCNN", "DGaugFasterRCNN"):
+            from .models.detectors import dg as _dg
+
+            det_cls = {
+                "DGFasterRCNN": _dg.DGFasterRCNNDetector,
+                "JiGENFasterRCNN": _dg.JiGENFasterRCNNDetector,
+                "DGaugFasterRCNN": _dg.DGaugFasterRCNNDetector,
+            }[t]
         if roi["bbox_head"].get("type") == "SABLHead":
             from .models.roi_heads.sabl_head import make_sabl_detector_class
 

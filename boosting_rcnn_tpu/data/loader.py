@@ -47,6 +47,8 @@ class DetDataLoader:
         instaboost: Optional[Dict] = None,  # reference InstaBoost kwargs
         domain_file: Optional[str] = None,
         img_norm: Optional[Dict] = None,  # dict(mean=, std=, to_rgb=)
+        jigsaw: Optional[int] = None,  # JiGEN permutation classes (31)
+        dgaug: bool = False,  # DGaug host-side style transfer
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -76,6 +78,25 @@ class DetDataLoader:
             from .suodac import DomainMap
 
             self.domain_map = DomainMap(domain_file)
+        # JiGEN jigsaw self-supervision (reference detectors/faster_rcnn.py
+        # :465-540 consumes img_puzzle/jig_labels; no loader for them was
+        # committed upstream — this is the functional rebuild): a fixed
+        # table of 3x3 tile permutations, id 0 = identity, the rest drawn
+        # deterministically (the reference JiGen recipe's max-Hamming set
+        # is not in the repo).
+        self.jig_perms = None
+        if jigsaw and train:
+            prng = np.random.RandomState(0)
+            perms = [np.arange(9)]
+            seen = {tuple(perms[0])}
+            while len(perms) < jigsaw:
+                p = prng.permutation(9)
+                if tuple(p) not in seen:
+                    seen.add(tuple(p))
+                    perms.append(p)
+            self.jig_perms = np.stack(perms)
+        self.dgaug = dgaug and train
+        self._style_donors = None
         # per-config normalization (the caffe-pretrained family uses BGR
         # mean-only norm: img_norm_cfg in the reference caffe configs)
         from .pipeline import DEFAULT_MEAN, DEFAULT_STD
@@ -234,7 +255,76 @@ class DetDataLoader:
         )
         if domain is not None:
             out["domain_label"] = domain
+        if self.dgaug:
+            # DGaugFasterRCNN (reference detectors/faster_rcnn.py:609-638):
+            # the reference stylizes each train image toward its domain's
+            # water type with a private pretrained net; the rebuild uses the
+            # checkpoint-free transfer core (data/style_transfer.py) with a
+            # per-domain exemplar donor.  Photometric-only, so the second
+            # preprocess pass reuses the identical geometry decisions.
+            from .style_transfer import stylize
+
+            donor_id = int(np.argmax(domain)) if domain is not None else 0
+            content = img[..., ::-1].astype(np.float64) / 255.0
+            aug = stylize(content, self._style_donor(donor_id), rng=rng)
+            img_aug = (np.clip(aug, 0, 1) * 255.0 + 0.5).astype(
+                np.uint8)[..., ::-1]
+            out["img_aug"] = preprocess(
+                img_aug, bboxes, labels, canvas=canvas, scale=scale,
+                flip=flip, max_gt=self.max_gt, mean=self.norm_mean,
+                std=self.norm_std, to_rgb=self.norm_to_rgb,
+                short_side_override=short,
+            )["images"]
+        if self.jig_perms is not None:
+            # tile-permute the padded canvas (largest 3x3-divisible crop)
+            jid = int(rng.randint(len(self.jig_perms)))
+            im = out["images"]
+            h3, w3 = im.shape[0] // 3 * 3, im.shape[1] // 3 * 3
+            th, tw = h3 // 3, w3 // 3
+            tiles = (
+                im[:h3, :w3]
+                .reshape(3, th, 3, tw, -1)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(9, th, tw, -1)
+            )
+            puzzle = im.copy()
+            puzzle[:h3, :w3] = (
+                tiles[self.jig_perms[jid]]
+                .reshape(3, 3, th, tw, -1)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h3, w3, -1)
+            )
+            out["img_puzzle"] = puzzle
+            one_hot = np.zeros(len(self.jig_perms), np.float32)
+            one_hot[jid] = 1.0
+            out["jig_labels"] = one_hot
         return out
+
+    def _style_donor(self, domain_id: int):
+        """Per-domain style exemplars, loaded once: the first image of each
+        domain list when domain labels exist, else the dataset's first
+        images (downscaled — the transfer only consumes colour statistics)."""
+        if self._style_donors is None:
+            donors = []
+            if self.domain_map is not None:
+                paths = []
+                by_name = {}
+                for i in range(len(self.ds.data_infos)):
+                    p = self.ds.img_path(i)
+                    by_name.setdefault(
+                        np.argmax(self.domain_map.one_hot(p)), p)
+                for d in range(self.domain_map.num_domains):
+                    paths.append(by_name.get(d, self.ds.img_path(0)))
+            else:
+                paths = [self.ds.img_path(i)
+                         for i in range(min(4, len(self.ds.data_infos)))]
+            from .pipeline import load_image
+
+            for p in paths:
+                im = load_image(p)[::4, ::4, ::-1].astype(np.float64) / 255.0
+                donors.append(im)
+            self._style_donors = donors
+        return self._style_donors[domain_id % len(self._style_donors)]
 
     def __len__(self):
         return len(self._epoch_indices(0)) // (self.batch_size * self.num_shards)
@@ -289,6 +379,8 @@ class FakeDetLoader:
         with_semantic: bool = False,
         num_semantic_classes: int = 8,
         semantic_stride: int = 8,
+        num_domains: int = 0,  # >0: emit one-hot domain_label (DG wrappers)
+        jigsaw: int = 0,  # >0: emit img_puzzle + jig_labels (JiGEN)
     ):
         self.batch_size = batch_size
         self.canvas = canvas
@@ -301,6 +393,8 @@ class FakeDetLoader:
         self.with_semantic = with_semantic
         self.num_semantic_classes = num_semantic_classes
         self.semantic_stride = semantic_stride
+        self.num_domains = num_domains
+        self.jigsaw = jigsaw
 
     def __len__(self):
         return self.num_batches
@@ -364,4 +458,12 @@ class FakeDetLoader:
                         x1, y1, x2, y2 = (boxes[bi, gi] / st).astype(int)
                         sem[bi, y1:y2, x1:x2] = out["gt_labels"][bi, gi]
                 out["gt_semantic_seg"] = sem
+            if self.num_domains > 0:
+                out["domain_label"] = np.eye(self.num_domains, dtype=np.float32)[
+                    rng.randint(0, self.num_domains, size=b)]
+            if self.jigsaw > 0:
+                out["img_puzzle"] = out["images"][:, ::-1].copy()
+                jl = np.zeros((b, self.jigsaw), np.float32)
+                jl[np.arange(b), rng.randint(0, self.jigsaw, size=b)] = 1.0
+                out["jig_labels"] = jl
             yield out

@@ -107,7 +107,10 @@ def frozen_stages_mask(params, frozen_stages: int):
         names = [str(getattr(p, "key", p)) for p in path]
         if "backbone" not in names:
             return False
-        child = names[names.index("backbone") + 1]
+        i = names.index("backbone") + 1
+        if names[i] == "resnet":  # HiddenMixupResNet wrapper level
+            i += 1
+        child = names[i]
         return any(child.startswith(p) for p in prefixes)
 
     return jax.tree_util.tree_map_with_path(mask_fn, params)
@@ -138,9 +141,28 @@ def make_optimizer(
         # zero the final update for frozen params (optax.masked passes
         # unmasked updates through *unchanged*, so the zeroing must be its
         # own trailing stage, not a wrapper around the whole chain)
-        frozen = frozen_stages_mask(params, frozen_stages)
-        chain.append(optax.masked(optax.set_to_zero(), frozen))
-    return optax.chain(*chain)
+        # callable mask: evaluated on the tree the transform actually sees
+        # (under multi_transform the aux-labeled subtrees arrive as
+        # MaskedNode leaves, which a pre-computed tree would not match)
+        chain.append(optax.masked(
+            optax.set_to_zero(),
+            lambda ps: frozen_stages_mask(ps, frozen_stages)))
+    tx = optax.chain(*chain)
+    aux = [k for k in ("domain_head", "jig_head")
+           if params is not None and k in params]
+    if aux:
+        # DG auxiliary classifiers train with their own Adam(1e-3) +
+        # grad-clip 0.1 (reference detectors/faster_rcnn.py:84-85,165-168;
+        # single clean update instead of the reference's lagged Adam +
+        # main-SGD double step — ARCHITECTURE.md deviation 23)
+        aux_tx = optax.chain(
+            optax.clip_by_global_norm(0.1), optax.adam(1e-3))
+
+        def label_fn(ps):
+            return {k: ("aux" if k in aux else "main") for k in ps}
+
+        return optax.multi_transform({"main": tx, "aux": aux_tx}, label_fn)
+    return tx
 
 
 def create_train_state(variables, tx) -> TrainState:

@@ -98,12 +98,35 @@ class TwoStageNet(nn.Module):
     # FP-EMAU applied to the neck outputs; its mu buffer self-updates in
     # batch_stats during mutable (train) applies
     emau: Optional[nn.Module] = None
+    # DG wrappers (reference detectors/faster_rcnn.py:47,382; see
+    # models/detectors/dg.py): DANN domain classifier on the backbone C3
+    # behind gradient reversal / jigsaw permutation classifier on the
+    # backbone C5 of a tile-permuted view
+    domain_head: Optional[nn.Module] = None
+    jig_head: Optional[nn.Module] = None
 
     def features(self, images):
         feats = self.neck(self.backbone(images))
         if self.emau is not None:
             feats, _ = self.emau(feats)
         return feats
+
+    def features_dg(self, images):
+        """DGFasterRCNN feature path (reference ``extract_feat:105-118``):
+        the domain prediction branches off the backbone's stage-2 output
+        before the neck."""
+        outs = self.backbone(images)
+        d_pred = self.domain_head(outs[1])
+        feats = self.neck(outs)
+        if self.emau is not None:
+            feats, _ = self.emau(feats)
+        return feats, d_pred
+
+    def jig_out(self, images):
+        """JiGEN auxiliary branch (reference ``extract_feat:435-445``):
+        permutation prediction from the backbone's C5 of the puzzle view."""
+        outs = self.backbone(images)
+        return self.jig_head(outs[-1])
 
     def rpn_out(self, feats):
         return self.rpn(feats)
@@ -265,7 +288,13 @@ class TwoStageNet(nn.Module):
 
     def __call__(self, images, rois, roi_valid):
         """Init-time path touching every submodule."""
-        feats = self.features(images)
+        if self.domain_head is not None:
+            feats, _ = self.features_dg(images)
+        elif self.jig_head is not None:
+            self.jig_out(images)
+            feats = self.features(images)
+        else:
+            feats = self.features(images)
         if self.bridge:
             rpn_outs, feats = self.rpn_bridge_out(feats)
         else:
@@ -343,6 +372,14 @@ class TwoStageDetector:
         return self.net.init(rng, images, rois, rv)
 
     # ---------- shared forward pieces ----------
+    def _extract_for_loss(self, variables, rng, batch):
+        """Train-time feature extraction; subclass hook (the DG wrappers in
+        ``dg.py`` branch off auxiliary domain/jigsaw losses here).  Returns
+        ``(neck_features, aux_loss_dict)``."""
+        feats = self.net.apply(
+            variables, batch["images"], method=TwoStageNet.features)
+        return feats, {}
+
     def _rpn_flat(self, variables, feats):
         """Returns flat rpn outputs + the feature set the RoI head consumes
         (== ``feats`` except in ProbTwoStage bridge mode)."""
@@ -557,7 +594,7 @@ class TwoStageDetector:
         images = batch["images"]
         b = images.shape[0]
         rpn_rng, roi_rng = jax.random.split(rng)
-        feats = self.net.apply(variables, images, method=TwoStageNet.features)
+        feats, aux_losses = self._extract_for_loss(variables, rng, batch)
         if self.rpn_type == "cascade_rpn":
             self._crpn_anchors, self._crpn_nla = anchors, num_level_anchors
         cls, reg, iou = self._rpn_flat(variables, feats)
@@ -601,6 +638,8 @@ class TwoStageDetector:
                 batch["gt_bboxes"], batch["gt_mask"], rng=rpn_rng,
                 axis_name=axis_name,
             )
+
+        losses.update(aux_losses)
 
         # RPN outputs exposed (detached) for the stale-proposal train-step
         # variant: the next step's proposals are computed from these in the

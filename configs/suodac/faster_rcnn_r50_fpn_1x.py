@@ -1,9 +1,8 @@
 # Faster R-CNN R50-FPN on SUO-DAC (reference configs/suodac/
 # faster_rcnn_r50_fpn_1x.py, the fork's underwater domain-generalisation
 # benchmark; 4 classes, domain labels available via
-# DetDataLoader(domain_file=...)).  The DGaug detector wrappers are a
-# recorded descope (ARCHITECTURE.md); the HiddenMixup two-view backbone +
-# contrastive losses live in models/thesis_extras.py.
+# DetDataLoader(domain_file=...)).  The DG detector wrappers are rebuilt in
+# models/detectors/dg.py (see DMC_/dg_/jigen_faster_rcnn configs here).
 _base_ = [
     "../_base_/models/faster_rcnn_r50_fpn.py",
     "../_base_/datasets/suodac_detection.py",

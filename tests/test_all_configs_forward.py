@@ -312,6 +312,15 @@ def test_every_config_forwards(cfg_path):
     if mc.get("type") == "FastRCNN":
         batch["proposals"] = batch["gt_bboxes"]
         batch["proposals_valid"] = batch["gt_mask"]
+    if mc.get("type") == "DGFasterRCNN":
+        nd = mc.get("num_domains", 2)
+        batch["domain_label"] = jnp.eye(nd)[
+            jnp.zeros(batch["images"].shape[0], jnp.int32)]
+    if mc.get("type") == "JiGENFasterRCNN":
+        jc = mc.get("jig_classes", 31)
+        batch["img_puzzle"] = batch["images"]
+        batch["jig_labels"] = jnp.eye(jc)[
+            jnp.zeros(batch["images"].shape[0], jnp.int32)]
 
     # API adaptation: most detectors take (variables, rng, batch, pack,
     # nlp); the set-based ones (DETR family / Sparse R-CNN) take fewer

@@ -182,6 +182,10 @@ def main():
             seed=args.seed,
             with_masks=bool(mc.get("roi_head", {}).get("mask_head")),
             with_semantic=with_semantic,
+            num_domains=(mc.get("num_domains", 2)
+                         if mc.get("type") == "DGFasterRCNN" else 0),
+            jigsaw=(mc.get("jig_classes", 31)
+                    if mc.get("type") == "JiGENFasterRCNN" else 0),
         )
         steps_per_epoch = len(loader)
         val_ds = None
@@ -209,6 +213,9 @@ def main():
             albu=pipeline.get("albu"),
             instaboost=pipeline.get("instaboost"),
             img_norm=pipeline.get("img_norm"),
+            domain_file=pipeline.get("domain_file"),
+            jigsaw=pipeline.get("jigsaw"),
+            dgaug=pipeline.get("dgaug", False),
             with_semantic=with_semantic,
             semantic_stride=pipeline.get("semantic_stride", 8),
         )
