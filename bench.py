@@ -1,13 +1,22 @@
 """Benchmark: flagship Boosting R-CNN R50-PAFPN inference throughput on one
 TPU chip at the reference geometry (800x1333 padded to 800x1344).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: mmdet Faster R-CNN R50-FPN V100 FP32 bs1 = 46.73 ms/im
 (~21.4 img/s, BASELINE.md) — the closest machine-readable reference number
 for a two-stage R50 at this geometry.
 
-Equivalent of the reference's ``tools/analysis_tools/benchmark.py``
-(warmup + timed loop, ``benchmark.py:59-130``).
+Precision is a measured axis: the flagship computes in bfloat16 (params
+f32 — the ``configs/fp16`` policy; reference Fp16OptimizerHook analog);
+``BENCH_DTYPE=f32`` measures the float32 axis for the comparison table in
+docs/TRAIN_PERF.md.  The dtype is part of the metric name.
+
+MFU: XLA's own cost model (``compiled.cost_analysis()['flops']``) divided
+by measured step time and the chip's bf16 MXU peak (v5e: 197 TFLOP/s).
+The denominator is ALWAYS the bf16 peak, also for f32 runs (conservative;
+the f32 matmul rate is lower) — keys ``infer_mfu``/``train_mfu``.
+Replaces the reference's ``tools/analysis_tools/get_flops.py`` +
+``benchmark.py`` pair.
 """
 import json
 import os
@@ -23,6 +32,21 @@ from boosting_rcnn_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 BASELINE_IMG_PER_S = 21.4
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e bf16 MXU peak (jax-ml scaling book)
+
+
+def _flops_of(jitted, *args):
+    """Model FLOPs of one call from XLA's cost analysis; None if the
+    backend doesn't expose it (the analysis runs client-side on the HLO,
+    so it works through the axon relay; guard anyway)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost["flops"])
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -36,10 +60,12 @@ def main():
     # 'both' (default): one JSON line with inference as the primary metric
     # plus train_img_s; 'infer' / 'train': that path only
     mode = os.environ.get("BENCH_MODE", "both")
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_name]
     warmup = 5
     canvas = (800, 1344)
 
-    det = _build(tiny=os.environ.get("BENCH_TINY") == "1")
+    det = _build(tiny=os.environ.get("BENCH_TINY") == "1", dtype=dtype)
     if os.environ.get("BENCH_TINY") == "1":
         canvas = (256, 320)
 
@@ -96,6 +122,8 @@ def main():
             tstep = jax.jit(make_train_step(det, anchors, nla),
                             donate_argnums=(0,))
         rng = jax.random.PRNGKey(0)
+        # FLOPs before the first run (donated buffers are consumed by it)
+        flops = _flops_of(tstep, state, tb, rng)
         state, m = tstep(state, tb, rng)
         jax.block_until_ready((state, m))
         for _ in range(max(warmup - 1, 1)):
@@ -113,25 +141,32 @@ def main():
             s_, m = tstep(s_, tb, rng)
         jax.block_until_ready((s_, m))
         dt = time.perf_counter() - t0
-        return batch * n * scan_steps / dt, scan_steps
+        img_s = batch * n * scan_steps / dt
+        mfu = None
+        if flops is not None:
+            # flops is per dispatch (= scan_steps optimizer steps)
+            mfu = flops * (n / dt) / PEAK_FLOPS_BF16
+        return img_s, scan_steps, flops, mfu
 
     if mode == "train":
-        img_per_s, scan_steps = measure_train()
-        print(
-            json.dumps(
-                {
-                    "metric": "boosting_rcnn_r50_pafpn_train_images_per_sec_800x1344_bs%d"
-                    % batch,
-                    "value": round(img_per_s, 2),
-                    "unit": "img/s",
-                    # denominator is the V100 inference baseline (no
-                    # machine-readable train baseline exists)
-                    "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
-                    "baseline_kind": "v100_fp32_inference",
-                    "steps_per_dispatch": scan_steps,
-                }
-            )
-        )
+        img_per_s, scan_steps, flops, mfu = measure_train()
+        line = {
+            "metric": "boosting_rcnn_r50_pafpn_train_images_per_sec_"
+                      "800x1344_bs%d_%s" % (batch, dtype_name),
+            "value": round(img_per_s, 2),
+            "unit": "img/s",
+            # denominator is the V100 inference baseline (no
+            # machine-readable train baseline exists)
+            "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            "baseline_kind": "v100_fp32_inference",
+            "steps_per_dispatch": scan_steps,
+            "compute_dtype": dtype_name,
+        }
+        if mfu is not None:
+            line["train_mfu"] = round(mfu, 4)
+            line["train_tflops_per_step"] = round(flops / 1e12, 3)
+            line["mfu_peak_tflops"] = PEAK_FLOPS_BF16 / 1e12
+        print(json.dumps(line))
         return
 
     @jax.jit
@@ -140,6 +175,7 @@ def main():
             v, {"images": im, "img_shape": shp, "scale_factor": sf}, anchors, nla
         )
 
+    infer_flops = _flops_of(run, variables, images, img_shape, scale_factor)
     out = run(variables, images, img_shape, scale_factor)
     jax.block_until_ready(out)
     for _ in range(warmup - 1):
@@ -154,15 +190,21 @@ def main():
 
     img_per_s = batch * iters / dt
     line = {
-        "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_800x1344_bs%d"
-        % batch,
+        "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_"
+                  "800x1344_bs%d_%s" % (batch, dtype_name),
         "value": round(img_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+        "compute_dtype": dtype_name,
     }
+    if infer_flops is not None:
+        line["infer_mfu"] = round(
+            infer_flops * (iters / dt) / PEAK_FLOPS_BF16, 4)
+        line["infer_tflops_per_batch"] = round(infer_flops / 1e12, 3)
+        line["mfu_peak_tflops"] = PEAK_FLOPS_BF16 / 1e12
     if mode == "both":
         try:
-            train_img_s, scan_steps = measure_train()
+            train_img_s, scan_steps, tflops, tmfu = measure_train()
             line["train_img_s"] = round(train_img_s, 2)
             line["train_steps_per_dispatch"] = scan_steps
             # NOTE: the only machine-readable reference number is the V100
@@ -170,6 +212,9 @@ def main():
             line["train_vs_infer_baseline"] = round(
                 train_img_s / BASELINE_IMG_PER_S, 3
             )
+            if tmfu is not None:
+                line["train_mfu"] = round(tmfu, 4)
+                line["train_tflops_per_step"] = round(tflops / 1e12, 3)
         except Exception as e:  # keep the primary metric alive
             line["train_error"] = str(e)[:200]
     print(json.dumps(line))

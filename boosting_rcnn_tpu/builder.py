@@ -432,15 +432,6 @@ def build_anchor_generator(cfg: Dict[str, Any]) -> AnchorGenerator:
     return AnchorGenerator(**cfg)
 
 
-def _ghm_guard(loss_cls: Dict[str, Any]) -> str:
-    if loss_cls.get("momentum", 0.0):
-        raise NotImplementedError(
-            "GHMC momentum>0 (EMA bin counts) needs mutable state and is not "
-            "implemented; set momentum=0 (stateless density)."
-        )
-    return "ghm"
-
-
 def _coder_params(cfg: Dict[str, Any]):
     return (
         tuple(cfg.get("target_means", (0.0, 0.0, 0.0, 0.0))),
@@ -743,12 +734,23 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
         )
         head_type = "atss"
     else:
+        loss_bbox = head.get("loss_bbox", {})
+        is_ghmc = loss_cls.get("type") == "GHMC"
+        is_ghmr = loss_bbox.get("type") == "GHMR"
+        ghm_c_mmt = loss_cls.get("momentum", 0.0) if is_ghmc else 0.0
+        ghm_r_mmt = loss_bbox.get("momentum", 0.0) if is_ghmr else 0.0
         module = RetinaConvs(
             num_classes=num_classes,
             num_anchors=num_anchors,
             feat_channels=head.get("feat_channels", 256),
             stacked_convs=head.get("stacked_convs", 4),
             sep_bn=(head.get("type") == "RetinaSepBNHead"),
+            # momentum>0 -> EMA acc_sum buffers declared in batch_stats
+            # (reference GHMC/GHMR registered buffers, ghm_loss.py:52,150)
+            ghm_c_state_bins=(loss_cls.get("bins", 10)
+                              if ghm_c_mmt > 0 else 0),
+            ghm_r_state_bins=(loss_bbox.get("bins", 10)
+                              if ghm_r_mmt > 0 else 0),
             dtype=dtype,
         )
         hc = RetinaCfg(
@@ -762,18 +764,15 @@ def build_single_stage(model_cfg: Dict[str, Any], dtype=jnp.float32):
             pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
             neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
             smooth_l1_beta=head.get("loss_bbox", {}).get("beta", 0.0),
-            # GHM variants (configs/ghm); momentum>0 (EMA bin counts — the
-            # mmdet config default 0.75) needs mutable state: raise, per the
-            # repo convention for unsupported options
-            loss_cls_type=(_ghm_guard(loss_cls)
-                           if loss_cls.get("type") == "GHMC"
-                           else "focal"),
+            # GHM variants (configs/ghm); momentum>0 = the reference's EMA
+            # acc_sum buffers, held in batch_stats by RetinaConvs
+            loss_cls_type="ghm" if is_ghmc else "focal",
             ghm_bins=loss_cls.get("bins", 30),
-            loss_bbox_type=("ghmr"
-                            if head.get("loss_bbox", {}).get("type") == "GHMR"
-                            else "l1"),
-            ghmr_mu=head.get("loss_bbox", {}).get("mu", 0.02),
-            ghmr_bins=head.get("loss_bbox", {}).get("bins", 10),
+            ghm_momentum=ghm_c_mmt,
+            loss_bbox_type="ghmr" if is_ghmr else "l1",
+            ghmr_mu=loss_bbox.get("mu", 0.02),
+            ghmr_bins=loss_bbox.get("bins", 10),
+            ghmr_momentum=ghm_r_mmt,
             pisa=(head.get("type") == "PISARetinaHead"
                   or train_cfg.get("isr") is not None),
             isr_k=(train_cfg.get("isr") or {}).get("k", 2.0),

@@ -257,14 +257,20 @@ class DetDataLoader:
             out["domain_label"] = domain
         if self.dgaug:
             # DGaugFasterRCNN (reference detectors/faster_rcnn.py:609-638):
-            # the reference stylizes each train image toward its domain's
-            # water type with a private pretrained net; the rebuild uses the
-            # checkpoint-free transfer core (data/style_transfer.py) with a
-            # per-domain exemplar donor.  Photometric-only, so the second
-            # preprocess pass reuses the identical geometry decisions.
+            # the reference stylizes each train image toward its own
+            # domain's water type (style_ids = argmax(domain_label),
+            # faster_rcnn.py:628) with a private pretrained net; the
+            # rebuild uses the checkpoint-free transfer core
+            # (data/style_transfer.py) with a per-domain exemplar donor.
+            # Without domain labels the donor is drawn per sample from the
+            # loader rng (donor 0 always would collapse style diversity).
+            # Photometric-only, so the second preprocess pass reuses the
+            # identical geometry decisions.
             from .style_transfer import stylize
 
-            donor_id = int(np.argmax(domain)) if domain is not None else 0
+            donors = self._style_donor_list()
+            donor_id = (int(np.argmax(domain)) if domain is not None
+                        else int(rng.randint(len(donors))))
             content = img[..., ::-1].astype(np.float64) / 255.0
             aug = stylize(content, self._style_donor(donor_id), rng=rng)
             img_aug = (np.clip(aug, 0, 1) * 255.0 + 0.5).astype(
@@ -301,6 +307,10 @@ class DetDataLoader:
         return out
 
     def _style_donor(self, domain_id: int):
+        return self._style_donor_list()[
+            domain_id % len(self._style_donor_list())]
+
+    def _style_donor_list(self):
         """Per-domain style exemplars, loaded once: the first image of each
         domain list when domain labels exist, else the dataset's first
         images (downscaled — the transfer only consumes colour statistics)."""
@@ -324,7 +334,7 @@ class DetDataLoader:
                 im = load_image(p)[::4, ::4, ::-1].astype(np.float64) / 255.0
                 donors.append(im)
             self._style_donors = donors
-        return self._style_donors[domain_id % len(self._style_donors)]
+        return self._style_donors
 
     def __len__(self):
         return len(self._epoch_indices(0)) // (self.batch_size * self.num_shards)

@@ -5,7 +5,8 @@ Statistical equivalents of the fork's pretrained WaterTransfer network
 ``tools/misc/water_transfer.py`` docstring for the full mapping).  Used
 offline by that tool and online by the loader's ``dgaug`` path
 (``DGaugFasterRCNN``, reference ``detectors/faster_rcnn.py:609-638``,
-which stylizes every train batch toward a random water type).
+which stylizes each train image toward its own domain's water type —
+``style_ids = argmax(domain_label)``, ``faster_rcnn.py:628``).
 """
 import numpy as np
 

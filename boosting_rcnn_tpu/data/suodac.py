@@ -16,11 +16,36 @@ import numpy as np
 
 
 class DomainMap:
+    """Image-stem -> domain-id mapping.
+
+    Accepts either a *directory* of per-domain txt name lists (the
+    reference layout: one file per water type) or a *json file* holding
+    ``{"domain_name": ["stem", ...], ...}`` or ``{"stem": domain_id, ...}``
+    (the layout ``configs/_base_/datasets/suodac_detection.py`` declares as
+    ``annotations/domains.json``)."""
+
     def __init__(self, domain_file: str):
         self.domains: List[List[str]] = []
-        for name in sorted(os.listdir(domain_file)):
-            with open(os.path.join(domain_file, name)) as f:
-                self.domains.append([ln.strip() for ln in f if ln.strip()])
+        if os.path.isdir(domain_file):
+            for name in sorted(os.listdir(domain_file)):
+                with open(os.path.join(domain_file, name)) as f:
+                    self.domains.append(
+                        [ln.strip() for ln in f if ln.strip()])
+        else:
+            import json
+
+            with open(domain_file) as f:
+                mapping = json.load(f)
+            if mapping and all(
+                isinstance(v, (list, tuple)) for v in mapping.values()
+            ):  # {"domain": [stems]}
+                for k in sorted(mapping):
+                    self.domains.append([str(s) for s in mapping[k]])
+            else:  # {"stem": domain_id}
+                n = int(max(mapping.values())) + 1 if mapping else 0
+                self.domains = [[] for _ in range(n)]
+                for stem, d in mapping.items():
+                    self.domains[int(d)].append(str(stem))
         self._index: Dict[str, int] = {}
         for i, names in enumerate(self.domains):
             for n in names:

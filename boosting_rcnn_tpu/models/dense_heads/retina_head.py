@@ -29,10 +29,35 @@ class RetinaConvs(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     sep_bn: bool = False
+    # GHM momentum>0 (reference ghm_loss.py GHMC/GHMR ``acc_sum`` EMA
+    # buffers): >0 declares the per-loss bin-count state in batch_stats
+    # (same pattern as Dynamic R-CNN / Seesaw state in bbox_head.py)
+    ghm_c_state_bins: int = 0
+    ghm_r_state_bins: int = 0
     dtype: Any = jnp.float32
+
+    def update_ghm_state(self, acc_c, acc_r):
+        """Write back the EMA bin-count buffers computed by the GHM losses;
+        invoked via ``net.apply(..., method=...)`` so the live-BN mutable
+        mechanism threads the update through the train step (reference
+        ``GHMC.acc_sum``/``GHMR.acc_sum`` registered buffers)."""
+        if acc_c is not None:
+            self.put_variable("batch_stats", "ghm_acc_sum_c", acc_c)
+        if acc_r is not None:
+            self.put_variable("batch_stats", "ghm_acc_sum_r", acc_r)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
+        if self.ghm_c_state_bins > 0:  # declare at init: static state tree
+            self.variable(
+                "batch_stats", "ghm_acc_sum_c",
+                lambda: jnp.zeros((self.ghm_c_state_bins,), jnp.float32),
+            )
+        if self.ghm_r_state_bins > 0:
+            self.variable(
+                "batch_stats", "ghm_acc_sum_r",
+                lambda: jnp.zeros((self.ghm_r_state_bins,), jnp.float32),
+            )
         if self.sep_bn:
             from ..layers import LiveBatchNorm
 
@@ -96,12 +121,15 @@ class RetinaCfg:
     min_pos_iou: float = 0.0
     smooth_l1_beta: float = 0.0  # 0 -> plain L1 (modern retinanet default)
     # GHM variants (reference configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py:
-    # GHMC/GHMR replace focal/L1; momentum>0 raises in ops/losses.py)
+    # GHMC/GHMR replace focal/L1; momentum>0 = EMA acc_sum buffers held in
+    # batch_stats by RetinaConvs and threaded through retina_loss)
     loss_cls_type: str = "focal"  # "focal" | "ghm"
     ghm_bins: int = 30
+    ghm_momentum: float = 0.0
     loss_bbox_type: str = "l1"  # "l1" (beta selects smooth) | "ghmr"
     ghmr_mu: float = 0.02
     ghmr_bins: int = 10
+    ghmr_momentum: float = 0.0
     # PISA (reference pisa_retinanet_head.py): ISR-P reweighting + CARL
     pisa: bool = False
     isr_k: float = 2.0
@@ -120,8 +148,14 @@ def retina_loss(
     gt_labels: jnp.ndarray,
     gt_mask: jnp.ndarray,
     axis_name: Optional[str] = None,
+    ghm_acc: Optional[Tuple] = None,
 ):
+    """Anchor-head loss.  ``ghm_acc=(acc_sum_c, acc_sum_r)`` (either may be
+    None) switches the GHM losses to their stateful EMA variant and makes
+    the call return ``(losses, (new_acc_c, new_acc_r))``."""
     b, a, c = cls_logits.shape
+    acc_c, acc_r = ghm_acc if ghm_acc is not None else (None, None)
+    new_acc_c, new_acc_r = acc_c, acc_r
 
     def targets(v, gb, gl, gm):
         assign = max_iou_assign(
@@ -179,14 +213,14 @@ def retina_loss(
 
     onehot = jax.nn.one_hot(labels.reshape(-1), c, dtype=jnp.float32)
     if cfg.loss_cls_type == "ghm":
-        loss_cls = (
-            L.ghm_c_loss(
-                cls_logits.reshape(-1, c), onehot,
-                jnp.broadcast_to(w.reshape(-1, 1), (b * a, c)),
-                bins=cfg.ghm_bins,
-            )
-            * cfg.loss_cls_weight
+        loss_cls = L.ghm_c_loss(
+            cls_logits.reshape(-1, c), onehot,
+            jnp.broadcast_to(w.reshape(-1, 1), (b * a, c)),
+            bins=cfg.ghm_bins, momentum=cfg.ghm_momentum, acc_sum=acc_c,
         )
+        if acc_c is not None:
+            loss_cls, new_acc_c = loss_cls
+        loss_cls = loss_cls * cfg.loss_cls_weight
     else:
         loss_cls = (
             L.sigmoid_focal_loss(
@@ -202,7 +236,10 @@ def retina_loss(
             bbox_preds.reshape(-1, 4), bt.reshape(-1, 4),
             jnp.broadcast_to(posf, (b * a, 4)),
             mu=cfg.ghmr_mu, bins=cfg.ghmr_bins,
+            momentum=cfg.ghmr_momentum, acc_sum=acc_r,
         )
+        if acc_r is not None:
+            loss_bbox, new_acc_r = loss_bbox
     elif cfg.smooth_l1_beta > 0:
         loss_bbox = L.smooth_l1_loss(
             bbox_preds.reshape(-1, 4), bt.reshape(-1, 4), weight=posf,
@@ -226,6 +263,8 @@ def retina_loss(
             pos.reshape(-1), reg_elem, k=cfg.carl_k, bias=cfg.carl_bias,
             avg_factor=num_total, sigmoid=True,
         )
+    if ghm_acc is not None:
+        return out, (new_acc_c, new_acc_r)
     return out
 
 

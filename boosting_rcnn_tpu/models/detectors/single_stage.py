@@ -40,6 +40,11 @@ class SingleStageNet(nn.Module):
     def __call__(self, images):
         return self.head(self.features(images))
 
+    def update_ghm_state(self, acc_c, acc_r):
+        """Thread the GHM EMA bin-count buffers into ``batch_stats``
+        (reference ``GHMC.acc_sum``/``GHMR.acc_sum``; see RetinaConvs)."""
+        return self.head.update_ghm_state(acc_c, acc_r)
+
 
 class SingleStageDetector:
     def __init__(
@@ -106,8 +111,35 @@ class SingleStageDetector:
                 batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
                 num_level_anchors, axis_name=axis_name,
             )
+        hc = self.head_cfg
+        stateful_ghm = (
+            getattr(hc, "ghm_momentum", 0.0) > 0.0
+            or getattr(hc, "ghmr_momentum", 0.0) > 0.0
+        )
+        if stateful_ghm:
+            # GHM momentum>0: read the EMA acc_sum buffers, compute the
+            # loss with the post-update weights, and write the new buffers
+            # back through the mutable-batch_stats mechanism (same call
+            # convention as Seesaw counts in two_stage.py::_seesaw_counts;
+            # a direct loss call stays pure — the update is discarded).
+            head_stats = variables.get("batch_stats", {}).get("head", {})
+            acc_c = (head_stats.get("ghm_acc_sum_c")
+                     if hc.ghm_momentum > 0.0 else None)
+            acc_r = (head_stats.get("ghm_acc_sum_r")
+                     if hc.ghmr_momentum > 0.0 else None)
+            losses, (new_c, new_r) = retina_loss(
+                hc, cls, reg, anchors, valid,
+                batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+                axis_name=axis_name, ghm_acc=(acc_c, acc_r),
+            )
+            if hasattr(self.net, "_net"):  # _MutableNet shim (train step)
+                self.net.apply(
+                    variables, new_c, new_r,
+                    method=SingleStageNet.update_ghm_state,
+                )
+            return losses
         return retina_loss(
-            self.head_cfg, cls, reg, anchors, valid,
+            hc, cls, reg, anchors, valid,
             batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
             axis_name=axis_name,
         )

@@ -362,6 +362,46 @@ def accuracy(pred, label, mask=None):
     return jnp.mean(correct) * 100.0
 
 
+def _ghm_weights(g, valid, bins: int, momentum: float, acc_sum):
+    """Gradient-density weights shared by GHM-C/R (reference
+    ``mmdet/models/losses/ghm_loss.py:94-112,198-214``).
+
+    Elements are binned by gradient length ``g`` into ``bins`` uniform unit
+    regions (``floor(g*bins)`` clamped to the last bin — equivalent to the
+    reference's ``g >= i/bins & g < (i+1)/bins`` edges incl. the widened
+    last edge, implemented as one scatter-add instead of a ``bins``-mask
+    loop so the bin histogram is a single pass on TPU).  With
+    ``momentum>0`` the per-bin denominator is the EMA ``acc_sum`` buffer,
+    updated in place for non-empty bins exactly like the reference's
+    ``acc_sum[i] = mmt*acc_sum[i] + (1-mmt)*num_in_bin`` (empty bins keep
+    their running value), and the *post-update* value weights this step —
+    matching the reference order of operations.
+
+    Returns ``(weights, tot, new_acc_sum)``; ``g`` carries no gradient
+    (built from comparisons / clamped floor only).
+    """
+    gf = jax.lax.stop_gradient(g.astype(jnp.float32))
+    v = valid.astype(jnp.float32)
+    bi = jnp.clip(jnp.floor(gf * bins).astype(jnp.int32), 0, bins - 1)
+    num_in_bin = jnp.zeros((bins,), jnp.float32).at[
+        bi.reshape(-1)
+    ].add(v.reshape(-1))
+    has = num_in_bin > 0
+    tot = jnp.maximum(v.sum(), 1.0)
+    if momentum > 0.0:
+        new_acc = jnp.where(
+            has, momentum * acc_sum + (1.0 - momentum) * num_in_bin, acc_sum
+        )
+        denom = new_acc
+    else:
+        new_acc = acc_sum
+        denom = num_in_bin
+    n = jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)
+    wbin = jnp.where(has, tot / jnp.maximum(denom, 1e-12), 0.0) / n
+    weights = wbin[bi] * v
+    return weights, tot, new_acc
+
+
 def ghm_c_loss(
     pred,
     target,
@@ -369,34 +409,28 @@ def ghm_c_loss(
     bins: int = 10,
     momentum: float = 0.0,
     reduction: str = "mean",
+    acc_sum=None,
 ):
-    """GHM classification loss (reference ``mmdet/models/losses/ghm_loss.py``):
-    per-sample BCE reweighted by the inverse gradient-density of its bin.
-    The EMA-of-bin-counts (momentum) variant needs mutable state; the
-    stateless density estimate is used here (momentum=0 semantics).
+    """GHM classification loss (reference ``mmdet/models/losses/ghm_loss.py``
+    ``GHMC``): per-sample BCE reweighted by the inverse gradient-density of
+    its bin.  ``momentum>0`` is the reference's EMA-of-bin-counts variant:
+    pass the running ``acc_sum`` buffer (shape ``(bins,)``, held in
+    ``batch_stats`` by the owning head) and the call returns
+    ``(loss, new_acc_sum)``; with ``acc_sum=None`` the stateless per-batch
+    density is used and only the loss is returned.
     """
-    if momentum != 0.0:
-        raise NotImplementedError(
-            "ghm_c_loss: momentum>0 (EMA bin counts) needs mutable state and "
-            "is not implemented; use momentum=0 (stateless density)."
+    if momentum > 0.0 and acc_sum is None:
+        raise ValueError(
+            "ghm_c_loss: momentum>0 (EMA bin counts) needs the acc_sum "
+            "state buffer (see RetinaConvs ghm state in batch_stats)."
         )
     target = target.astype(pred.dtype)
     g = jnp.abs(jax.nn.sigmoid(pred) - target)
     valid = label_weight > 0
-    tot = jnp.maximum(jnp.sum(valid.astype(pred.dtype)), 1.0)
-    edges = jnp.linspace(0.0, 1.0, bins + 1).at[-1].add(1e-6)
-    weights = jnp.zeros_like(pred)
-    n_nonempty = 0.0
-    for i in range(bins):
-        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
-        num_in_bin = jnp.sum(inds.astype(pred.dtype))
-        has = num_in_bin > 0
-        w = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), 0.0)
-        weights = weights + jnp.where(has, w, 0.0)
-        n_nonempty = n_nonempty + has.astype(pred.dtype)
-    weights = weights / jnp.maximum(n_nonempty, 1.0)
+    weights, tot, new_acc = _ghm_weights(g, valid, bins, momentum, acc_sum)
     loss = _bce_with_logits(pred, target) * weights
-    return weight_reduce_loss(loss, None, reduction, tot)
+    loss = weight_reduce_loss(loss, None, reduction, tot)
+    return (loss, new_acc) if acc_sum is not None else loss
 
 
 def ghm_r_loss(
@@ -405,26 +439,24 @@ def ghm_r_loss(
     label_weight,
     mu: float = 0.02,
     bins: int = 10,
+    momentum: float = 0.0,
     reduction: str = "mean",
+    acc_sum=None,
 ):
-    """GHM regression loss (ASL1 base, density-reweighted)."""
+    """GHM regression loss (ASL1 base, density-reweighted; reference
+    ``GHMR``).  ``momentum``/``acc_sum`` semantics as :func:`ghm_c_loss`."""
+    if momentum > 0.0 and acc_sum is None:
+        raise ValueError(
+            "ghm_r_loss: momentum>0 (EMA bin counts) needs the acc_sum "
+            "state buffer (see RetinaConvs ghm state in batch_stats)."
+        )
     diff = pred - target
     asl1 = jnp.sqrt(diff * diff + mu * mu) - mu
     g = jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff))
     valid = label_weight > 0
-    tot = jnp.maximum(jnp.sum(valid.astype(pred.dtype)), 1.0)
-    edges = jnp.linspace(0.0, 1.0, bins + 1).at[-1].add(1e3)
-    weights = jnp.zeros_like(pred)
-    n_nonempty = 0.0
-    for i in range(bins):
-        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
-        num_in_bin = jnp.sum(inds.astype(pred.dtype))
-        has = num_in_bin > 0
-        w = jnp.where(inds, tot / jnp.maximum(num_in_bin, 1.0), 0.0)
-        weights = weights + jnp.where(has, w, 0.0)
-        n_nonempty = n_nonempty + has.astype(pred.dtype)
-    weights = weights / jnp.maximum(n_nonempty, 1.0)
-    return weight_reduce_loss(asl1 * weights, None, reduction, tot)
+    weights, tot, new_acc = _ghm_weights(g, valid, bins, momentum, acc_sum)
+    loss = weight_reduce_loss(asl1 * weights, None, reduction, tot)
+    return (loss, new_acc) if acc_sum is not None else loss
 
 
 def seesaw_loss(

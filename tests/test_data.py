@@ -43,6 +43,33 @@ def test_suodac_domain_map(tmp_path):
     np.testing.assert_array_equal(m.one_hot("x/img_c.jpg"), [0.0, 1.0])
 
 
+def test_suodac_domain_map_json(tmp_path):
+    """DomainMap also accepts the json layout the dataset base config
+    declares (configs/_base_/datasets/suodac_detection.py:
+    annotations/domains.json) — both {"domain": [stems]} and
+    {"stem": domain_id} shapes."""
+    import json
+
+    import numpy as np
+
+    from boosting_rcnn_tpu.data.suodac import DomainMap
+
+    by_domain = tmp_path / "domains_lists.json"
+    by_domain.write_text(json.dumps(
+        {"type1": ["img_a", "img_b"], "type2": ["img_c"]}))
+    m = DomainMap(str(by_domain))
+    assert m.num_domains == 2
+    assert m.domain_of("x/img_c.jpg") == 1
+    np.testing.assert_array_equal(m.one_hot("x/img_a.png"), [1.0, 0.0])
+
+    by_stem = tmp_path / "domains_map.json"
+    by_stem.write_text(json.dumps({"img_a": 0, "img_b": 0, "img_c": 1}))
+    m2 = DomainMap(str(by_stem))
+    assert m2.num_domains == 2
+    assert m2.domain_of("x/img_c.jpg") == 1
+    assert m2.domain_of("x/unknown.jpg") == 0
+
+
 def test_cityscapes_dataset_and_protocol(tmp_path):
     """Cityscapes dataset (reference datasets/cityscapes.py): 8 thing
     classes, official instance dump format, cityscapes metric."""

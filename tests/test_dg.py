@@ -247,3 +247,48 @@ def test_loader_jigsaw_and_dgaug_keys(tmp_path):
     np.testing.assert_allclose(
         np.sort(im[:h3, :w3].ravel()), np.sort(pz[:h3, :w3].ravel()),
         rtol=1e-6)
+
+
+def test_loader_domain_file_json_threads_domain_label(tmp_path):
+    """Real-loader DG path: a json domain_file (the layout
+    configs/_base_/datasets/suodac_detection.py declares) reaches the
+    batch as one-hot domain_label keyed by image stem."""
+    import json
+
+    import cv2
+
+    from boosting_rcnn_tpu.data.coco import CocoDataset
+    from boosting_rcnn_tpu.data.loader import DetDataLoader
+
+    anns = {
+        "images": [
+            {"id": i + 1, "file_name": f"img_{i}.jpg",
+             "width": 64, "height": 64}
+            for i in range(4)
+        ],
+        "categories": [{"id": 1, "name": "fish"}],
+        "annotations": [
+            {"id": i + 1, "image_id": i + 1, "category_id": 1,
+             "bbox": [8, 8, 30, 30], "area": 900, "iscrowd": 0}
+            for i in range(4)
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(anns))
+    (tmp_path / "domains.json").write_text(json.dumps(
+        {f"img_{i}": i % 2 for i in range(4)}))
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / f"img_{i}.jpg"),
+                    (rs.rand(64, 64, 3) * 255).astype(np.uint8))
+    ds = CocoDataset(str(tmp_path / "ann.json"), img_prefix=str(tmp_path))
+    loader = DetDataLoader(
+        ds, batch_size=4, canvas=(64, 96), scale=(96, 64), train=True,
+        flip_prob=0.0, domain_file=str(tmp_path / "domains.json"),
+        seed=0, prefetch=1,
+    )
+    batch = next(loader.epoch_iter(0))
+    dl = batch["domain_label"]
+    assert dl.shape == (4, 2)
+    np.testing.assert_allclose(dl.sum(-1), 1.0)
+    # both domains must actually appear (donor-0-only would collapse this)
+    assert set(np.argmax(dl, -1).tolist()) == {0, 1}

@@ -113,3 +113,68 @@ def test_selfsup_swav_passthrough(tmp_path):
     torch.save(sd, str(src))
     out = selfsup_convert(str(src), str(dst), "swav")
     assert set(out) == {"conv1.weight"}
+
+
+def _path_keys(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return sorted(
+        "/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat
+    )
+
+
+def test_load_pretrained_backbone_wrapper_descent_and_stats(tmp_path):
+    """Advisor r3 (DMC config): HiddenMixupResNet nests the ResNet under
+    backbone/resnet — load_pretrained_backbone must descend into the
+    wrapper (top-level merging leaves the real weights random and adds
+    stray siblings that desync grads from opt_state) AND must merge the BN
+    running statistics into batch_stats (FrozenBatchNorm folds mean/var
+    from there; params-only loading leaves features un-normalized)."""
+    import torch
+
+    from boosting_rcnn_tpu.models.backbones.resnet import ResNet
+    from boosting_rcnn_tpu.models.thesis_extras import HiddenMixupResNet
+    from tools.convert_torch_weights import load_pretrained_backbone
+
+    m = HiddenMixupResNet(
+        resnet=ResNet(depth=18, base_channels=8, frozen_stages=-1))
+    variables = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    params = {"backbone": dict(variables["params"])}
+    stats = {"backbone": dict(variables["batch_stats"])}
+    assert "resnet" in params["backbone"], "wrapper level expected"
+
+    w = torch.arange(8 * 3 * 7 * 7, dtype=torch.float32).reshape(8, 3, 7, 7)
+    rm = torch.full((8,), 3.0)
+    sd = {
+        "conv1.weight": w,
+        "bn1.weight": torch.full((8,), 2.0),
+        "bn1.bias": torch.full((8,), -1.0),
+        "bn1.running_mean": rm,
+        "bn1.running_var": torch.full((8,), 0.5),
+    }
+    pth = tmp_path / "bb.pth"
+    torch.save(sd, str(pth))
+
+    new_p, new_s = load_pretrained_backbone(str(pth), params, stats)
+    # no structural drift: same leaves before and after
+    assert _path_keys(new_p) == _path_keys(params)
+    assert _path_keys(new_s) == _path_keys(stats)
+    # the wrapped resnet actually received the weights (HWIO transpose)
+    got = np.asarray(new_p["backbone"]["resnet"]["conv1"]["kernel"])
+    np.testing.assert_allclose(
+        got, w.numpy().transpose(2, 3, 1, 0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_p["backbone"]["resnet"]["bn1"]["scale"]), 2.0)
+    # running stats landed in batch_stats
+    np.testing.assert_allclose(
+        np.asarray(new_s["backbone"]["resnet"]["bn1"]["mean"]), 3.0)
+    np.testing.assert_allclose(
+        np.asarray(new_s["backbone"]["resnet"]["bn1"]["var"]), 0.5)
+
+    # plain (unwrapped) ResNet trees keep working
+    params2 = {"backbone": dict(variables["params"]["resnet"])}
+    stats2 = {"backbone": dict(variables["batch_stats"]["resnet"])}
+    new_p2, new_s2 = load_pretrained_backbone(str(pth), params2, stats2)
+    assert _path_keys(new_p2) == _path_keys(params2)
+    np.testing.assert_allclose(
+        np.asarray(new_s2["backbone"]["bn1"]["mean"]), 3.0)

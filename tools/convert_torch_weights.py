@@ -104,12 +104,45 @@ def _assign_conv_or_bn(params, stats, path, leaf, v):
     # num_batches_tracked ignored
 
 
-def load_pretrained_backbone(checkpoint: str, params):
-    """Load torchvision-style backbone weights into an existing param tree.
+def _merge_backbone_subtree(tree, sub):
+    """Merge converted backbone leaves into ``tree['backbone']``.
+
+    Wrapper backbones (HiddenMixupResNet) nest the ResNet one level down
+    under ``resnet`` — descend, mirroring the frozen_stages_mask handling
+    in ``engine/train.py``; merging at the backbone top level would leave
+    the real weights random AND desync the grads tree from the opt_state
+    inited on the original params."""
+    new = dict(tree)
+    merged = dict(new["backbone"])
+    wrapper = None
+    if "resnet" in merged and not any(
+        k.startswith(("conv", "bn", "stem", "layer")) for k in merged
+    ):
+        wrapper = "resnet"
+        merged = dict(merged["resnet"])
+    for k, v in sub.items():
+        merged[k] = _merge_leaves(merged.get(k, {}), v)
+    if wrapper is not None:
+        outer = dict(new["backbone"])
+        outer[wrapper] = merged
+        merged = outer
+    new["backbone"] = merged
+    return new
+
+
+def load_pretrained_backbone(checkpoint: str, params, batch_stats=None):
+    """Load torchvision-style backbone weights into existing trees.
 
     ``torchvision://resnet50`` resolves through torchvision's model zoo when
     network access exists, else raises (caller falls back to random init).
     A local ``.pth`` path is also accepted.
+
+    Returns ``(params, batch_stats)``.  The BN running statistics MUST be
+    merged too: FrozenBatchNorm folds ``mean``/``var`` from the
+    ``batch_stats`` collection (models/layers.py:49-54) — loading only the
+    conv/scale/bias params would leave the pretrained features
+    un-normalized (mean=0/var=1).  ``batch_stats=None`` returns ``None``
+    stats for backward compatibility.
     """
     import torch
 
@@ -124,12 +157,13 @@ def load_pretrained_backbone(checkpoint: str, params):
         if "state_dict" in sd:
             sd = sd["state_dict"]
     bb_params, bb_stats = convert_torchvision_resnet(sd)
-    new = dict(params)
-    merged = dict(new["backbone"])
-    for k, v in bb_params.items():
-        merged[k] = _merge_leaves(merged.get(k, {}), v)
-    new["backbone"] = merged
-    return new
+    new_params = _merge_backbone_subtree(params, bb_params)
+    new_stats = None
+    if batch_stats is not None and "backbone" in batch_stats:
+        new_stats = _merge_backbone_subtree(batch_stats, bb_stats)
+    elif batch_stats is not None:
+        new_stats = batch_stats
+    return new_params, new_stats
 
 
 def _merge_leaves(dst, src):

@@ -213,7 +213,11 @@ def main():
             albu=pipeline.get("albu"),
             instaboost=pipeline.get("instaboost"),
             img_norm=pipeline.get("img_norm"),
-            domain_file=pipeline.get("domain_file"),
+            # domain labels: pipeline key, falling back to the dataset-level
+            # key (configs/_base_/datasets/suodac_detection.py declares it
+            # at data.train.domain_file)
+            domain_file=(pipeline.get("domain_file")
+                         or data_cfg["train"].get("domain_file")),
             jigsaw=pipeline.get("jigsaw"),
             dgaug=pipeline.get("dgaug", False),
             with_semantic=with_semantic,
@@ -300,8 +304,12 @@ def main():
         try:
             from tools.convert_torch_weights import load_pretrained_backbone
 
+            new_p, new_s = load_pretrained_backbone(
+                ckpt, state.params, state.batch_stats)
             state = state.replace(
-                params=load_pretrained_backbone(ckpt, state.params)
+                params=new_p,
+                batch_stats=(new_s if new_s is not None
+                             else state.batch_stats),
             )
             logger.info(f"loaded pretrained backbone: {ckpt}")
         except Exception as e:  # zero-egress envs have no torchvision zoo
