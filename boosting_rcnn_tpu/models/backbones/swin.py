@@ -101,27 +101,39 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C), H/W already padded to multiples of window."""
+        """x: (B, H, W, C).  Window padding is per block with zeros after
+        norm1 and sliced away after the reverse shift — EXACTLY the
+        reference order (``swin.py:178-247`` ShiftWindowMSA pads the
+        normed query and crops back to H, W); carrying the padded region
+        across blocks would let attention mix stale pad values into the
+        boundary windows of the next block."""
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        pad_h = (-h) % ws
+        pad_w = (-w) % ws
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(h, w, ws, self.shift))
+            mask = jnp.asarray(shifted_window_mask(hp, wp, ws, self.shift))
         else:
             mask = None
         win = window_partition(y, ws)
         win = WindowAttention(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
         )(win, mask)
-        y = window_reverse(win, ws, h, w)
+        y = window_reverse(win, ws, hp, wp)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w]
         x = shortcut + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = jax.nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -141,7 +153,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -170,21 +182,13 @@ class SwinTransformer(nn.Module):
             self.embed_dims, (ps, ps), strides=(ps, ps), dtype=self.dtype,
             name="patch_embed",
         )(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dims
         for stage, depth in enumerate(self.depths):
-            hh, ww = x.shape[1], x.shape[2]
-            pad_h = (-hh) % self.window_size
-            pad_w = (-ww) % self.window_size
-            xp = (
-                jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-                if (pad_h or pad_w)
-                else x
-            )
             for blk in range(depth):
-                xp = SwinBlock(
+                x = SwinBlock(
                     dim,
                     self.num_heads[stage],
                     window_size=self.window_size,
@@ -192,11 +196,10 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
-                )(xp)
-            x = xp[:, :hh, :ww]
+                )(x)
             if stage in self.out_indices:
                 outs.append(
-                    nn.LayerNorm(dtype=self.dtype, name=f"out_norm{stage}")(x)
+                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{stage}")(x)
                 )
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim * 2, dtype=self.dtype, name=f"merge{stage}")(x)

@@ -130,6 +130,115 @@ def _merge_backbone_subtree(tree, sub):
     return new
 
 
+def _swin_merge_perm(c: int) -> np.ndarray:
+    """Channel permutation torch->flax for PatchMerging's 4C features.
+
+    The reference merges 2x2 patches with ``nn.Unfold`` (``mmdet/models/
+    utils/transformer.py`` PatchMerging), whose channel order is
+    channel-slowest: ``t = c*4 + (ky*2 + kx)``.  The flax PatchMerging
+    concatenates blocks ``[x00, x10, x01, x11]`` (``o = block*C + c``,
+    swin.py:140-143).  Returns ``perm`` with ``ours[o] = torch[perm[o]]``.
+    """
+    kmap = {0: 0, 1: 2, 2: 1, 3: 3}  # block -> unfold k=(ky*2+kx)
+    return np.asarray(
+        [c_ * 4 + kmap[blk] for blk in range(4) for c_ in range(c)],
+        np.int64,
+    )
+
+
+def convert_swin_backbone(sd: Dict[str, Any]):
+    """mmdet Swin backbone state dict -> flax SwinTransformer param tree.
+
+    Key mapping (reference ``mmdet/models/backbones/swin.py``):
+
+    torch                                         | flax
+    ----------------------------------------------|----------------------
+    patch_embed.projection.{weight,bias}          | patch_embed/{kernel,bias}
+    patch_embed.norm.{weight,bias}                | patch_norm/{scale,bias}
+    stages.S.blocks.B.norm{1,2}.*                 | stageS_blockB/norm{1,2}/*
+    stages.S.blocks.B.attn.w_msa.qkv/proj.*       | stageS_blockB/attn/{qkv,proj}/*
+    stages.S.blocks.B.attn.w_msa.rel..bias_table  | stageS_blockB/attn/relative_position_bias_table
+    stages.S.blocks.B.ffn.layers.0.0 / layers.1   | stageS_blockB/{mlp_fc1,mlp_fc2}
+    stages.S.downsample.norm / reduction          | mergeS/{norm,reduction} (4C permuted)
+    norm{I}.{weight,bias} (out norms)             | out_normI/{scale,bias}
+
+    ``relative_position_index`` buffers are recomputed (the mmdet
+    double_step_seq+flip table equals the standard formula — asserted by
+    tests/test_parity_swin.py); ``attn_mask`` buffers don't exist in the
+    checkpoint (computed on the fly).
+    """
+    params: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        d = params
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf] = v
+
+    for k, v in sd.items():
+        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        if k == "patch_embed.projection.weight":
+            put(["patch_embed"], "kernel", _t_conv(v))
+        elif k == "patch_embed.projection.bias":
+            put(["patch_embed"], "bias", v)
+        elif k.startswith("patch_embed.norm."):
+            put(["patch_norm"],
+                "scale" if k.endswith("weight") else "bias", v)
+        elif k == "absolute_pos_embed":
+            raise NotImplementedError(
+                "absolute_pos_embed (use_abs_pos_embed=True) is not part of "
+                "the Swin-T/S/B detection configs; unsupported")
+        elif re.match(r"norm\d+\.(weight|bias)", k):
+            m = re.match(r"norm(\d+)\.(weight|bias)", k)
+            put([f"out_norm{m.group(1)}"],
+                "scale" if m.group(2) == "weight" else "bias", v)
+        elif k.startswith("stages."):
+            m = re.match(r"stages\.(\d+)\.downsample\.(norm|reduction)\.(weight|bias)", k)
+            if m:
+                s, mod, leaf = int(m.group(1)), m.group(2), m.group(3)
+                if mod == "reduction":  # (2C_out, 4C) -> (4C, 2C_out), rows permuted
+                    perm = _swin_merge_perm(v.shape[1] // 4)
+                    put([f"merge{s}", "reduction"], "kernel", v.T[perm])
+                else:
+                    perm = _swin_merge_perm(v.shape[0] // 4)
+                    put([f"merge{s}", "norm"],
+                        "scale" if leaf == "weight" else "bias", v[perm])
+                continue
+            m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.*)", k)
+            if not m:
+                continue
+            s, b, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            blk = f"stage{s}_block{b}"
+            if rest.startswith("norm1.") or rest.startswith("norm2."):
+                norm, leaf = rest.split(".")
+                put([blk, norm], "scale" if leaf == "weight" else "bias", v)
+            elif rest == "attn.w_msa.relative_position_bias_table":
+                put([blk, "attn"], "relative_position_bias_table", v)
+            elif rest == "attn.w_msa.relative_position_index":
+                continue  # recomputed constant
+            elif rest.startswith("attn.w_msa.qkv."):
+                leaf = rest.split(".")[-1]
+                put([blk, "attn", "qkv"],
+                    "kernel" if leaf == "weight" else "bias",
+                    v.T if leaf == "weight" else v)
+            elif rest.startswith("attn.w_msa.proj."):
+                leaf = rest.split(".")[-1]
+                put([blk, "attn", "proj"],
+                    "kernel" if leaf == "weight" else "bias",
+                    v.T if leaf == "weight" else v)
+            elif rest.startswith("ffn.layers.0.0."):
+                leaf = rest.split(".")[-1]
+                put([blk, "mlp_fc1"],
+                    "kernel" if leaf == "weight" else "bias",
+                    v.T if leaf == "weight" else v)
+            elif rest.startswith("ffn.layers.1."):
+                leaf = rest.split(".")[-1]
+                put([blk, "mlp_fc2"],
+                    "kernel" if leaf == "weight" else "bias",
+                    v.T if leaf == "weight" else v)
+    return params, {}
+
+
 def load_pretrained_backbone(checkpoint: str, params, batch_stats=None):
     """Load torchvision-style backbone weights into existing trees.
 
@@ -203,7 +312,10 @@ def convert_mmdet_checkpoint(ckpt_path: str):
     bb = {k[len("backbone."):]: sd[k] for k in sd if k.startswith("backbone.")}
     import torch as _t
 
-    params["backbone"], stats["backbone"] = convert_torchvision_resnet(bb)
+    if any(k.startswith("patch_embed.projection") for k in bb):
+        params["backbone"], stats["backbone"] = convert_swin_backbone(bb)
+    else:
+        params["backbone"], stats["backbone"] = convert_torchvision_resnet(bb)
 
     def put(root, path, leaf, v):
         d = params[root]
