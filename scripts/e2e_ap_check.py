@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--n-train", type=int, default=200)
     ap.add_argument("--lr", type=float, default=0.0025)  # linear-scaled bs2
     ap.add_argument(
+        "--dtype", choices=["f32", "bf16"], default="f32",
+        help="compute dtype for train AND eval — bf16 proves the "
+        "mixed-precision path holds AP (reference fp16 Faster R-CNN "
+        "loses <0.1 AP, configs/fp16/metafile.yml)")
+    ap.add_argument(
         "--segm", action="store_true",
         help="train the tiny Mask R-CNN instead and assert SEGM mAP — "
         "proves the mask training/eval path end-to-end (the synthetic "
@@ -65,6 +70,8 @@ def main():
         "model.backbone.frozen_stages=-1",  # from scratch: train the stem
         "model.backbone.init_cfg=None",
     ]
+    if args.dtype == "bf16":
+        overrides.append("compute_dtype=bfloat16")
     if args.segm:
         overrides += [
             "model.roi_head.bbox_head.num_classes=4",
