@@ -56,9 +56,68 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, rep)
 
 
-def init_distributed():
-    """Multi-host init (no-op on a single host)."""
+def _first_hostname(nodelist: str) -> str:
+    """First host of a Slurm hostlist expression.
+
+    Handles the forms srun actually emits: ``host``, ``a,b``, and the
+    bracket form ``prefix[001-003,007]`` (zero-padded width preserved).
+    Only the FIRST host is needed (it becomes the coordinator), so full
+    hostlist expansion is not implemented.
+    """
+    head = nodelist.split(",")[0] if "[" not in nodelist.split(",")[0] \
+        else nodelist
+    if "[" in head:
+        prefix, rest = head.split("[", 1)
+        first = rest.split("]", 1)[0].split(",")[0].split("-")[0]
+        return prefix + first
+    return head
+
+
+def cluster_spec_from_env(env=None):
+    """``(coordinator_address, num_processes, process_id)`` from the env.
+
+    Covers the reference's launcher surface (``init_dist`` pytorch/slurm
+    branches, mmcv ``dist_utils``): explicit ``COORDINATOR_ADDRESS`` /
+    ``NUM_PROCESSES`` / ``PROCESS_ID`` win; otherwise ``SLURM_*`` task
+    variables (the env ``tools/slurm_train.sh``'s srun gives every task)
+    are parsed — ``SLURM_PROCID`` → process_id, ``SLURM_NTASKS`` →
+    num_processes, first host of ``SLURM_STEP_NODELIST`` (fallback
+    ``SLURM_JOB_NODELIST``) plus a deterministic port derived from
+    ``SLURM_JOB_ID`` (override: ``COORDINATOR_PORT``) → coordinator.
+    Returns ``None`` on a single host (neither form present, or ntasks=1
+    without an explicit coordinator).
+    """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    env = os.environ if env is None else env
+    if env.get("COORDINATOR_ADDRESS"):
+        return (
+            env["COORDINATOR_ADDRESS"],
+            int(env["NUM_PROCESSES"]) if env.get("NUM_PROCESSES") else None,
+            int(env["PROCESS_ID"]) if env.get("PROCESS_ID") else None,
+        )
+    nodelist = env.get("SLURM_STEP_NODELIST") or env.get("SLURM_JOB_NODELIST")
+    if not nodelist or not env.get("SLURM_NTASKS"):
+        return None
+    ntasks = int(env["SLURM_NTASKS"])
+    if ntasks <= 1:
+        return None
+    port = int(env.get("COORDINATOR_PORT",
+                       8476 + int(env.get("SLURM_JOB_ID", 0)) % 1024))
+    return (
+        f"{_first_hostname(nodelist)}:{port}",
+        ntasks,
+        int(env.get("SLURM_PROCID", 0)),
+    )
+
+
+def init_distributed():
+    """Multi-host init (no-op on a single host)."""
+    spec = cluster_spec_from_env()
+    if spec is None:
+        return
+    addr, nproc, pid = spec
+    kw = {"coordinator_address": addr}
+    if nproc is not None:
+        kw.update(num_processes=nproc, process_id=pid or 0)
+    jax.distributed.initialize(**kw)

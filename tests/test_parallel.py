@@ -84,3 +84,47 @@ def test_dp_train_step_matches_single_device():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
     )
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_cluster_spec_from_env():
+    """Forged-env coverage of the Slurm/explicit launcher parsing
+    (tools/slurm_train.sh relies on this; reference analog is
+    mmcv dist_utils' _init_dist_slurm SLURM_* -> MASTER_ADDR mapping)."""
+    from boosting_rcnn_tpu.parallel.mesh import cluster_spec_from_env
+
+    # explicit coordinator wins
+    assert cluster_spec_from_env(
+        {"COORDINATOR_ADDRESS": "10.0.0.1:1234",
+         "NUM_PROCESSES": "4", "PROCESS_ID": "2",
+         "SLURM_NTASKS": "8", "SLURM_JOB_NODELIST": "other"}
+    ) == ("10.0.0.1:1234", 4, 2)
+    assert cluster_spec_from_env(
+        {"COORDINATOR_ADDRESS": "10.0.0.1:1234"}
+    ) == ("10.0.0.1:1234", None, None)
+
+    # srun task env: bracket hostlist, zero padding preserved
+    spec = cluster_spec_from_env({
+        "SLURM_STEP_NODELIST": "tpu-host[003-006]",
+        "SLURM_NTASKS": "4", "SLURM_PROCID": "3",
+        "SLURM_JOB_ID": "12345",
+    })
+    assert spec == (f"tpu-host003:{8476 + 12345 % 1024}", 4, 3)
+
+    # comma list + explicit port override; JOB_NODELIST fallback
+    assert cluster_spec_from_env({
+        "SLURM_JOB_NODELIST": "alpha,beta",
+        "SLURM_NTASKS": "2", "SLURM_PROCID": "1",
+        "COORDINATOR_PORT": "9999",
+    }) == ("alpha:9999", 2, 1)
+
+    # bracket with inner comma before another host
+    assert cluster_spec_from_env({
+        "SLURM_STEP_NODELIST": "n[1,7],m2",
+        "SLURM_NTASKS": "3", "SLURM_PROCID": "0",
+        "SLURM_JOB_ID": "7",
+    })[0].startswith("n1:")
+
+    # single host / single task -> no distributed init
+    assert cluster_spec_from_env({}) is None
+    assert cluster_spec_from_env(
+        {"SLURM_JOB_NODELIST": "solo", "SLURM_NTASKS": "1"}) is None
