@@ -239,6 +239,77 @@ def convert_swin_backbone(sd: Dict[str, Any]):
     return params, {}
 
 
+def convert_mmdet_singlestage(sd: Dict[str, Any]):
+    """mmdet single-stage checkpoint -> ``SingleStageNet`` trees
+    (roots ``backbone``/``neck``/``head``).
+
+    Covers the BASELINE-named anchor-head graphs (reference
+    ``configs/atss/metafile.yml:39``, retinanet): ``bbox_head.{cls_convs,
+    reg_convs}.N.{conv,gn}`` towers (mmdet ConvModule names its GN child
+    ``gn``), ``atss_{cls,reg,centerness}`` / ``retina_{cls,reg}`` branch
+    convs and per-level ``scales.N.scale``.  Backbone/neck reuse the
+    two-stage mapping rules.
+    """
+    params: Dict[str, Any] = {"backbone": {}, "neck": {}, "head": {}}
+    stats: Dict[str, Any] = {"backbone": {}}
+
+    bb = {k[len("backbone."):]: sd[k] for k in sd if k.startswith("backbone.")}
+    if any(k.startswith("patch_embed.projection") for k in bb):
+        params["backbone"], stats["backbone"] = convert_swin_backbone(bb)
+    else:
+        params["backbone"], stats["backbone"] = convert_torchvision_resnet(bb)
+
+    def put(root, path, leaf, v):
+        d = params[root]
+        for p in path:
+            d = d.setdefault(p, {})
+        d[leaf] = v
+
+    for k, v in sd.items():
+        if k.startswith("neck."):
+            m = re.match(
+                r"neck\.(lateral_convs|fpn_convs|downsample_convs|pafpn_convs)"
+                r"\.(\d+)\.conv\.(weight|bias)", k)
+            if not m:
+                continue
+            fam, idx, leaf = m.group(1), int(m.group(2)), m.group(3)
+            name = {
+                "lateral_convs": f"lateral_{idx}",
+                "fpn_convs": f"fpn_conv_{idx}",
+                "downsample_convs": f"downsample_{idx}",
+                "pafpn_convs": f"pafpn_conv_{idx}",
+            }[fam]
+            put("neck", [name, "Conv_0"],
+                "kernel" if leaf == "weight" else "bias",
+                _t_conv(v) if leaf == "weight" else v)
+        elif k.startswith("bbox_head."):
+            m = re.match(
+                r"bbox_head\.(cls|reg)_convs\.(\d+)\.conv\.(weight|bias)", k)
+            if m:
+                put("head", [f"{m.group(1)}_conv_{m.group(2)}", "Conv_0"],
+                    "kernel" if m.group(3) == "weight" else "bias",
+                    _t_conv(v) if m.group(3) == "weight" else v)
+                continue
+            m = re.match(
+                r"bbox_head\.(cls|reg)_convs\.(\d+)\.gn\.(weight|bias)", k)
+            if m:
+                put("head", [f"{m.group(1)}_conv_{m.group(2)}", "GroupNorm_0"],
+                    "scale" if m.group(3) == "weight" else "bias", v)
+                continue
+            m = re.match(
+                r"bbox_head\.(atss_cls|atss_reg|atss_centerness|retina_cls|"
+                r"retina_reg)\.(weight|bias)", k)
+            if m:
+                put("head", [m.group(1)],
+                    "kernel" if m.group(2) == "weight" else "bias",
+                    _t_conv(v) if m.group(2) == "weight" else v)
+                continue
+            m = re.match(r"bbox_head\.scales\.(\d+)\.scale", k)
+            if m:
+                put("head", [f"scale_{m.group(1)}"], "scale", v.reshape(()))
+    return params, stats
+
+
 def load_pretrained_backbone(checkpoint: str, params, batch_stats=None):
     """Load torchvision-style backbone weights into existing trees.
 
@@ -305,6 +376,10 @@ def convert_mmdet_checkpoint(ckpt_path: str):
     if "state_dict" in sd:
         sd = sd["state_dict"]
     sd = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+
+    if (any(k.startswith("bbox_head.") for k in sd)
+            and not any(k.startswith(("rpn_head.", "roi_head.")) for k in sd)):
+        return convert_mmdet_singlestage(sd)
 
     params: Dict[str, Any] = {"backbone": {}, "neck": {}, "rpn": {}, "bbox_head": {}}
     stats: Dict[str, Any] = {"backbone": {}}
