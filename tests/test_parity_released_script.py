@@ -1,0 +1,196 @@
+"""Push-button released-checkpoint parity script (VERDICT r3 item 10).
+
+The UTDAC mAP gate needs the released .pth (not available offline), so
+these tests forge state dicts with the exact mmdet key/shape layout and
+prove the whole command works end to end:
+
+* ``test_full_size_coverage`` — forge the FULL-SIZE flagship state dict
+  (R50 bottleneck [3,4,6,3], PAFPN 256, ATSS-RPN 4-stack/9-anchor,
+  2FC-1024 prob head), convert, and assert the converted tree covers the
+  real full-size init tree EXACTLY (key sets equal, every shape equal) —
+  the only missing ingredient for the real gate is the file itself.
+* ``test_script_tiny_end_to_end`` — forge the shrunk graph, run
+  ``scripts/parity_released_ckpt.py --tiny`` against a synthetic COCO
+  val set, and assert convert -> save -> tools/test.py eval completes.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def forge_flagship_sd(depth=50, base=64, feat=256, stacked=4, fc=1024,
+                      num_classes=4, anchors=9):
+    """mmdet-named random state dict of the Boosting R-CNN flagship.
+
+    Key layout mirrors the released checkpoint (reference
+    ``configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py`` model):
+    torchvision-style ResNet, PAFPN (extras appended to ``fpn_convs``),
+    ATSSRPNHead GN tower + 3 branches + scales, Prob 2FC bbox head.
+    """
+    rs = np.random.RandomState(0)
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rs.randn(*shape).astype(np.float32) * 0.05
+
+    def add_bn(prefix, c):
+        add(f"{prefix}.weight", c)
+        add(f"{prefix}.bias", c)
+        sd[f"{prefix}.running_mean"] = rs.randn(c).astype(np.float32) * 0.1
+        sd[f"{prefix}.running_var"] = rs.rand(c).astype(np.float32) + 0.5
+
+    # --- backbone ---
+    add("backbone.conv1.weight", base, 3, 7, 7)
+    add_bn("backbone.bn1", base)
+    bottleneck = depth >= 50
+    blocks = {18: [2, 2, 2, 2], 50: [3, 4, 6, 3]}[depth]
+    exp = 4 if bottleneck else 1
+    cin = base
+    for li, nb in enumerate(blocks):
+        planes = base * 2 ** li
+        cout = planes * exp
+        for b in range(nb):
+            p = f"backbone.layer{li + 1}.{b}"
+            stride_block = b == 0
+            if bottleneck:
+                add(f"{p}.conv1.weight", planes, cin, 1, 1)
+                add_bn(f"{p}.bn1", planes)
+                add(f"{p}.conv2.weight", planes, planes, 3, 3)
+                add_bn(f"{p}.bn2", planes)
+                add(f"{p}.conv3.weight", cout, planes, 1, 1)
+                add_bn(f"{p}.bn3", cout)
+            else:
+                add(f"{p}.conv1.weight", planes, cin, 3, 3)
+                add_bn(f"{p}.bn1", planes)
+                add(f"{p}.conv2.weight", planes, planes, 3, 3)
+                add_bn(f"{p}.bn2", planes)
+            if stride_block and (cin != cout or li > 0):
+                add(f"{p}.downsample.0.weight", cout, cin, 1, 1)
+                add_bn(f"{p}.downsample.1", cout)
+            cin = cout
+
+    # --- PAFPN (start 1, 5 outs, extras on_output in fpn_convs) ---
+    ins = [base * exp * 2 ** i for i in range(4)]  # C2..C5
+    for i in range(3):
+        add(f"neck.lateral_convs.{i}.conv.weight", feat, ins[1 + i], 1, 1)
+        add(f"neck.lateral_convs.{i}.conv.bias", feat)
+    for i in range(5):
+        add(f"neck.fpn_convs.{i}.conv.weight", feat, feat, 3, 3)
+        add(f"neck.fpn_convs.{i}.conv.bias", feat)
+    for i in range(2):
+        add(f"neck.downsample_convs.{i}.conv.weight", feat, feat, 3, 3)
+        add(f"neck.downsample_convs.{i}.conv.bias", feat)
+        add(f"neck.pafpn_convs.{i}.conv.weight", feat, feat, 3, 3)
+        add(f"neck.pafpn_convs.{i}.conv.bias", feat)
+
+    # --- ATSS RPN head ---
+    for i in range(stacked):
+        add(f"rpn_head.rpn_convs.{i}.conv.weight", feat, feat, 3, 3)
+        add(f"rpn_head.rpn_convs.{i}.gn.weight", feat)
+        add(f"rpn_head.rpn_convs.{i}.gn.bias", feat)
+    add("rpn_head.rpn_cls.weight", anchors, feat, 3, 3)
+    add("rpn_head.rpn_cls.bias", anchors)
+    add("rpn_head.rpn_reg.weight", anchors * 4, feat, 3, 3)
+    add("rpn_head.rpn_reg.bias", anchors * 4)
+    add("rpn_head.rpn_iou.weight", anchors, feat, 3, 3)
+    add("rpn_head.rpn_iou.bias", anchors)
+    for i in range(5):
+        sd[f"rpn_head.scales.{i}.scale"] = np.float32(1.0 + 0.1 * i)
+
+    # --- Prob 2FC bbox head ---
+    add("roi_head.bbox_head.shared_fcs.0.weight", fc, feat * 7 * 7)
+    add("roi_head.bbox_head.shared_fcs.0.bias", fc)
+    add("roi_head.bbox_head.shared_fcs.1.weight", fc, fc)
+    add("roi_head.bbox_head.shared_fcs.1.bias", fc)
+    add("roi_head.bbox_head.fc_cls.weight", num_classes + 1, fc)
+    add("roi_head.bbox_head.fc_cls.bias", num_classes + 1)
+    add("roi_head.bbox_head.fc_reg.weight", num_classes * 4, fc)
+    add("roi_head.bbox_head.fc_reg.bias", num_classes * 4)
+    return sd
+
+
+def _save(sd, path):
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()}}, path)
+
+
+def _flat(tree, pre=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat(v, pre + k + "/"))
+        else:
+            out[pre + k] = np.asarray(v)
+    return out
+
+
+def test_full_size_coverage(tmp_path):
+    import jax
+
+    from boosting_rcnn_tpu.builder import build_detector
+    from boosting_rcnn_tpu.config import load_config
+    from tools.convert_torch_weights import convert_mmdet_checkpoint
+
+    ckpt = str(tmp_path / "forged_full.pth")
+    _save(forge_flagship_sd(), ckpt)
+    params, stats = convert_mmdet_checkpoint(ckpt)
+
+    cfg = load_config(os.path.join(
+        REPO, "configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py"))
+    det = build_detector(cfg.model.to_dict())
+    variables = det.init(jax.random.PRNGKey(0), (128, 160))
+
+    want = _flat(jax.tree.map(np.asarray, variables["params"]))
+    got = _flat(params)
+    assert set(want) == set(got), (
+        sorted(set(want) - set(got))[:10], sorted(set(got) - set(want))[:10])
+    for k in want:
+        assert want[k].shape == got[k].shape, (k, want[k].shape, got[k].shape)
+
+    swant = _flat(jax.tree.map(np.asarray, variables["batch_stats"]))
+    sgot = _flat(stats)
+    assert set(swant) == set(sgot), (
+        sorted(set(swant) - set(sgot))[:10],
+        sorted(set(sgot) - set(swant))[:10])
+
+
+@pytest.mark.slow
+def test_script_tiny_end_to_end(tmp_path):
+    from scripts.make_synthetic_coco import generate
+
+    data_dir = str(tmp_path / "synth")
+    generate(data_dir, n_train=4, n_val=6)
+
+    ckpt = str(tmp_path / "forged_tiny.pth")
+    _save(forge_flagship_sd(depth=18, base=8, feat=32, stacked=2, fc=64),
+          ckpt)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/parity_released_ckpt.py"),
+         ckpt, "--tiny", "--work-dir", str(tmp_path / "wd"),
+         "--cfg-options",
+         f"data.test.ann_file={data_dir}/val.json",
+         f"data.test.img_prefix={data_dir}/val",
+         "data.test.type=CocoDataset",
+         "data.samples_per_gpu=2"],
+        env=env, cwd=REPO, capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "coverage:" in out.stdout
+    assert "conversion+eval OK" in out.stdout, out.stdout[-2000:]
+    # forged tree must fully cover the tiny graph too
+    cov_line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("coverage:")][0]
+    assert "(100.0%)" in cov_line, cov_line

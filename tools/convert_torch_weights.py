@@ -375,7 +375,8 @@ def convert_mmdet_checkpoint(ckpt_path: str):
     sd = torch.load(ckpt_path, map_location="cpu")
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    sd = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+    sd = {k: np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+          for k, v in sd.items()}
 
     if (any(k.startswith("bbox_head.") for k in sd)
             and not any(k.startswith(("rpn_head.", "roi_head.")) for k in sd)):
