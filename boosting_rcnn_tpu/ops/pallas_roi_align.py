@@ -180,10 +180,23 @@ def multilevel_roi_align_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ``multilevel_roi_align_fast`` backed by the
-    fused Pallas kernel (same geometry preparation, no window tensor)."""
+    fused Pallas kernel (same geometry preparation, no window tensor).
+
+    Channel counts that are not lane-aligned (C % 128 != 0 — shrunken dev
+    models) fall back to the XLA path: the kernel's (win, W, C) ->
+    (win, W*C) view is only a relayout-free Mosaic shape cast when C is a
+    multiple of the 128-lane tile (observed: Mosaic rejects C=32 with
+    'infer-vector-layout: unsupported shape cast')."""
     import numpy as np
 
-    from .roi_align import _interp_matrix, map_roi_levels
+    from .roi_align import _interp_matrix, map_roi_levels, multilevel_roi_align_fast
+
+    if feats[0].shape[-1] % 128:
+        return multilevel_roi_align_fast(
+            feats, rois, roi_valid, strides, out_size=out_size,
+            sample_num=sample_num, finest_scale=finest_scale,
+            num_route_levels=num_route_levels, win=win,
+        )
 
     nl = num_route_levels or len(feats)
     c = feats[0].shape[-1]
@@ -547,6 +560,13 @@ def multilevel_roi_align_pallas_trainable(
         out_size=out_size, sample_num=sample_num, finest_scale=finest_scale,
         num_route_levels=num_route_levels,
     )
+    if feats[0].shape[-1] % 128:
+        # non-lane-aligned channels: neither kernel compiles (see
+        # multilevel_roi_align_pallas) — plain XLA fwd + autodiff bwd
+        return multilevel_roi_align_fast(
+            tuple(feats), jax.lax.stop_gradient(rois),
+            jax.lax.stop_gradient(roi_valid) > 0.5, strides, **kw
+        )
 
     @jax.custom_vjp
     def _aligned(f, rb, vf):

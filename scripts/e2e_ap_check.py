@@ -35,6 +35,11 @@ def main():
         "mixed-precision path holds AP (reference fp16 Faster R-CNN "
         "loses <0.1 AP, configs/fp16/metafile.yml)")
     ap.add_argument(
+        "--tpu", action="store_true",
+        help="run train+test on the TPU (default: CPU; the relay "
+        "serializes sessions, so train and eval run sequentially — "
+        "never run two TPU harnesses at once)")
+    ap.add_argument(
         "--segm", action="store_true",
         help="train the tiny Mask R-CNN instead and assert SEGM mAP — "
         "proves the mask training/eval path end-to-end (the synthetic "
@@ -46,8 +51,11 @@ def main():
     if not os.path.exists(os.path.join(args.data_dir, "train.json")):
         generate(args.data_dir, n_train=args.n_train, n_val=50)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if args.tpu:
+        env = dict(os.environ)  # keep the axon relay registration
+    else:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     cfg = os.path.join(
         REPO, "configs/boosting_rcnn/boosting_rcnn_r50_pafpn_1x_utdac.py")
     if args.segm:

@@ -47,6 +47,9 @@ def main():
     from boosting_rcnn_tpu.engine.eval import run_eval
     from boosting_rcnn_tpu.utils.logging import get_root_logger
 
+    from boosting_rcnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = get_root_logger()
     cfg = load_config(args.config)
     if args.cfg_options:
@@ -58,7 +61,8 @@ def main():
         from tools.train import shrink_model
 
         mc = shrink_model(mc)
-        dtype = jnp.float32
+        if cfg.get("compute_dtype") is None:
+            dtype = jnp.float32
     det = build_detector(mc, dtype=dtype)
 
     data_cfg = cfg.data.to_dict()

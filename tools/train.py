@@ -125,6 +125,9 @@ def main():
         get_root_logger,
     )
 
+    from boosting_rcnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     init_distributed()
     cfg = load_config(args.config)
     if args.cfg_options:
@@ -150,7 +153,10 @@ def main():
     mc = cfg.model.to_dict()
     if args.tiny:
         mc = shrink_model(mc)
-        dtype = jnp.float32
+        # shrunk dev models default to f32, but an EXPLICIT compute_dtype
+        # must stick (the bf16 e2e acceptance runs the tiny graph in bf16)
+        if cfg.get("compute_dtype") is None:
+            dtype = jnp.float32
     det = build_detector(mc, dtype=dtype)
 
     data_cfg = cfg.data.to_dict()
