@@ -191,19 +191,18 @@ class TwoStageNet(nn.Module):
             pooled = self.roi_deform_pool(feats, rois, roi_valid)
             cls, reg = self.bbox_head(pooled)
             return cls, reg
-        align = self._roi_align_fn(inference)
-        pooled = jax.vmap(
-            lambda fl, rb, vb: align(
-                fl,
-                rb,
-                vb,
-                self.roi_strides,
-                out_size=self.roi_out_size,
-                sample_num=self.roi_sample_num,
-                finest_scale=self.roi_finest_scale,
-                num_route_levels=len(self.roi_strides),
-            )
-        )(feats, rois, roi_valid)
+        from ...ops.pallas_roi_align import batched_multilevel_roi_align
+
+        pooled = batched_multilevel_roi_align(
+            feats,
+            rois,
+            roi_valid,
+            self.roi_strides,
+            out_size=self.roi_out_size,
+            sample_num=self.roi_sample_num,
+            finest_scale=self.roi_finest_scale,
+            num_route_levels=len(self.roi_strides),
+        )
         pooled = pooled.reshape(b * r, self.roi_out_size, self.roi_out_size, -1)
         cls, reg = self.bbox_head(pooled)
         return cls, reg

@@ -522,6 +522,389 @@ def multilevel_roi_align_pallas_bwd(
     return tuple(d_feats)
 
 
+_NBUF_FWD_FLAT = 8  # window pipeline depth for the batched (flat-R) kernel
+
+
+def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
+                 row0_ref, x0a_ref, wy_ref, wx_ref, stacked_ref, out_ref):
+    """Flat-R forward: same interpolation pipeline as ``_kernel`` but with
+    the output in HBM (``out_ref`` in ANY memory space) behind a small VMEM
+    staging ring — a (B*R, out, out, C) output does not fit VMEM at train
+    geometry (4096 x 7 x 7 x 256 bf16 = 100 MB), and staging lets one
+    kernel call cover the whole batch instead of a vmap->while chain of
+    per-image calls (round-4 trace: the 8-call chain spent ~5.5 ms/step on
+    inter-call glue — dynamic-slice/update, layout copies — on top of
+    ~10 ms of kernel time).
+
+    ``wy_ref`` rows (the out_y axis) arrive zero-padded to the sublane tile
+    (``out_pad``): DMA slices on a tiled dimension must be tile-multiples
+    (Mosaic: 'Slice shape along dimension 2 must be aligned to tiling (8)'
+    for a 7-row bf16 staging copy), so every obuf slot and every out_ref
+    row is copied at full padded extent and the pad is sliced off in XLA
+    outside."""
+    r = wy_ref.shape[0]
+    out_pad = wy_ref.shape[1]
+    c = stacked_ref.shape[-1]
+
+    def body(scratch, obuf, sems, osems):
+        def get_dma(slot, i):
+            return pltpu.make_async_copy(
+                stacked_ref.at[
+                    pl.ds(row0_ref[i], win), pl.ds(x0a_ref[i] * align, win_w), :
+                ],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        def put_dma(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_ref.at[i], osems.at[slot])
+
+        for j in range(min(nbuf - 1, r)):  # static unroll: fill the pipe
+            get_dma(j, j).start()
+
+        def loop(i, _):
+            slot = i % nbuf
+
+            @pl.when(i + nbuf - 1 < r)
+            def _():
+                get_dma((i + nbuf - 1) % nbuf, i + nbuf - 1).start()
+
+            get_dma(slot, i).wait()
+            window = scratch[slot]  # (win, win_w, C)
+            t = jax.lax.dot_general(
+                wy_ref[i], window.reshape(win, win_w * c),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(out_pad, win_w, c)
+            sampled = jax.lax.dot_general(
+                wx_ref[i], t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (out_x, out_y_pad, C)
+
+            @pl.when(i >= nbuf)  # slot's previous out copy must land first
+            def _():
+                put_dma(slot, i - nbuf).wait()
+
+            obuf[slot] = sampled.astype(out_ref.dtype)
+            put_dma(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, r, loop, 0)
+
+        def drain(i, _):  # the last min(nbuf, r) copies are still in flight
+            put_dma(i % nbuf, i).wait()
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(0, r - nbuf), r, drain, 0)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM(
+            (nbuf, win, win_w, stacked_ref.shape[-1]), stacked_ref.dtype),
+        obuf=pltpu.VMEM((nbuf, out_size, out_pad, c), out_ref.dtype),
+        sems=pltpu.SemaphoreType.DMA((nbuf,)),
+        osems=pltpu.SemaphoreType.DMA((nbuf,)),
+    )
+
+
+def _batched_geometry(feats, rois_flat, nl, strides, finest_scale,
+                      out_size, s, win, win_w, rows_img):
+    """Window origins + interpolation matrices for flat (B*R, 4) rois over
+    a per-image stacked pyramid replicated B times along rows.  Returns
+    (row0 incl. image base, wx0, wy, wx) — shared by the batched forward
+    and backward (identical to the per-image prep in
+    ``multilevel_roi_align_pallas`` except for the image-base row offset).
+    """
+    from .roi_align import _interp_matrix, map_roi_levels
+
+    b = feats[0].shape[0]
+    r = rois_flat.shape[0] // b
+    row_off, acc = [], 0
+    for f in feats[:nl]:
+        row_off.append(acc)
+        acc += f.shape[1]
+    row_off = jnp.asarray(row_off, jnp.int32)
+    hs = jnp.asarray([f.shape[1] for f in feats[:nl]], jnp.int32)
+    ws = jnp.asarray([f.shape[2] for f in feats[:nl]], jnp.int32)
+
+    lvl = map_roi_levels(rois_flat, nl, finest_scale)
+    inv_strides = jnp.asarray(
+        [1.0 / strides[i] for i in range(nl)], jnp.float32)
+    scale = inv_strides[lvl]
+    x1 = rois_flat[:, 0] * scale - 0.5
+    y1 = rois_flat[:, 1] * scale - 0.5
+    bin_w = (rois_flat[:, 2] * scale - 0.5 - x1) / out_size
+    bin_h = (rois_flat[:, 3] * scale - 0.5 - y1) / out_size
+    wy0 = jnp.clip(
+        jnp.floor(y1).astype(jnp.int32), 0, jnp.maximum(hs[lvl] - win, 0))
+    wx0 = jnp.clip(
+        jnp.floor(x1).astype(jnp.int32), 0, jnp.maximum(ws[lvl] - win_w, 0))
+    img_base = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32) * rows_img, r)
+    row0 = img_base + row_off[lvl] + wy0
+    hi_y = jnp.minimum(
+        jnp.float32(win - 1), (hs[lvl] - 1 - wy0).astype(jnp.float32))
+    hi_x = jnp.minimum(
+        jnp.float32(win_w - 1), (ws[lvl] - 1 - wx0).astype(jnp.float32))
+    wy = _interp_matrix(y1, bin_h, wy0.astype(jnp.float32), hi_y,
+                        out_size, s, win)
+    wx = _interp_matrix(x1, bin_w, wx0.astype(jnp.float32), hi_x,
+                        out_size, s, win_w)
+    return row0, wx0, wy, wx
+
+
+def _fold_and_align(wy, wx, x0, out_size, s, align):
+    """Pool-fold the interpolation matrices and shift wx columns by the
+    sublane-alignment residue (same transform as the per-image entry
+    points)."""
+    pool = jnp.repeat(jnp.eye(out_size, dtype=wy.dtype), s, axis=1) / s
+    wy = jnp.einsum("ok,rkw->row", pool, wy)
+    wx = jnp.einsum("ok,rkw->row", pool, wx)
+    win_w = wx.shape[-1]
+    x0a = x0 // align
+    shift = (x0 - x0a * align).astype(jnp.int32)
+    cols = shift[:, None, None] + jnp.arange(win_w)[None, None, :]
+    onehot = jax.nn.one_hot(cols, win_w + align, dtype=wx.dtype)
+    wx = jnp.einsum("row,rwW->roW", wx, onehot[:, 0])
+    return wy, wx, x0a
+
+
+def _batched_stack(feats, nl, pad_w, win):
+    """(B, sumH + win, pad_w, C) stacked pyramid flattened to
+    (B*(sumH+win), pad_w, C): one concat, one layout-free reshape."""
+    b, c = feats[0].shape[0], feats[0].shape[-1]
+    rows = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, pad_w - f.shape[2]), (0, 0)))
+        for f in feats[:nl]
+    ]
+    rows.append(jnp.zeros((b, win, pad_w, c), feats[0].dtype))
+    stacked = jnp.concatenate(rows, axis=1)
+    rows_img = stacked.shape[1]
+    return stacked.reshape(b * rows_img, pad_w, c), rows_img
+
+
+def batched_multilevel_roi_align_pallas(
+    feats: Sequence[jnp.ndarray],  # L x (B, H, W, C)
+    rois: jnp.ndarray,  # (B, R, 4)
+    roi_valid: jnp.ndarray,  # (B, R)
+    strides: Sequence[int],
+    out_size: int = 7,
+    sample_num: int = 2,
+    finest_scale: int = 56,
+    num_route_levels: int | None = None,
+    win: int = 24,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused RoIAlign: ONE kernel call over B*R rois (vs the
+    vmapped per-image variant, which XLA lowers to a while chain of B
+    kernel calls with per-image slice/copy glue).  Returns
+    (B, R, out, out, C)."""
+    assert _HAS_PALLAS, "pallas unavailable"
+    b, r = rois.shape[:2]
+    nl = num_route_levels or len(feats)
+    c = feats[0].shape[-1]
+    s = sample_num
+    max_w = max(f.shape[2] for f in feats[:nl])
+    win_w = min(win, max_w)
+    align = _sublane_align(feats[0].dtype)
+    pad_w = max_w + align
+    stacked, rows_img = _batched_stack(feats, nl, pad_w, win)
+    rois_flat = rois.reshape(b * r, 4)
+    row0, wx0, wy, wx = _batched_geometry(
+        feats, rois_flat, nl, strides, finest_scale, out_size, s, win,
+        win_w, rows_img)
+    wy, wx, x0a = _fold_and_align(
+        wy.astype(stacked.dtype), wx.astype(stacked.dtype), wx0,
+        out_size, s, align)
+    # out_y staging pad: DMA slices on the tiled (sublane) dim must be
+    # 8-row multiples; zero wy rows make the pad columns exact zeros
+    out_pad = -(-out_size // 8) * 8
+    wy = jnp.pad(wy, ((0, 0), (0, out_pad - out_size), (0, 0)))
+    nbuf = _NBUF_FWD_FLAT
+    kern = functools.partial(
+        _kernel_flat, out_size, win, win_w + align, align, nbuf)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b * r, out_size, out_pad, c), stacked.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # stacked in HBM
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # staged out, HBM
+        ),
+        interpret=interpret,
+    )(row0, x0a, wy, wx, stacked)
+    out = out[:, :, :out_size, :]  # drop the out_y staging pad
+    out = out.transpose(0, 2, 1, 3)  # (B*R, out_y, out_x, C)
+    out = out * roi_valid.reshape(b * r)[:, None, None, None].astype(out.dtype)
+    return out.reshape(b, r, out_size, out_size, c)
+
+
+def batched_multilevel_roi_align_pallas_bwd(
+    feats, rois, roi_valid, g, strides, out_size=7, sample_num=2,
+    finest_scale=56, num_route_levels=None, win: int = 24, interpret=False,
+):
+    """d_feats for the batched forward: the sequential-accumulation
+    ``_bwd_kernel`` with per-image row splits (each image's stacked rows
+    form one or two accumulator passes, exactly as the per-image backward
+    splits at the level-0 boundary).  g: (B, R, out, out, C)."""
+    b, r = rois.shape[:2]
+    nl = num_route_levels or len(feats)
+    c = feats[0].shape[-1]
+    s = sample_num
+    max_w = max(f.shape[2] for f in feats[:nl])
+    win_w = min(win, max_w)
+    align = _sublane_align(feats[0].dtype)
+    pad_w = max_w + align
+    h0 = feats[0].shape[1]
+    rows_img = sum(f.shape[1] for f in feats[:nl]) + win
+    rows_total = b * rows_img
+
+    cc_size = min(128, c)
+    if c % cc_size or (cc_size % 128 and cc_size != c):
+        return None
+
+    def acc_bytes(n_rows):
+        return n_rows * pad_w * cc_size * 4
+
+    # per-image passes: whole image if it fits, else split at the level-0
+    # boundary (windows never straddle it — see _bwd_kernel docstring)
+    if acc_bytes(rows_img) <= _ACC_BUDGET_BYTES:
+        per_img = ((0, rows_img),)
+    elif h0 >= win and acc_bytes(max(h0, rows_img - h0)) <= _ACC_BUDGET_BYTES:
+        per_img = ((0, h0), (h0, rows_img - h0))
+    else:
+        return None
+    row_splits = tuple(
+        (i * rows_img + st, ln) for i in range(b) for (st, ln) in per_img)
+    n_chunks = c // cc_size
+
+    rois_flat = rois.reshape(b * r, 4)
+    row0, wx0, wy, wx = _batched_geometry(
+        feats, rois_flat, nl, strides, finest_scale, out_size, s, win,
+        win_w, rows_img)
+    wdt = feats[0].dtype
+    wy, wx, x0a = _fold_and_align(
+        wy.astype(wdt), wx.astype(wdt), wx0, out_size, s, align)
+
+    g = g.reshape(b * r, out_size, out_size, c).astype(jnp.float32)
+    g = g * roi_valid.reshape(b * r)[:, None, None, None].astype(g.dtype)
+
+    n = b * r
+    if len(row_splits) > 1:
+        starts = jnp.asarray([p[0] for p in row_splits], jnp.int32)
+        pass_id = (
+            jnp.searchsorted(starts, row0, side="right") - 1).astype(jnp.int32)
+        order = jnp.argsort(pass_id)
+        row0, x0a, wy, wx, g = (
+            row0[order], x0a[order], wy[order], wx[order], g[order])
+        bounds = jnp.searchsorted(
+            pass_id[order], jnp.arange(len(row_splits) + 1))
+    else:
+        bounds = jnp.asarray([0, n])
+    bounds = bounds.astype(jnp.int32)
+    g5 = g.reshape(n, out_size, out_size, n_chunks, cc_size).transpose(
+        3, 0, 1, 2, 4)
+    kern = functools.partial(
+        _bwd_kernel, out_size, win, win_w + align, align, cc_size, n_chunks,
+        row_splits)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, rows_total, pad_w, cc_size), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # g in HBM
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        interpret=interpret,
+    )(row0, x0a, bounds, wy, wx, g5)
+    d_stacked = out.transpose(1, 2, 0, 3).reshape(
+        b, rows_img, pad_w, c)
+    d_feats = []
+    off = 0
+    for f in feats[:nl]:
+        h, w = f.shape[1], f.shape[2]
+        d_feats.append(d_stacked[:, off:off + h, :w, :].astype(f.dtype))
+        off += h
+    for f in feats[nl:]:
+        d_feats.append(jnp.zeros_like(f))
+    return tuple(d_feats)
+
+
+def batched_multilevel_roi_align(
+    feats, rois, roi_valid, strides, out_size=7, sample_num=2,
+    finest_scale=56, num_route_levels=None, interpret=False,
+):
+    """Batch-level entry point used by ``TwoStageNet.roi_out``: Pallas
+    forward + Pallas backward over the whole (B, R) roi grid in single
+    kernel calls; falls back to the vmapped XLA fast path off-TPU or for
+    non-lane-aligned channels.  Returns (B, R, out, out, C)."""
+    import os
+
+    from .roi_align import multilevel_roi_align_fast
+
+    kw = dict(
+        out_size=out_size, sample_num=sample_num, finest_scale=finest_scale,
+        num_route_levels=num_route_levels,
+    )
+
+    use_pallas = (
+        (interpret or pallas_roi_available())
+        and feats[0].shape[-1] % 128 == 0
+    )
+    if not use_pallas:
+        return jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align_fast(
+                fl, rb, vb, strides, **kw)
+        )(tuple(feats), jax.lax.stop_gradient(rois),
+          jax.lax.stop_gradient(roi_valid) > 0.5)
+
+    @jax.custom_vjp
+    def _aligned(f, rb, vf):
+        return batched_multilevel_roi_align_pallas(
+            f, rb, vf > 0.5, strides, interpret=interpret, **kw)
+
+    def _fwd(f, rb, vf):
+        return _aligned.__wrapped__(f, rb, vf), (f, rb, vf)
+
+    def _bwd(res, g):
+        f, rb, vf = res
+        d_feats = None
+        if not os.environ.get("BRT_XLA_ROI_BWD"):
+            d_feats = batched_multilevel_roi_align_pallas_bwd(
+                f, rb, vf > 0.5, g, strides, interpret=interpret, **kw)
+        if d_feats is None:  # no VMEM-fitting split for this geometry
+            _, vjp = jax.vjp(
+                lambda ff: jax.vmap(
+                    lambda fl, rb_, vb_: multilevel_roi_align_fast(
+                        fl, rb_, vb_, strides, **kw)
+                )(ff, rb, vf > 0.5),
+                f,
+            )
+            (d_feats,) = vjp(g)
+        return (d_feats, jnp.zeros_like(rb), jnp.zeros_like(vf))
+
+    _aligned.defvjp(_fwd, _bwd)
+    return _aligned(
+        tuple(feats),
+        jax.lax.stop_gradient(rois),
+        jax.lax.stop_gradient(roi_valid.astype(jnp.float32)),
+    )
+
+
 def pallas_roi_available() -> bool:
     """Use the fused kernel: pallas importable, TPU backend, not disabled by
     ``BRT_NO_PALLAS_ROI`` (escape hatch)."""

@@ -377,3 +377,169 @@ def test_pallas_bwd_sorted_pass_empty_and_vmap():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
         )
+
+def _batched_case(rs, b=2, r=10, c=128, dtype=np.float32):
+    """Shared geometry for the batched (whole-batch flat-R) kernel tests:
+    3-level pyramid, mixed roi scales so all levels are exercised, a couple
+    of invalid rois."""
+    import jax.numpy as jnp
+
+    shapes = [(24, 32), (12, 16), (6, 8)]
+    strides = (8, 16, 32)
+    feats = tuple(
+        jnp.asarray(rs.randn(b, h, w, c), dtype) for h, w in shapes
+    )
+    cx = rs.uniform(12, 230, (b, r))
+    cy = rs.uniform(12, 170, (b, r))
+    bw = rs.uniform(8, 180, (b, r))
+    bh = rs.uniform(8, 150, (b, r))
+    rois = jnp.asarray(
+        np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1),
+        jnp.float32,
+    )
+    valid = np.ones((b, r), bool)
+    valid[:, -2:] = False  # padded tail rois must contribute nothing
+    return feats, rois, jnp.asarray(valid), strides
+
+
+def test_batched_pallas_forward_matches_vmapped_fast():
+    """Whole-batch single-call kernel (interpret) == vmapped XLA fast path,
+    invalid rois zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        batched_multilevel_roi_align,
+    )
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(11)
+    feats, rois, valid, strides = _batched_case(rs)
+    got = batched_multilevel_roi_align(
+        feats, rois, valid, strides, interpret=True
+    )
+    ref = jax.vmap(
+        lambda fl, rb, vb: multilevel_roi_align_fast(fl, rb, vb, strides)
+    )(feats, rois, valid)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    assert np.asarray(got)[:, -2:].max() == 0.0  # invalid rois zeroed
+
+    # r < pipeline depth: drain path of the staged-output ring
+    f1 = tuple(f[:1] for f in feats)
+    got1 = batched_multilevel_roi_align(
+        f1, rois[:1, :3], valid[:1, :3], strides, interpret=True
+    )
+    ref1 = jax.vmap(
+        lambda fl, rb, vb: multilevel_roi_align_fast(fl, rb, vb, strides)
+    )(f1, rois[:1, :3], valid[:1, :3])
+    np.testing.assert_allclose(
+        np.asarray(got1), np.asarray(ref1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_batched_pallas_gradient_matches_vmapped_xla():
+    """custom_vjp of the batched entry: Pallas backward (per-image passes)
+    == autodiff of the vmapped XLA fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        batched_multilevel_roi_align,
+    )
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(5)
+    feats, rois, valid, strides = _batched_case(rs, r=8)
+
+    def f_pallas(fs):
+        out = batched_multilevel_roi_align(
+            fs, rois, valid, strides, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def f_fast(fs):
+        out = jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align_fast(fl, rb, vb, strides)
+        )(fs, rois, valid)
+        return jnp.sum(out ** 2)
+
+    gp = jax.grad(f_pallas)(feats)
+    gf = jax.grad(f_fast)(feats)
+    for a, e in zip(gp, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
+        )
+    assert sum(float(jnp.abs(x).sum()) for x in gp) > 0
+
+
+def test_batched_pallas_gradient_split_passes():
+    """Small accumulator budget -> two passes per image (the train-geometry
+    configuration); gradients must stay exact."""
+    import jax
+    import jax.numpy as jnp
+
+    import boosting_rcnn_tpu.ops.pallas_roi_align as pra
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(17)
+    feats, rois, valid, strides = _batched_case(rs, r=8)
+
+    def f_pallas(fs):
+        out = pra.batched_multilevel_roi_align(
+            fs, rois, valid, strides, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def f_fast(fs):
+        out = jax.vmap(
+            lambda fl, rb, vb: multilevel_roi_align_fast(fl, rb, vb, strides)
+        )(fs, rois, valid)
+        return jnp.sum(out ** 2)
+
+    budget = pra._ACC_BUDGET_BYTES
+    # rows_img = 24+12+6+24 = 66, pad_w = 40: whole image needs 66*40*128*4
+    # = 1.29 MB; the h0|rest split needs max(24, 42) rows = 0.82 MB
+    pra._ACC_BUDGET_BYTES = 1 * 2 ** 20
+    try:
+        gp = jax.grad(f_pallas)(feats)
+    finally:
+        pra._ACC_BUDGET_BYTES = budget
+    gf = jax.grad(f_fast)(feats)
+    for a, e in zip(gp, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_batched_entry_unaligned_channels_fallback():
+    """C % 128 != 0 (dev models) must silently take the vmapped XLA path —
+    same values, gradient intact."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        batched_multilevel_roi_align,
+    )
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(23)
+    feats, rois, valid, strides = _batched_case(rs, r=6, c=16)
+    got = batched_multilevel_roi_align(
+        feats, rois, valid, strides, interpret=True
+    )
+    ref = jax.vmap(
+        lambda fl, rb, vb: multilevel_roi_align_fast(fl, rb, vb, strides)
+    )(feats, rois, valid)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    g = jax.grad(
+        lambda fs: jnp.sum(
+            batched_multilevel_roi_align(
+                fs, rois, valid, strides, interpret=True
+            ) ** 2
+        )
+    )(feats)
+    assert sum(float(jnp.abs(x).sum()) for x in g) > 0
