@@ -230,20 +230,19 @@ class TwoStageNet(nn.Module):
     def mask_out(self, feats, rois, roi_valid, inference: bool = False,
                  return_pooled: bool = False):
         """Mask branch: 14x14 RoIAlign + FCN head -> (B*R, 28, 28, C)."""
+        from ...ops.pallas_roi_align import batched_multilevel_roi_align
+
         b, r, _ = rois.shape
-        align = self._roi_align_fn(inference)
-        pooled = jax.vmap(
-            lambda fl, rb, vb: align(
-                fl,
-                rb,
-                vb,
-                self.roi_strides,
-                out_size=self.mask_roi_out_size,
-                sample_num=self.roi_sample_num,
-                finest_scale=self.roi_finest_scale,
-                num_route_levels=len(self.roi_strides),
-            )
-        )(feats, rois, roi_valid)
+        pooled = batched_multilevel_roi_align(
+            feats,
+            rois,
+            roi_valid,
+            self.roi_strides,
+            out_size=self.mask_roi_out_size,
+            sample_num=self.roi_sample_num,
+            finest_scale=self.roi_finest_scale,
+            num_route_levels=len(self.roi_strides),
+        )
         pooled = pooled.reshape(
             b * r, self.mask_roi_out_size, self.mask_roi_out_size, -1
         )

@@ -53,34 +53,38 @@ def main():
     from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
 
     r = 512
+    out_size = 7
     for a in sys.argv[1:]:
         if a.startswith("--r"):
             r = int(sys.argv[sys.argv.index(a) + 1])
+    if "--mask" in sys.argv:  # mask-branch geometry (14x14, fewer rois)
+        r, out_size = 128, 14
     feats, rois, valid, g = make_case(r)
-    print(f"backend={jax.default_backend()} B={B} R={r} C={C} dt={DT}")
+    if out_size != 7:
+        rs = np.random.RandomState(1)
+        g = jnp.asarray(rs.randn(B, r, out_size, out_size, C), jnp.float32)
+    print(f"backend={jax.default_backend()} B={B} R={r} C={C} "
+          f"out={out_size} dt={DT}")
 
-    kw = dict(strides=STRIDES, out_size=7, sample_num=2, finest_scale=56,
+    kw = dict(out_size=out_size, sample_num=2, finest_scale=56,
               num_route_levels=5)
 
     def loss_batched(fs):
         out = pra.batched_multilevel_roi_align(
-            fs, rois, valid, STRIDES, out_size=7, sample_num=2,
-            finest_scale=56, num_route_levels=5)
+            fs, rois, valid, STRIDES, **kw)
         return jnp.sum(out.astype(jnp.float32) * g)
 
     def loss_xla(fs):
         out = jax.vmap(
             lambda fl, rb, vb: multilevel_roi_align_fast(
-                fl, rb, vb, STRIDES, out_size=7, sample_num=2,
-                finest_scale=56, num_route_levels=5)
+                fl, rb, vb, STRIDES, **kw)
         )(fs, rois, valid)
         return jnp.sum(out.astype(jnp.float32) * g)
 
     def loss_perimg(fs):
         out = jax.vmap(
             lambda fl, rb, vb: pra.multilevel_roi_align_pallas_trainable(
-                fl, rb, vb, STRIDES, out_size=7, sample_num=2,
-                finest_scale=56, num_route_levels=5)
+                fl, rb, vb, STRIDES, **kw)
         )(fs, rois, valid)
         return jnp.sum(out.astype(jnp.float32) * g)
 

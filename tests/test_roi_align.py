@@ -543,3 +543,47 @@ def test_batched_entry_unaligned_channels_fallback():
         )
     )(feats)
     assert sum(float(jnp.abs(x).sum()) for x in g) > 0
+
+
+def test_batched_pallas_mask_geometry_14x14():
+    """Mask-branch geometry (out_size=14 -> staging pad 16): forward and
+    gradient parity vs the vmapped XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosting_rcnn_tpu.ops.pallas_roi_align import (
+        batched_multilevel_roi_align,
+    )
+    from boosting_rcnn_tpu.ops.roi_align import multilevel_roi_align_fast
+
+    rs = np.random.RandomState(31)
+    feats, rois, valid, strides = _batched_case(rs, r=5)
+    got = batched_multilevel_roi_align(
+        feats, rois, valid, strides, out_size=14, interpret=True
+    )
+    ref = jax.vmap(
+        lambda fl, rb, vb: multilevel_roi_align_fast(
+            fl, rb, vb, strides, out_size=14)
+    )(feats, rois, valid)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    gp = jax.grad(
+        lambda fs: jnp.sum(
+            batched_multilevel_roi_align(
+                fs, rois, valid, strides, out_size=14, interpret=True
+            ) ** 2
+        )
+    )(feats)
+    gf = jax.grad(
+        lambda fs: jnp.sum(
+            jax.vmap(
+                lambda fl, rb, vb: multilevel_roi_align_fast(
+                    fl, rb, vb, strides, out_size=14)
+            )(fs, rois, valid) ** 2
+        )
+    )(feats)
+    for a, e in zip(gp, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-4
+        )
