@@ -242,9 +242,9 @@ def multilevel_roi_align_pallas(
 
 
 def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
-                cc_size: int, n_chunks: int, row_splits,
-                row0_ref, x0a_ref, bounds_ref, wy_ref, wx_ref, g_ref,
-                out_ref):
+                cc_size: int, n_chunks: int, row_splits, r1p: int,
+                row0_ref, x0a_ref, bounds_ref, idx_ref, wpk_ref,
+                g_ref, out_ref):
     """RoIAlign backward wrt features (round-3 train-path lever).
 
     The transpose of R vmapped dynamic_slice gathers is an XLA scatter —
@@ -265,30 +265,50 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
     clamped inside their level when H_l >= win, and clamped-to-zero
     interpolation weights make any overhang rows all-zero), so the split
     at the level-0 boundary is exact.  The caller sorts the RoIs by the
-    pass that owns their window and passes the per-pass [lo, hi) index
-    ``bounds_ref`` (n_passes + 1 scalars), so each pass loops only over
-    its own RoIs — R * n_chunks sequential iterations total instead of
-    R * n_passes * n_chunks (the loop, not the MXU work, dominates this
-    kernel).  ``g_ref`` (R, out_y, out_x, C) in HBM; ``wy_ref``
-    (R, out, win) / ``wx_ref`` (R, out, win_w) pool-folded interp
-    matrices in VMEM; ``out_ref`` (rows, Wpad, C) f32 in HBM.
+    pass that owns their window and passes (a) the per-pass [lo, hi)
+    ``bounds_ref`` (n_passes + 1 scalars) and (b) the sorted order itself
+    as the prefetched ``idx_ref`` permutation — the kernel visits RoIs in
+    pass order via *indexed DMA* out of the unpermuted ``g_ref``, so the
+    caller never materializes ``g[order]`` (a 100-200 MB HBM gather at
+    train geometry, ~4 ms of pure copies — round-4 trace).  Each pass
+    loops only over its own RoIs — R * n_chunks sequential iterations
+    total (the loop, not the MXU work, dominates this kernel).
+    ``g_ref`` (n_chunks, R, out_y, out_x, cc) f32 in HBM (a bf16 g would
+    tile sublanes in (2,1)-packed pairs and Mosaic rejects the per-RoI
+    slice — see the callers); ``wpk_ref`` (R, rows_pk, 128) the
+    ``_pack_rowwise``-packed
+    interp matrices, streamed per-RoI out of HBM like the forward's
+    (whole-array VMEM staging of the lane-padded matrices costs ~8 MB
+    each at 4096 RoIs); ``out_ref`` (rows, Wpad, C) f32 in HBM — written
+    via per-pass row slices + 128-aligned lane-dim slices, so the caller
+    needs no chunk-axis transpose on the dense output.
     """
 
-    def body(acc, gbuf, g_sems, out_sem):
+    def body(acc, gbuf, wbuf, g_sems, w_sems, out_sem):
         for p_idx, (p_start, p_len) in enumerate(row_splits):
             lo = bounds_ref[p_idx]
             hi = bounds_ref[p_idx + 1]
             for cc in range(n_chunks):  # static unroll
 
-                def get_dma(slot, i):
-                    # g pre-chunked host-side to (n_chunks, R, out, out,
-                    # cc): only untiled leading dims are indexed, so the
-                    # DMA slice stays tile-aligned
+                def get_dma(slot, i, cc=cc):
+                    # indexed DMA: i is the loop position, idx_ref[i] the
+                    # RoI.  g is channel-pre-chunked host-side to
+                    # (n_chunks, R, out, out, cc) so only untiled leading
+                    # dims are indexed (a lane-dim slice of (R, out, out,
+                    # C) would be legal, but the out_x sublane dim — 7,
+                    # padded to 8 in storage — cannot be partially
+                    # sliced: Mosaic 'Slice shape along dimension 2 must
+                    # be aligned to tiling (8)').
                     return pltpu.make_async_copy(
-                        g_ref.at[cc, i],
+                        g_ref.at[cc, idx_ref[i]],
                         gbuf.at[slot],
                         g_sems.at[slot],
                     )
+
+                def getw_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        wpk_ref.at[idx_ref[i]], wbuf.at[slot],
+                        w_sems.at[slot])
 
                 acc[...] = jnp.zeros_like(acc)
 
@@ -297,17 +317,22 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                     @pl.when(lo + j < hi)
                     def _(j=j):
                         get_dma((lo + j) % _NBUF, lo + j).start()
+                        getw_dma((lo + j) % _NBUF, lo + j).start()
 
                 def roi_loop(i, _):
                     slot = i % _NBUF
+                    ri = idx_ref[i]
 
                     @pl.when(i + _NBUF - 1 < hi)
                     def _():
                         get_dma(
                             (i + _NBUF - 1) % _NBUF, i + _NBUF - 1).start()
+                        getw_dma(
+                            (i + _NBUF - 1) % _NBUF, i + _NBUF - 1).start()
 
                     get_dma(slot, i).wait()
-                    r0 = row0_ref[i]
+                    getw_dma(slot, i).wait()
+                    r0 = row0_ref[ri]
                     # sorted RoIs make this guard vacuous; kept as a
                     # correctness belt (an out-of-pass window must never
                     # write outside the accumulator)
@@ -316,6 +341,9 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
 
                     @pl.when(in_pass)
                     def _():
+                        wpk = wbuf[slot]
+                        wy = wpk[0:out_size, 0:win]
+                        wx = wpk[r1p:r1p + out_size, 0:win_w]
                         # Contract ox first, then oy, so the result lands
                         # directly in (win, win_w, cc) layout — the only
                         # transposes are of (out, out, cc) and
@@ -326,7 +354,7 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                             gbuf[slot].astype(jnp.float32), (1, 0, 2))
                         # v[m, oy*cc] = sum_ox wx[ox,m] g3[ox, oy*cc]
                         v = jax.lax.dot_general(
-                            wx_ref[i].astype(jnp.float32),
+                            wx.astype(jnp.float32),
                             g3.reshape(out_size, out_size * cc_size),
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -335,13 +363,13 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                             v.reshape(win_w, out_size, cc_size), (1, 0, 2))
                         # dwin[k, m*cc] = sum_oy wy[oy,k] v3[oy, m*cc]
                         dwin = jax.lax.dot_general(
-                            wy_ref[i].astype(jnp.float32),
+                            wy.astype(jnp.float32),
                             v3.reshape(out_size, win_w * cc_size),
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ).reshape(win, win_w, cc_size)
                         rl = r0 - p_start
-                        c0 = x0a_ref[i] * align
+                        c0 = x0a_ref[ri] * align
                         cur = acc[pl.ds(rl, win), pl.ds(c0, win_w), :]
                         acc[pl.ds(rl, win), pl.ds(c0, win_w), :] = cur + dwin
 
@@ -350,7 +378,9 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
                 jax.lax.fori_loop(lo, hi, roi_loop, 0)
                 cpo = pltpu.make_async_copy(
                     acc.at[pl.ds(0, p_len)],
-                    out_ref.at[cc, pl.ds(p_start, p_len)],
+                    out_ref.at[pl.ds(p_start, p_len),
+                               pl.ds(0, out_ref.shape[1]),
+                               pl.ds(cc * cc_size, cc_size)],
                     out_sem,
                 )
                 cpo.start()
@@ -359,9 +389,12 @@ def _bwd_kernel(out_size: int, win: int, win_w: int, align: int,
     max_len = max(p[1] for p in row_splits)
     pl.run_scoped(
         body,
-        acc=pltpu.VMEM((max_len, out_ref.shape[2], cc_size), jnp.float32),
+        # out_ref is (rows, Wpad, C): dim 1 is the padded width
+        acc=pltpu.VMEM((max_len, out_ref.shape[1], cc_size), jnp.float32),
         gbuf=pltpu.VMEM((_NBUF, out_size, out_size, cc_size), g_ref.dtype),
+        wbuf=pltpu.VMEM((_NBUF,) + wpk_ref.shape[1:], wpk_ref.dtype),
         g_sems=pltpu.SemaphoreType.DMA((_NBUF,)),
+        w_sems=pltpu.SemaphoreType.DMA((_NBUF,)),
         out_sem=pltpu.SemaphoreType.DMA,
     )
 
@@ -418,48 +451,53 @@ def pallas_window_roi_align_bwd(
     else:
         return None
 
+    wpk, r1p = _pack_rowwise(wy, wx)
     kern = functools.partial(
         _bwd_kernel, out_size, win, win_w_dma, align, cc_size, n_chunks,
-        row_splits)
+        row_splits, r1p)
     r = g.shape[0]
     # Sort RoIs by the pass (row split) that owns their window so the
     # kernel's sequential loop visits each RoI once per channel chunk
     # (addition commutes; the permutation needs no undo — outputs are
-    # dense row gradients, not per-RoI values).
+    # dense row gradients, not per-RoI values).  The permutation travels
+    # as the prefetched ``order`` index array; g/wy/wx stay unpermuted
+    # (the kernel's indexed DMA replaces a large host-side gather).
     if len(row_splits) > 1:
         starts = [p[0] for p in row_splits]
         pass_id = sum(
             (row0 >= s).astype(jnp.int32) for s in starts[1:])
-        order = jnp.argsort(pass_id)
-        row0, x0a, wy, wx, g = (
-            row0[order], x0a[order], wy[order], wx[order], g[order])
+        order = jnp.argsort(pass_id).astype(jnp.int32)
         bounds = jnp.searchsorted(
             pass_id[order], jnp.arange(len(row_splits) + 1))
     else:
+        order = jnp.arange(r, dtype=jnp.int32)
         bounds = jnp.asarray([0, r])
     bounds = bounds.astype(jnp.int32)
     # channel chunks as a leading (untiled) dim so every DMA slice is
-    # tile-aligned on both sides
+    # tile-aligned; stays in the cotangent's own dtype (bf16 halves the
+    # stream; the kernel accumulates f32 regardless)
+    # f32, not the cotangent's own dtype: a bf16 g would tile sublanes in
+    # (2,1)-packed pairs, and Mosaic rejects the (out, out, cc) per-RoI DMA
+    # slice ('Slice shape along dimension 3 must be aligned to tiling (8),
+    # but is 7'); f32 full-logical-extent slices are legal.
     g5 = g.reshape(r, out_size, out_size, n_chunks, cc_size).transpose(
-        3, 0, 1, 2, 4)
+        3, 0, 1, 2, 4).astype(jnp.float32)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, rows, wpad, cc_size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, wpad, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # row0, x0//align, per-pass bounds drive DMAs + routing
-            num_scalar_prefetch=3,
+            # row0, x0//align, per-pass bounds, roi visit order
+            num_scalar_prefetch=4,
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # packed wy|wx, per-RoI
                 pl.BlockSpec(memory_space=pl.ANY),  # g stays in HBM
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
         ),
         interpret=interpret,
-    )(row0, x0a, bounds, wy, wx, g5)
-    return out.transpose(1, 2, 0, 3).reshape(rows, wpad, c)
+    )(row0, x0a, bounds, order, wpk, g5)
+    return out
 
 
 def multilevel_roi_align_pallas_bwd(
@@ -505,7 +543,7 @@ def multilevel_roi_align_pallas_bwd(
     wdt = feats[0].dtype
     g = g * roi_valid[:, None, None, None].astype(g.dtype)
     d_stacked = pallas_window_roi_align_bwd(
-        g.astype(jnp.float32), (rows_total, pad_w, c), row0, wx0,
+        g, (rows_total, pad_w, c), row0, wx0,
         wy.astype(wdt), wx.astype(wdt), wdt, h0=feats[0].shape[0],
         out_size=out_size, s=s, interpret=interpret,
     )
@@ -522,11 +560,31 @@ def multilevel_roi_align_pallas_bwd(
     return tuple(d_feats)
 
 
-_NBUF_FWD_FLAT = 8  # window pipeline depth for the batched (flat-R) kernel
+_NBUF_FWD_FLAT = 6  # window pipeline depth for the batched (flat-R) kernel
+# (not 8: at train geometry — 4096 rois, C=256, win 24x40 — depth 8 puts the
+# kernel's scoped VMEM 36KB over the 16MB limit once the wy/wx operand
+# staging is counted; depth 6 leaves ~1MB headroom at no measured cost)
+
+
+def _pack_rowwise(wy, wx, lane: int = 128):
+    """Stack per-RoI ``wy`` (R, r1, win) and ``wx`` (R, r2, win_w) into one
+    lane-padded (R, r1p + r2, lane) array for single-DMA-per-RoI streaming
+    out of HBM.  Mosaic requires a DMA'd region's minor dim to be a
+    128-multiple of the (lane-padded) storage — logical extents of 24/40
+    are rejected ('Slice shape along dimension 2 must be aligned to tiling
+    (128)') — so the pad is explicit; ``r1p`` is 8-aligned so the
+    in-kernel row slices stay sublane-aligned.  Returns (packed, r1p)."""
+    r1p = -(-wy.shape[1] // 8) * 8
+    r2p = -(-wx.shape[1] // 8) * 8  # total rows 8-aligned for the same rule
+    wyp = jnp.pad(
+        wy, ((0, 0), (0, r1p - wy.shape[1]), (0, lane - wy.shape[2])))
+    wxp = jnp.pad(
+        wx, ((0, 0), (0, r2p - wx.shape[1]), (0, lane - wx.shape[2])))
+    return jnp.concatenate([wyp, wxp], axis=1), r1p
 
 
 def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
-                 row0_ref, x0a_ref, wy_ref, wx_ref, stacked_ref, out_ref):
+                 r1p: int, row0_ref, x0a_ref, wpk_ref, stacked_ref, out_ref):
     """Flat-R forward: same interpolation pipeline as ``_kernel`` but with
     the output in HBM (``out_ref`` in ANY memory space) behind a small VMEM
     staging ring — a (B*R, out, out, C) output does not fit VMEM at train
@@ -536,17 +594,24 @@ def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
     inter-call glue — dynamic-slice/update, layout copies — on top of
     ~10 ms of kernel time).
 
-    ``wy_ref`` rows (the out_y axis) arrive zero-padded to the sublane tile
+    The interp matrices stream through the same per-RoI pipeline as one
+    ``_pack_rowwise`` tile (``wpk_ref`` in ANY/HBM, rows [0:out_pad) = wy,
+    [r1p:r1p+out) = wx): staged whole in VMEM their lane padding (win and
+    win_w of 24/40 pad to 128) costs ~8 MB each at 4096 RoIs, which blows
+    the 16 MB scoped-VMEM limit; as ~4 KB per-RoI DMAs they ride the
+    pipeline of the 481 KB window copies.
+
+    ``wy`` rows (the out_y axis) arrive zero-padded to the sublane tile
     (``out_pad``): DMA slices on a tiled dimension must be tile-multiples
     (Mosaic: 'Slice shape along dimension 2 must be aligned to tiling (8)'
     for a 7-row bf16 staging copy), so every obuf slot and every out_ref
     row is copied at full padded extent and the pad is sliced off in XLA
     outside."""
-    r = wy_ref.shape[0]
-    out_pad = wy_ref.shape[1]
+    r = wpk_ref.shape[0]
+    out_pad = r1p  # fwd wy rows are already the sublane-padded out_y axis
     c = stacked_ref.shape[-1]
 
-    def body(scratch, obuf, sems, osems):
+    def body(scratch, wbuf, obuf, sems, wsems, osems):
         def get_dma(slot, i):
             return pltpu.make_async_copy(
                 stacked_ref.at[
@@ -556,12 +621,17 @@ def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
                 sems.at[slot],
             )
 
+        def getw_dma(slot, i):
+            return pltpu.make_async_copy(
+                wpk_ref.at[i], wbuf.at[slot], wsems.at[slot])
+
         def put_dma(slot, i):
             return pltpu.make_async_copy(
                 obuf.at[slot], out_ref.at[i], osems.at[slot])
 
         for j in range(min(nbuf - 1, r)):  # static unroll: fill the pipe
             get_dma(j, j).start()
+            getw_dma(j, j).start()
 
         def loop(i, _):
             slot = i % nbuf
@@ -569,16 +639,21 @@ def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
             @pl.when(i + nbuf - 1 < r)
             def _():
                 get_dma((i + nbuf - 1) % nbuf, i + nbuf - 1).start()
+                getw_dma((i + nbuf - 1) % nbuf, i + nbuf - 1).start()
 
             get_dma(slot, i).wait()
+            getw_dma(slot, i).wait()
+            wpk = wbuf[slot]
+            wy = wpk[0:out_pad, 0:win]
+            wx = wpk[r1p:r1p + out_size, 0:win_w]
             window = scratch[slot]  # (win, win_w, C)
             t = jax.lax.dot_general(
-                wy_ref[i], window.reshape(win, win_w * c),
+                wy, window.reshape(win, win_w * c),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(out_pad, win_w, c)
             sampled = jax.lax.dot_general(
-                wx_ref[i], t,
+                wx, t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (out_x, out_y_pad, C)
@@ -603,8 +678,11 @@ def _kernel_flat(out_size: int, win: int, win_w: int, align: int, nbuf: int,
         body,
         scratch=pltpu.VMEM(
             (nbuf, win, win_w, stacked_ref.shape[-1]), stacked_ref.dtype),
+        wbuf=pltpu.VMEM(
+            (nbuf,) + wpk_ref.shape[1:], wpk_ref.dtype),
         obuf=pltpu.VMEM((nbuf, out_size, out_pad, c), out_ref.dtype),
         sems=pltpu.SemaphoreType.DMA((nbuf,)),
+        wsems=pltpu.SemaphoreType.DMA((nbuf,)),
         osems=pltpu.SemaphoreType.DMA((nbuf,)),
     )
 
@@ -722,9 +800,10 @@ def batched_multilevel_roi_align_pallas(
     # 8-row multiples; zero wy rows make the pad columns exact zeros
     out_pad = -(-out_size // 8) * 8
     wy = jnp.pad(wy, ((0, 0), (0, out_pad - out_size), (0, 0)))
+    wpk, r1p = _pack_rowwise(wy, wx)
     nbuf = _NBUF_FWD_FLAT
     kern = functools.partial(
-        _kernel_flat, out_size, win, win_w + align, align, nbuf)
+        _kernel_flat, out_size, win, win_w + align, align, nbuf, r1p)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(
@@ -733,14 +812,13 @@ def batched_multilevel_roi_align_pallas(
             num_scalar_prefetch=2,
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # packed wy|wx, per-RoI
                 pl.BlockSpec(memory_space=pl.ANY),  # stacked in HBM
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),  # staged out, HBM
         ),
         interpret=interpret,
-    )(row0, x0a, wy, wx, stacked)
+    )(row0, x0a, wpk, stacked)
     out = out[:, :, :out_size, :]  # drop the out_y staging pad
     out = out.transpose(0, 2, 1, 3)  # (B*R, out_y, out_x, C)
     out = out * roi_valid.reshape(b * r)[:, None, None, None].astype(out.dtype)
@@ -794,7 +872,7 @@ def batched_multilevel_roi_align_pallas_bwd(
     wy, wx, x0a = _fold_and_align(
         wy.astype(wdt), wx.astype(wdt), wx0, out_size, s, align)
 
-    g = g.reshape(b * r, out_size, out_size, c).astype(jnp.float32)
+    g = g.reshape(b * r, out_size, out_size, c)
     g = g * roi_valid.reshape(b * r)[:, None, None, None].astype(g.dtype)
 
     n = b * r
@@ -802,37 +880,38 @@ def batched_multilevel_roi_align_pallas_bwd(
         starts = jnp.asarray([p[0] for p in row_splits], jnp.int32)
         pass_id = (
             jnp.searchsorted(starts, row0, side="right") - 1).astype(jnp.int32)
-        order = jnp.argsort(pass_id)
-        row0, x0a, wy, wx, g = (
-            row0[order], x0a[order], wy[order], wx[order], g[order])
+        order = jnp.argsort(pass_id).astype(jnp.int32)
         bounds = jnp.searchsorted(
             pass_id[order], jnp.arange(len(row_splits) + 1))
     else:
+        order = jnp.arange(n, dtype=jnp.int32)
         bounds = jnp.asarray([0, n])
     bounds = bounds.astype(jnp.int32)
+    # channel chunks as a leading (untiled) dim so every DMA slice is
+    # tile-aligned; f32 because a bf16 g tiles sublanes in (2,1)-packed
+    # pairs and Mosaic rejects the (out, out, cc) per-RoI slice ('Slice
+    # shape along dimension 3 must be aligned to tiling (8), but is 7')
     g5 = g.reshape(n, out_size, out_size, n_chunks, cc_size).transpose(
-        3, 0, 1, 2, 4)
+        3, 0, 1, 2, 4).astype(jnp.float32)
+    wpk, r1p = _pack_rowwise(wy, wx)
     kern = functools.partial(
         _bwd_kernel, out_size, win, win_w + align, align, cc_size, n_chunks,
-        row_splits)
+        row_splits, r1p)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, rows_total, pad_w, cc_size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_total, pad_w, c), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wy
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wx
+                pl.BlockSpec(memory_space=pl.ANY),  # packed wy|wx, per-RoI
                 pl.BlockSpec(memory_space=pl.ANY),  # g in HBM
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
         ),
         interpret=interpret,
-    )(row0, x0a, bounds, wy, wx, g5)
-    d_stacked = out.transpose(1, 2, 0, 3).reshape(
-        b, rows_img, pad_w, c)
+    )(row0, x0a, bounds, order, wpk, g5)
+    d_stacked = out.reshape(b, rows_img, pad_w, c)
     d_feats = []
     off = 0
     for f in feats[:nl]:
