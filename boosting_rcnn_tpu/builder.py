@@ -880,11 +880,13 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
         bbox_cfg=bbox_cfgs[0],
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
+            approx_topk=rpn_prop.get("approx_topk", False),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
+            approx_topk=rpn_test.get("approx_topk", False),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -1167,11 +1169,13 @@ def build_trident(model_cfg: Dict[str, Any], dtype=jnp.float32):
         bbox_cfg=bbox_cfg,
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
+            approx_topk=rpn_prop.get("approx_topk", False),
             max_per_img=rpn_prop.get("max_per_img", 500),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
+            approx_topk=rpn_test.get("approx_topk", False),
             max_per_img=rpn_test.get("max_per_img", 300),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -1308,12 +1312,14 @@ def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         bbox_cfg=bbox_cfgs[0],
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
+            approx_topk=rpn_prop.get("approx_topk", False),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_prop.get("min_bbox_size", 0),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
+            approx_topk=rpn_test.get("approx_topk", False),
             max_per_img=rpn_test.get("max_per_img", 300),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_test.get("min_bbox_size", 0),
@@ -1435,11 +1441,13 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
         bbox_cfg=bbox_cfgs[0],
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
+            approx_topk=rpn_prop.get("approx_topk", False),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
+            approx_topk=rpn_test.get("approx_topk", False),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -2533,12 +2541,14 @@ def build_detector(
             bbox_cfg=bbox_cfg,
             train_proposal_cfg=ProposalCfg(
                 nms_pre=rpn_prop.get("nms_pre", 4000),
+                approx_topk=rpn_prop.get("approx_topk", False),
                 max_per_img=rpn_prop.get("max_per_img", 2000),
                 nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
                 min_bbox_size=rpn_prop.get("min_bbox_size", 0),
             ),
             test_proposal_cfg=ProposalCfg(
                 nms_pre=rpn_test.get("nms_pre", 1000),
+                approx_topk=rpn_test.get("approx_topk", False),
                 max_per_img=rpn_test.get("max_per_img", 256),
                 nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
                 min_bbox_size=rpn_test.get("min_bbox_size", 0),
@@ -3073,6 +3083,7 @@ def build_rpn_detector(model_cfg: Dict[str, Any], dtype=jnp.float32):
         train_proposal_cfg=ProposalCfg(),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
+            approx_topk=rpn_test.get("approx_topk", False),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_test.get("min_bbox_size", 0),

@@ -35,6 +35,7 @@ from flax import linen as nn
 from ...ops import box_ops, losses as L
 from ...ops.assigners import atss_assign, max_iou_assign
 from ...ops.nms import batched_nms_padded
+from ...ops.topk import select_topk
 from ..layers import ConvModule, DeformConv, Scale, make_norm, mish
 
 EPS = 1e-12
@@ -407,12 +408,15 @@ def atss_rpn_proposals(
     max_per_img: int = 256,
     nms_iou_thr: float = 0.7,
     min_bbox_size: float = 0.0,
+    approx_topk: bool = False,
 ):
     """Proposal generation for one image (vmap over batch).
 
     Returns (proposals (max_per_img, 4), scores (max_per_img,), valid mask).
     The score is the fused prior ``sqrt(sigmoid(cls)*sigmoid(iou))``
-    (reference ``:712-731``).
+    (reference ``:712-731``).  ``approx_topk`` opts in to the TPU
+    approximate per-level selection (ops/topk.py) — a documented
+    deviation from the reference's exact top-k, default off.
     """
     fused = jnp.sqrt(
         jax.nn.sigmoid(cls_logits.astype(jnp.float32))
@@ -426,7 +430,7 @@ def atss_rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        top_s, top_i = jax.lax.top_k(s, k)
+        top_s, top_i = select_topk(s, k, approx=approx_topk)
         sel_scores.append(top_s)
         sel_boxes.append(bp[top_i])
         sel_anchors.append(an[top_i])

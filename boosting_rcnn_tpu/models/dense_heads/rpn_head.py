@@ -19,6 +19,7 @@ from ...ops import box_ops, losses as L
 from ...ops.assigners import AssignResult, max_iou_assign
 from ...ops.nms import batched_nms_padded
 from ...ops.samplers import random_sample
+from ...ops.topk import select_topk
 
 
 class RPNConvs(nn.Module):
@@ -158,8 +159,13 @@ def rpn_proposals(
     max_per_img: int = 1000,
     nms_iou_thr: float = 0.7,
     min_bbox_size: float = 0.0,
+    approx_topk: bool = False,
 ):
-    """Single-image proposal generation (``rpn_head.py`` ``_get_bboxes_single``)."""
+    """Single-image proposal generation (``rpn_head.py`` ``_get_bboxes_single``).
+
+    ``approx_topk`` opts in to the TPU approximate per-level selection
+    (ops/topk.py) — a documented deviation from exact top-k, default off.
+    """
     scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     sel_s, sel_b, sel_a, sel_i = [], [], [], []
     start = 0
@@ -168,7 +174,7 @@ def rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        ts, ti = jax.lax.top_k(s, k)
+        ts, ti = select_topk(s, k, approx=approx_topk)
         sel_s.append(ts)
         sel_b.append(bp[ti])
         sel_a.append(an[ti])

@@ -54,6 +54,10 @@ class ProposalCfg:
     max_per_img: int = 256
     nms_iou_thr: float = 0.7
     min_bbox_size: float = 0.0
+    # opt-in TPU approximate per-level top-nms_pre (ops/topk.py): a
+    # documented deviation from the reference's exact top-k, measured
+    # recall 0.9937 at target 0.95 (scripts/tpu_topk_microbench.py)
+    approx_topk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -462,12 +466,14 @@ class TwoStageDetector:
                 self.rpn_cfg, c, r, i, anchors, nla, s,
                 nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
                 nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
+                approx_topk=pcfg.approx_topk,
             )
             return jax.vmap(fn)(cls, reg, iou, img_shapes)
         fn = lambda c, r, s: rpn_proposals(
             self.rpn_cfg, c, r, anchors, nla, s,
             nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
             nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
+            approx_topk=pcfg.approx_topk,
         )
         return jax.vmap(fn)(cls, reg, img_shapes)
 
