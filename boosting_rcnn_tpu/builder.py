@@ -881,12 +881,14 @@ def build_cascade(model_cfg: Dict[str, Any], dtype=jnp.float32):
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
             approx_topk=rpn_prop.get("approx_topk", False),
+            topk_recall_target=rpn_prop.get("topk_recall_target", 0.95),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
             approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -1170,12 +1172,14 @@ def build_trident(model_cfg: Dict[str, Any], dtype=jnp.float32):
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
             approx_topk=rpn_prop.get("approx_topk", False),
+            topk_recall_target=rpn_prop.get("topk_recall_target", 0.95),
             max_per_img=rpn_prop.get("max_per_img", 500),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
             approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
             max_per_img=rpn_test.get("max_per_img", 300),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -1313,6 +1317,7 @@ def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
             approx_topk=rpn_prop.get("approx_topk", False),
+            topk_recall_target=rpn_prop.get("topk_recall_target", 0.95),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_prop.get("min_bbox_size", 0),
@@ -1320,6 +1325,7 @@ def build_scnet(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
             approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
             max_per_img=rpn_test.get("max_per_img", 300),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_test.get("min_bbox_size", 0),
@@ -1442,12 +1448,14 @@ def build_htc(model_cfg: Dict[str, Any], dtype=jnp.float32):
         train_proposal_cfg=ProposalCfg(
             nms_pre=rpn_prop.get("nms_pre", 2000),
             approx_topk=rpn_prop.get("approx_topk", False),
+            topk_recall_target=rpn_prop.get("topk_recall_target", 0.95),
             max_per_img=rpn_prop.get("max_per_img", 1000),
             nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
         ),
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
             approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
         ),
@@ -2542,6 +2550,7 @@ def build_detector(
             train_proposal_cfg=ProposalCfg(
                 nms_pre=rpn_prop.get("nms_pre", 4000),
                 approx_topk=rpn_prop.get("approx_topk", False),
+            topk_recall_target=rpn_prop.get("topk_recall_target", 0.95),
                 max_per_img=rpn_prop.get("max_per_img", 2000),
                 nms_iou_thr=rpn_prop.get("nms", {}).get("iou_threshold", 0.7),
                 min_bbox_size=rpn_prop.get("min_bbox_size", 0),
@@ -2549,6 +2558,7 @@ def build_detector(
             test_proposal_cfg=ProposalCfg(
                 nms_pre=rpn_test.get("nms_pre", 1000),
                 approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
                 max_per_img=rpn_test.get("max_per_img", 256),
                 nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
                 min_bbox_size=rpn_test.get("min_bbox_size", 0),
@@ -3084,6 +3094,7 @@ def build_rpn_detector(model_cfg: Dict[str, Any], dtype=jnp.float32):
         test_proposal_cfg=ProposalCfg(
             nms_pre=rpn_test.get("nms_pre", 1000),
             approx_topk=rpn_test.get("approx_topk", False),
+            topk_recall_target=rpn_test.get("topk_recall_target", 0.95),
             max_per_img=rpn_test.get("max_per_img", 1000),
             nms_iou_thr=rpn_test.get("nms", {}).get("iou_threshold", 0.7),
             min_bbox_size=rpn_test.get("min_bbox_size", 0),

@@ -409,6 +409,7 @@ def atss_rpn_proposals(
     nms_iou_thr: float = 0.7,
     min_bbox_size: float = 0.0,
     approx_topk: bool = False,
+    topk_recall_target: float = 0.95,
 ):
     """Proposal generation for one image (vmap over batch).
 
@@ -430,7 +431,9 @@ def atss_rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        top_s, top_i = select_topk(s, k, approx=approx_topk)
+        top_s, top_i = select_topk(
+            s, k, approx=approx_topk, recall_target=topk_recall_target
+        )
         sel_scores.append(top_s)
         sel_boxes.append(bp[top_i])
         sel_anchors.append(an[top_i])

@@ -160,6 +160,7 @@ def rpn_proposals(
     nms_iou_thr: float = 0.7,
     min_bbox_size: float = 0.0,
     approx_topk: bool = False,
+    topk_recall_target: float = 0.95,
 ):
     """Single-image proposal generation (``rpn_head.py`` ``_get_bboxes_single``).
 
@@ -174,7 +175,9 @@ def rpn_proposals(
         bp = jax.lax.dynamic_slice_in_dim(bbox_preds, start, na)
         an = jax.lax.dynamic_slice_in_dim(anchors, start, na)
         k = min(nms_pre, na) if nms_pre > 0 else na
-        ts, ti = select_topk(s, k, approx=approx_topk)
+        ts, ti = select_topk(
+            s, k, approx=approx_topk, recall_target=topk_recall_target
+        )
         sel_s.append(ts)
         sel_b.append(bp[ti])
         sel_a.append(an[ti])

@@ -58,6 +58,9 @@ class ProposalCfg:
     # documented deviation from the reference's exact top-k, measured
     # recall 0.9937 at target 0.95 (scripts/tpu_topk_microbench.py)
     approx_topk: bool = False
+    # recall target for the approximate path (lax.approx_max_k); only
+    # consulted when approx_topk is True
+    topk_recall_target: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)
@@ -467,6 +470,7 @@ class TwoStageDetector:
                 nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
                 nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
                 approx_topk=pcfg.approx_topk,
+                topk_recall_target=pcfg.topk_recall_target,
             )
             return jax.vmap(fn)(cls, reg, iou, img_shapes)
         fn = lambda c, r, s: rpn_proposals(
@@ -474,6 +478,7 @@ class TwoStageDetector:
             nms_pre=pcfg.nms_pre, max_per_img=pcfg.max_per_img,
             nms_iou_thr=pcfg.nms_iou_thr, min_bbox_size=pcfg.min_bbox_size,
             approx_topk=pcfg.approx_topk,
+                topk_recall_target=pcfg.topk_recall_target,
         )
         return jax.vmap(fn)(cls, reg, img_shapes)
 

@@ -38,7 +38,10 @@ def select_topk(
     exactness for the measured ~1.3 ms/step saving documented in
     docs/TRAIN_PERF.md.
     """
-    if k >= scores.shape[-1]:
+    # clamp: lax.top_k raises for k > n, and an oversized request can
+    # only mean "take everything" — keep the contract total
+    k = min(k, scores.shape[-1])
+    if k == scores.shape[-1]:
         # nothing to select; both paths degenerate to a sort of the
         # whole set — keep exact semantics
         return jax.lax.top_k(scores, k)
