@@ -64,6 +64,7 @@ def tiny_cfg_path(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_init_and_inference(tiny_cfg_path, tmp_path):
     from boosting_rcnn_tpu.apis import inference_detector, init_detector
 

@@ -13,6 +13,7 @@ from boosting_rcnn_tpu.models.backbones.swin import (
 )
 
 
+@pytest.mark.slow
 def test_resnet50_shapes():
     m = ResNet(depth=50, base_channels=8)
     x = jnp.zeros((1, 64, 96, 3))
@@ -57,6 +58,7 @@ def test_shifted_mask_blocks_cross_region():
     assert (mask[-1] < 0).any()
 
 
+@pytest.mark.slow
 def test_swin_tiny_shapes():
     m = SwinTransformer(embed_dims=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8))
     x = jnp.zeros((1, 56, 84, 3))
@@ -79,6 +81,7 @@ def test_swin_nondivisible_input():
     assert outs[0].shape[1:3] == (13, 16)  # ceil(50/4), ceil(61/4)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_shapes():
     """MobileNetV2 (reference mobilenet_v2.py): default out_indices give
     stride-4/8/16/32 maps with the widened channel counts."""
@@ -124,6 +127,7 @@ def test_regnet_widths_and_shapes():
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]  # strides 4..32
 
 
+@pytest.mark.slow
 def test_hrnet_and_hrfpn_shapes():
     """HRNet w18 (reference hrnet.py): 4 parallel branches at strides
     4/8/16/32 with the arch channel widths; HRFPN emits 5 uniform levels."""
@@ -168,6 +172,7 @@ def test_nasfpn_shapes():
     assert all(o.shape[-1] == 16 for o in outs)
 
 
+@pytest.mark.slow
 def test_resnest_shapes_and_grad():
     """ResNeSt (reference resnest.py): V1d stem + split-attention
     bottlenecks keep standard C2..C5 strides/channels."""
@@ -232,6 +237,7 @@ def test_fpn_carafe_shapes():
     assert all(o.shape[-1] == 16 for o in outs)
 
 
+@pytest.mark.slow
 def test_pvt_v1_v2_shapes():
     """PVT (reference pvt.py): 4-stage pyramid at strides 4/8/16/32 with
     dims embed*heads; v2 adds overlapping patches + conv-FFN."""
@@ -280,6 +286,7 @@ def test_detectors_sac_rfp():
     assert all(o.shape[-1] == 16 for o in levels)
 
 
+@pytest.mark.slow
 def test_detectors_cascade_build_loss():
     """DetectoRS config (reference configs/detectors/): cascade R-CNN over
     SAC+RFP builds, trains a step and predicts."""
@@ -361,6 +368,7 @@ def test_retina_sepbn_shares_convs_separates_bn():
     assert len(outs[0]) == 3
 
 
+@pytest.mark.slow
 def test_nasfcos_fpn_and_head():
     """NAS-FCOS (reference nasfcos_fpn.py + nasfcos_head.py): concat-cell
     pyramid shapes + searched DCNv2 tower detector smoke."""
@@ -396,6 +404,7 @@ def test_nasfcos_fpn_and_head():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_fpt_shapes():
     """FPT (fork necks/fpt.py): attention pyramid keeps standard levels,
     fine->coarse order."""

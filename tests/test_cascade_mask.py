@@ -6,6 +6,7 @@ Checks: per-stage bbox+mask losses exist and are finite, mask loss carries
 gradient, predict emits mask crops, and the non-interleaved/no-info-flow
 wiring is actually selected (net.mask_info_flow / cascade_cfg.interleaved).
 """
+import pytest
 import os
 import sys
 
@@ -52,6 +53,7 @@ def _batch():
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_cascade_mask_loss_and_predict():
     det = _tiny_cascade_mask()
     # the cascade-mask wiring (not HTC's): no interleave, no info flow

@@ -1,5 +1,6 @@
 """Cascade RPN (reference ``cascade_rpn_head.py``): offset geometry,
 stage-1 region targets, full crpn Faster R-CNN train/test."""
+import pytest
 import os
 import sys
 
@@ -28,6 +29,7 @@ def test_anchor_offsets_identity_for_default_anchor():
     np.testing.assert_allclose(np.asarray(off), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_crpn_faster_rcnn_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

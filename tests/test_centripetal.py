@@ -1,5 +1,6 @@
 """CentripetalNet (reference ``centripetal_head.py``): shift targets,
 decode pairing, full detector."""
+import pytest
 import os
 import sys
 
@@ -31,6 +32,7 @@ def test_centripetal_targets_geometry():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_centripetalnet_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.data.loader import FakeDetLoader

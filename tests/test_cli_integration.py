@@ -92,6 +92,7 @@ def _run(cmd, timeout=600):
     )
 
 
+@pytest.mark.slow
 def test_train_then_test_cli(tiny_config, tmp_path):
     wd = str(tmp_path / "wd")
     r = _run(

@@ -2,6 +2,7 @@
 semantics (interleaved (dy,dx) offsets per row-major tap, zero padding
 outside, sigmoid mask for v2).  torchvision is absent in this image, so the
 oracle is hand-written from the mmcv kernel spec."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,6 +130,7 @@ def test_deform_conv_gradients_finite():
     assert float(jnp.abs(g["off"]).sum()) > 0  # offsets receive gradient
 
 
+@pytest.mark.slow
 def test_dcn_detector_forward_train_smoke():
     """DCN wiring end-to-end: boosting detector with DCNv2 backbone stages
     and last_conv='dcn' RPN tower builds, computes finite losses, takes a

@@ -2,6 +2,7 @@
 DANN gradient reversal + alpha schedule, JiGEN jigsaw auxiliary, DGaug
 style-transferred training view, and the loader keys that feed them.
 """
+import pytest
 import os
 import sys
 
@@ -95,6 +96,7 @@ def test_grad_reverse():
     np.testing.assert_allclose(gx, -0.7 * np.ones(3), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dg_faster_rcnn_loss_and_reversal():
     det = build_detector(_tiny_model(
         "DGFasterRCNN", num_domains=2, total_img=64.0))
@@ -147,6 +149,7 @@ def test_dg_faster_rcnn_loss_and_reversal():
             np.asarray(a), -alpha * np.asarray(b), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dg_counter_advances_in_train_step():
     from boosting_rcnn_tpu.engine.train import (
         create_train_state,
@@ -172,6 +175,7 @@ def test_dg_counter_advances_in_train_step():
         float(jnp.abs(a - b).max()) > 0 for a, b in zip(d0, d1))
 
 
+@pytest.mark.slow
 def test_jigen_loss():
     det = build_detector(_tiny_model("JiGENFasterRCNN", jig_classes=31))
     variables = det.init(jax.random.PRNGKey(0), CANVAS)

@@ -110,6 +110,7 @@ def test_dynamic_state_declared_and_update_semantics():
     assert float(sbeta) == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_dynamic_train_steps_thread_state():
     import optax
 
@@ -134,6 +135,7 @@ def test_dynamic_train_steps_thread_state():
     assert beta <= 1.0 + 1e-6 and beta > 0.0
 
 
+@pytest.mark.slow
 def test_dynamic_direct_loss_pure_and_predict():
     det = build_detector(_dynamic_model_cfg())
     variables = det.init(jax.random.PRNGKey(0), CANVAS)

@@ -118,6 +118,7 @@ def test_adamw_option():
     assert not np.allclose(np.asarray(new.params["w"]), 1.0)
 
 
+@pytest.mark.slow
 def test_live_bn_updates_running_stats():
     """SyncBN surface (VERDICT r1 item 4): a YOLOX train step must update
     BatchNorm running statistics (reference trains YOLOX from scratch with
@@ -184,6 +185,7 @@ def test_live_bn_updates_running_stats():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_frozen_bn_models_keep_stats_constant():
     """Boosting R-CNN (norm_eval=True) must NOT change batch_stats through
     the live-BN-capable train step."""

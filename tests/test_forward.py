@@ -131,6 +131,7 @@ def test_all_configs_load_and_build():
         assert det is not None, path
 
 
+@pytest.mark.slow
 def test_ssd_forward():
     """SSD300 end-to-end (multi-generator anchors; 8732-anchor canonical
     layout)."""
@@ -154,6 +155,7 @@ def test_ssd_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_ssd512_forward():
     """SSD512 (reference configs/ssd/ssd512_coco.py): 7-level extras with
     last kernel 4; 24564-anchor canonical layout."""
@@ -177,6 +179,7 @@ def test_ssd512_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_yolov3_forward():
     mc = dict(
         type="YOLOV3",
@@ -197,6 +200,7 @@ def test_yolov3_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_detr_forward():
     mc = dict(
         type="DETR",
@@ -235,6 +239,7 @@ def test_prob_cascade_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_swin_mask_rcnn_forward():
     """Swin-T + Mask R-CNN (the BASELINE Swin config family), shrunk."""
     cfg = load_config(
@@ -265,6 +270,7 @@ def test_swin_mask_rcnn_forward():
         assert np.isfinite(float(v)), (k, float(v))
 
 
+@pytest.mark.slow
 def test_centernet_forward():
     """CenterNet: gaussian-heatmap loss + local-max NMS-free decode."""
     cfg = load_config(os.path.join(REPO, "configs/centernet/centernet_resnet18_140e_coco.py"))
@@ -317,6 +323,7 @@ def test_centernet_targets_and_decode_roundtrip():
     assert float(dets[0, 4]) > 0.9
 
 
+@pytest.mark.slow
 def test_sparse_rcnn_forward():
     """Sparse R-CNN: learnable proposals + 6 DII stages, Hungarian-matched
     losses per stage, NMS-free top-k decode."""
@@ -349,6 +356,7 @@ def test_sparse_rcnn_forward():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_yolox_forward():
     """YOLOX: CSPDarknet + PAFPN + decoupled head, SimOTA-assigned losses."""
     cfg = load_config(os.path.join(REPO, "configs/yolox/yolox_s_8x8_300e_coco.py"))
@@ -472,6 +480,7 @@ def test_libra_rcnn_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_vfnet_forward():
     """VFNet (reference vfnet_head.py): star-dconv refinement head —
     finite losses incl. both bbox stages, gradient flow through the star
@@ -508,6 +517,7 @@ def test_vfnet_forward():
     assert np.isfinite(dets[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_fsaf_forward_and_level_selection():
     """FSAF (reference fsaf_head.py): center-region targets + online level
     selection — finite losses, gradients, decode; a gt must be positive at
@@ -573,6 +583,7 @@ def test_center_region_assigner_golden():
     assert (gi[ring] == -1).all()
 
 
+@pytest.mark.slow
 def test_paa_forward_and_gmm():
     """PAA (reference paa_head.py): GMM reassignment + score voting —
     finite losses/grads/decode; the EM helper separates bimodal data."""
@@ -613,6 +624,7 @@ def test_paa_forward_and_gmm():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_yolof_forward():
     """YOLOF (reference yolof_head.py): single-level dilated encoder +
     implicit objectness + uniform matching — losses/grads/decode."""
@@ -675,6 +687,7 @@ def test_uniform_assigner_golden():
     assert gi[2] == 0
 
 
+@pytest.mark.slow
 def test_reppoints_forward():
     """RepPoints (reference reppoints_head.py): two-stage point sets with
     moment transform — losses/grads/decode; moment transform golden."""
@@ -728,6 +741,7 @@ def test_reppoints_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_double_head_rcnn_forward():
     """Double-Head R-CNN (reference double_bbox_head.py): conv-reg /
     fc-cls decoupled head in the standard two-stage detector."""
@@ -752,6 +766,7 @@ def test_double_head_rcnn_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_deformable_detr_forward():
     """Deformable DETR (reference deformable_detr.py + MSDeformAttn):
     per-layer aux losses, gradients, decode; the MSDeformAttn op gets a
@@ -809,6 +824,7 @@ def test_deformable_detr_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_cornernet_forward():
     """CornerNet (reference corner_head.py + hourglass.py): corner-pair
     detection — per-stack losses (heatmap/pull/push/offset), gradients,
@@ -855,6 +871,7 @@ def test_cornernet_forward():
         assert (d[:, 2] >= d[:, 0]).all() and (d[:, 3] >= d[:, 1]).all()
 
 
+@pytest.mark.slow
 def test_free_anchor_forward():
     """FreeAnchor (reference free_anchor_retina_head.py): positive-bag
     mean-max likelihood + saturated-IoU-downweighted negative loss."""
@@ -893,6 +910,7 @@ def test_free_anchor_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_autoassign_forward():
     """AutoAssign (reference autoassign_head.py): differentiable assignment
     with learnable center prior — losses, grads (incl. the prior params),
@@ -930,6 +948,7 @@ def test_autoassign_forward():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_fast_rcnn_external_proposals():
     """Fast R-CNN (reference detectors/fast_rcnn.py): RoI stages on
     externally supplied proposals, no RPN in the loss."""
@@ -973,6 +992,7 @@ def test_fast_rcnn_external_proposals():
 
 
 @pytest.mark.parametrize("variant", ["refine", "twostage_refine"])
+@pytest.mark.slow
 def test_deformable_detr_refine_variants(variant):
     """Iterative box refinement + encoder-proposal two-stage (reference
     deformable_detr_refine / _twostage_refine configs): per-layer heads,
@@ -1017,6 +1037,7 @@ def test_deformable_detr_refine_variants(variant):
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_ssdlite_forward():
     """SSDLite (reference ssdlite_mobilenetv2_scratch_600e_coco):
     MobileNetV2 (4, 7) + depthwise SSDNeck extras + depthwise prediction

@@ -1,6 +1,7 @@
 """Grid R-CNN (reference ``detectors/grid_rcnn.py`` +
 ``mask_heads/grid_head.py``): target geometry, voting decode round-trip,
 and the full detector train/test path."""
+import pytest
 import os
 import sys
 
@@ -67,6 +68,7 @@ def test_grid_voting_decode_recovers_box():
     np.testing.assert_allclose(out, np.asarray(gt)[0], atol=1.2)
 
 
+@pytest.mark.slow
 def test_grid_rcnn_detector_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -1,5 +1,6 @@
 """Guided Anchoring (reference ``guided_anchor_head.py`` +
 ``ga_rpn_head.py``): loc/shape target geometry + GA-Faster R-CNN e2e."""
+import pytest
 import os
 import sys
 
@@ -65,6 +66,7 @@ def test_guided_anchor_decode_grows_square():
     np.testing.assert_allclose(w, 64.0 * np.e, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ga_faster_rcnn_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config
@@ -110,6 +112,7 @@ def test_ga_faster_rcnn_train_and_test():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_sabl_retinanet_train_and_test():
     """SABL (reference sabl_retina_head.py): bucketing losses + confidence
     rescored decode on the square-anchor RetinaNet."""
@@ -151,6 +154,7 @@ def test_sabl_retinanet_train_and_test():
     assert np.isfinite(np.asarray(dets)[np.asarray(valid)]).all()
 
 
+@pytest.mark.slow
 def test_ga_retinanet_train_and_test():
     """GA-RetinaNet (reference ga_retina_head.py): loc/shape + guided
     anchor focal cls + smooth-L1 reg."""

@@ -64,6 +64,7 @@ def _batch(with_masks=True, with_semantic=False):
 
 
 @pytest.mark.parametrize("with_semantic", [False, True])
+@pytest.mark.slow
 def test_htc_forward_train_and_test(with_semantic):
     det = _tiny_htc(with_semantic)
     variables = det.init(jax.random.PRNGKey(0), CANVAS)
@@ -89,6 +90,7 @@ def test_htc_forward_train_and_test(with_semantic):
     assert (m >= 0).all() and (m <= 1).all()  # averaged sigmoids
 
 
+@pytest.mark.slow
 def test_htc_mask_info_flow_changes_logits():
     """Stage-1 mask logits must depend on stage-0's mask-head feature path
     (info flow): zeroing stage-0's conv weights changes stage-1's output."""

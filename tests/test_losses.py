@@ -265,6 +265,7 @@ def test_pisa_retina_loss_wiring():
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_ld_distillation_term():
     """LD (reference ld_head.py): with a teacher, gfl_loss gains a KL term
     that is zero when student == teacher and positive otherwise."""

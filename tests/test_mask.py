@@ -61,6 +61,7 @@ def test_mask_head_shapes_and_loss():
     assert np.isfinite(float(l)) and float(l) > 0
 
 
+@pytest.mark.slow
 def test_mask_rcnn_forward():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config
@@ -125,6 +126,7 @@ def test_mask_iou_targets_golden():
     np.testing.assert_allclose(np.asarray(t2), [0.5], atol=1e-2)
 
 
+@pytest.mark.slow
 def test_mask_scoring_rcnn_forward():
     """MS R-CNN end-to-end: loss has loss_mask_iou; predict returns mask
     scores that differ from cls scores."""
@@ -168,6 +170,7 @@ def test_mask_scoring_rcnn_forward():
     assert (ms <= cs + 1e-6).all()  # iou in [0, 1] only shrinks confidence
 
 
+@pytest.mark.slow
 def test_mask_rcnn_c4_shared_res5():
     """C4 Mask R-CNN (reference configs/_base_/models/mask_rcnn_r50_caffe_c4
     + standard_roi_head.py share_roi_extractor): the mask branch pools with

@@ -123,6 +123,7 @@ def test_panoptic_dataset_round_trip(fake_panoptic):
     assert ds.evaluate_panoptic([gt_map])["PQ"] == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_panoptic_fpn_forward_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

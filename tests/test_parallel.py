@@ -28,6 +28,7 @@ def test_sharded_sum_matches_single_device():
     assert float(f(xs)) == float(x.sum())
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """The sharded train step must produce the same loss/grads as the
     unsharded one (global-batch semantics)."""

@@ -135,6 +135,7 @@ def _flat(tree, pre=""):
     return out
 
 
+@pytest.mark.slow
 def test_full_size_coverage(tmp_path):
     import jax
 

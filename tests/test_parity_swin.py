@@ -236,6 +236,7 @@ def test_rpi_formula_matches_mmdet():
         np.testing.assert_array_equal(mm, relative_position_index(ws))
 
 
+@pytest.mark.slow
 def test_swin_checkpoint_parity():
     torch.manual_seed(0)
     tm = TSwin().eval()

@@ -106,6 +106,7 @@ def test_generalized_attention_forward(attention_type):
         "configs/gn+ws/faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py",
     ],
 )
+@pytest.mark.slow
 def test_plugin_config_families_forward(path):
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -1,6 +1,7 @@
 """PointRend (reference ``detectors/point_rend.py`` +
 ``point_rend_roi_head.py`` + ``mask_point_head.py``): point_sample golden
 values, train-point selection, subdivision, and the full detector."""
+import pytest
 import os
 import sys
 
@@ -89,6 +90,7 @@ def test_subdivision_refines_uncertain_cells():
     assert (np.abs(out) > 4.9).sum() >= 16
 
 
+@pytest.mark.slow
 def test_point_rend_detector_forward_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

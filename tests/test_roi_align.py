@@ -1,4 +1,5 @@
 """RoIAlign correctness: bilinear numerics vs a numpy reference, level routing."""
+import pytest
 import numpy as np
 
 import boosting_rcnn_tpu.ops.roi_align as ra
@@ -402,6 +403,7 @@ def _batched_case(rs, b=2, r=10, c=128, dtype=np.float32):
     return feats, rois, jnp.asarray(valid), strides
 
 
+@pytest.mark.slow
 def test_batched_pallas_forward_matches_vmapped_fast():
     """Whole-batch single-call kernel (interpret) == vmapped XLA fast path,
     invalid rois zeroed."""
@@ -439,6 +441,7 @@ def test_batched_pallas_forward_matches_vmapped_fast():
     )
 
 
+@pytest.mark.slow
 def test_batched_pallas_gradient_matches_vmapped_xla():
     """custom_vjp of the batched entry: Pallas backward (per-image passes)
     == autodiff of the vmapped XLA fast path."""
@@ -545,6 +548,7 @@ def test_batched_entry_unaligned_channels_fallback():
     assert sum(float(jnp.abs(x).sum()) for x in g) > 0
 
 
+@pytest.mark.slow
 def test_batched_pallas_mask_geometry_14x14():
     """Mask-branch geometry (out_size=14 -> staging pad 16): forward and
     gradient parity vs the vmapped XLA path."""

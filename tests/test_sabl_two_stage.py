@@ -54,6 +54,7 @@ def sabl_det():
     return build_detector(mc)
 
 
+@pytest.mark.slow
 def test_sabl_faster_rcnn_forward_train_and_test(sabl_det):
     from boosting_rcnn_tpu.data.loader import FakeDetLoader
 

@@ -1,5 +1,6 @@
 """SCNet (reference ``detectors/scnet.py`` + ``scnet_roi_head.py``): build,
 train losses (glbctx/relay/mask), predict with masks."""
+import pytest
 import os
 import sys
 
@@ -11,6 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+@pytest.mark.slow
 def test_scnet_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -76,6 +76,7 @@ def _batch():
     return {k: jnp.asarray(v) for k, v in b.items()}
 
 
+@pytest.mark.slow
 def test_seesaw_counts_accumulate_through_train_step():
     import optax
 
@@ -104,6 +105,7 @@ def test_seesaw_counts_accumulate_through_train_step():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_seesaw_direct_loss_is_pure_and_finite():
     det = build_detector(_seesaw_model_cfg())
     variables = det.init(jax.random.PRNGKey(0), CANVAS)
@@ -140,6 +142,7 @@ def _ghm_retina_cfg(momentum=0.0, momentum_r=0.0):
     )
 
 
+@pytest.mark.slow
 def test_ghm_retina_loss_and_grads():
     det = build_detector(_ghm_retina_cfg())
     assert det.head_cfg.loss_cls_type == "ghm"

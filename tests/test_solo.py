@@ -76,6 +76,7 @@ def test_solo_targets_center_region():
     assert lab[0, 0] == cfg.num_classes
 
 
+@pytest.mark.slow
 def test_solo_forward_train_and_predict():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -70,6 +70,7 @@ def _tree_allclose(a, b, atol=1e-5):
         )
 
 
+@pytest.mark.slow
 def test_outside_grad_matches_fused(setup):
     det, state, batch, anchors, nla = setup
     rng = jax.random.PRNGKey(7)
@@ -81,6 +82,7 @@ def test_outside_grad_matches_fused(setup):
     _tree_allclose(s0.params, s1.params)
 
 
+@pytest.mark.slow
 def test_external_matches_fused(setup):
     det, state, batch, anchors, nla = setup
     rng = jax.random.PRNGKey(7)
@@ -93,6 +95,7 @@ def test_external_matches_fused(setup):
     _tree_allclose(s0.params, s2.params)
 
 
+@pytest.mark.slow
 def test_stale_runs_and_chains(setup):
     det, state, batch, anchors, nla = setup
     rng = jax.random.PRNGKey(7)
@@ -106,6 +109,7 @@ def test_stale_runs_and_chains(setup):
     assert sm.boxes.shape == sample.boxes.shape
 
 
+@pytest.mark.slow
 def test_multi_step_scan_matches_sequential(setup):
     """One lax.scan dispatch of S steps == S sequential fused steps
     (engine.train.make_multi_step_train; the per-step fold_in on

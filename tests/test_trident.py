@@ -1,5 +1,6 @@
 """TridentNet (reference ``trident_resnet.py`` + ``trident_faster_rcnn.py``):
 shared-weight branches, branch-folded batch, C4 roi head."""
+import pytest
 import os
 import sys
 
@@ -39,6 +40,7 @@ def test_trident_backbone_branch_semantics():
     assert n1 == n2
 
 
+@pytest.mark.slow
 def test_trident_faster_rcnn_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -48,6 +48,7 @@ def _batch(canvas, b=1, seed=0):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_flip_tta_output_structure(tiny_det):
     det, variables = tiny_det
     canvas = (64, 96)
@@ -65,6 +66,7 @@ def test_flip_tta_output_structure(tiny_det):
         assert (v[:, [0, 2]] <= max_w + 1.0).all()
 
 
+@pytest.mark.slow
 def test_multiscale_tta_merges_views(tiny_det):
     """Two scales x flip = 4 views; output must be finite, in original
     coords, and structurally identical to the single-scale path."""

@@ -1,5 +1,6 @@
 """YOLACT (reference ``detectors/yolact.py`` + ``yolact_head.py``):
 fast-NMS semantics, mask assembly, full detector train/test."""
+import pytest
 import os
 import sys
 
@@ -42,6 +43,7 @@ def test_crop_sample_mask_roundtrip():
     assert 100 <= (o > 0.5).sum() <= 160
 
 
+@pytest.mark.slow
 def test_yolact_train_and_test():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -54,6 +54,7 @@ def test_exp_momentum_schedule_golden():
     assert abs(float(fn(50000)) - 0.0002) < 1e-6
 
 
+@pytest.mark.slow
 def test_yolox_loss_l1_term():
     from boosting_rcnn_tpu.builder import build_detector
     from boosting_rcnn_tpu.config import load_config

@@ -36,6 +36,8 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from boosting_rcnn_tpu.data.style_transfer import (  # noqa: F401
+    _lab_to_rgb,
+    _rgb_to_lab,
     hist_match,
     reinhard_transfer,
     stylize,
