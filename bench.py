@@ -70,8 +70,12 @@ def _emit(final: bool = False) -> bool:
         if "value" not in line:
             # nothing measured at all — still emit a parseable line
             line.update({
-                "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_"
-                          "800x1344_bs8_bf16",
+                "metric": "boosting_rcnn_r50_pafpn_%s_images_per_sec_"
+                          "800x1344_bs%s_%s" % (
+                              os.environ.get("BENCH_MODE", "both")
+                              .replace("both", "infer"),
+                              os.environ.get("BENCH_BATCH", "16"),
+                              os.environ.get("BENCH_DTYPE", "bf16")),
                 "value": 0,
                 "unit": "img/s",
                 "vs_baseline": 0.0,
@@ -123,7 +127,13 @@ def main():
 
     from __graft_entry__ import _build
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # Measured batch sweep (bf16, 800x1344, docs/TRAIN_PERF.md round 5):
+    # inference 170.3 (bs12) / 207.7 (bs8) / 220.0 (bs16) img/s; train
+    # 62.0 (bs12) / 76.0 (bs16) / 76.7 (bs8).  Defaults pick each path's
+    # sweet spot; BENCH_BATCH overrides both (experiment mode).
+    batch_env = os.environ.get("BENCH_BATCH")
+    batch_infer = int(batch_env) if batch_env else 16
+    batch_train = int(batch_env) if batch_env else 8
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     # 'both' (default): one JSON line with inference as the primary metric
     # plus train_img_s; 'infer' / 'train': that path only
@@ -147,9 +157,11 @@ def main():
     from boosting_rcnn_tpu.utils.transfer import chunked_device_put
 
     rs = np.random.RandomState(0)
-    images = chunked_device_put(rs.rand(batch, *canvas, 3).astype(np.float32))
-    img_shape = jnp.asarray([[canvas[0], canvas[1] - 11]] * batch, jnp.float32)
-    scale_factor = jnp.ones((batch, 4), jnp.float32)
+    images = chunked_device_put(
+        rs.rand(batch_infer, *canvas, 3).astype(np.float32))
+    img_shape = jnp.asarray(
+        [[canvas[0], canvas[1] - 11]] * batch_infer, jnp.float32)
+    scale_factor = jnp.ones((batch_infer, 4), jnp.float32)
 
     def measure_train():
         from boosting_rcnn_tpu.data.loader import FakeDetLoader
@@ -166,7 +178,7 @@ def main():
         )
         state = create_train_state(variables, tx)
         loader = FakeDetLoader(
-            batch_size=batch, canvas=canvas, num_classes=4, num_batches=1
+            batch_size=batch_train, canvas=canvas, num_classes=4, num_batches=1
         )
         tb = next(loader.epoch_iter(0))
         tb.pop("ori_shape")
@@ -197,6 +209,12 @@ def main():
         # FLOPs before the first run (donated buffers are consumed by it)
         _log("train: compiling (cost analysis + first step)")
         flops = _flops_of(tstep, state, tb, rng)
+        if flops is not None and scan_steps > 1:
+            # XLA's cost analysis counts the lax.scan body ONCE regardless
+            # of trip count (measured: scan-4 reported 7.68 TF/dispatch =
+            # the single-step figure, and 4x the resulting MFU reproduces
+            # the chained-mode MFU) — scale to per-dispatch work.
+            flops *= scan_steps
         state, m = tstep(state, tb, rng)
         jax.block_until_ready((state, m))
         _log("train: compiled; warming")
@@ -215,7 +233,7 @@ def main():
             s_, m = tstep(s_, tb, rng)
         jax.block_until_ready((s_, m))
         dt = time.perf_counter() - t0
-        img_s = batch * n * scan_steps / dt
+        img_s = batch_train * n * scan_steps / dt
         mfu = None
         if flops is not None:
             # flops is per dispatch (= scan_steps optimizer steps)
@@ -226,7 +244,7 @@ def main():
         img_per_s, scan_steps, flops, mfu = measure_train()
         _partial.update({
             "metric": "boosting_rcnn_r50_pafpn_train_images_per_sec_"
-                      "800x1344_bs%d_%s" % (batch, dtype_name),
+                      "800x1344_bs%d_%s" % (batch_train, dtype_name),
             "value": round(img_per_s, 2),
             "unit": "img/s",
             # denominator is the V100 inference baseline (no
@@ -249,36 +267,47 @@ def main():
             v, {"images": im, "img_shape": shp, "scale_factor": sf}, anchors, nla
         )
 
-    _log("infer: compiling (cost analysis + first run)")
-    infer_flops = _flops_of(run, variables, images, img_shape, scale_factor)
-    out = run(variables, images, img_shape, scale_factor)
-    jax.block_until_ready(out)
-    _log("infer: compiled; warming")
-    for _ in range(warmup - 1):
+    def measure_infer():
+        _log("infer: compiling (cost analysis + first run)")
+        infer_flops = _flops_of(run, variables, images, img_shape, scale_factor)
         out = run(variables, images, img_shape, scale_factor)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        _log("infer: compiled; warming")
+        for _ in range(warmup - 1):
+            out = run(variables, images, img_shape, scale_factor)
+        jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(variables, images, img_shape, scale_factor)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run(variables, images, img_shape, scale_factor)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
 
-    img_per_s = batch * iters / dt
-    _log("infer: %.2f img/s" % img_per_s)
-    _partial.update({
-        "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_"
-                  "800x1344_bs%d_%s" % (batch, dtype_name),
-        "value": round(img_per_s, 2),
-        "unit": "img/s",
-        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
-        "compute_dtype": dtype_name,
-    })
-    if infer_flops is not None:
-        _partial["infer_mfu"] = round(
-            infer_flops * (iters / dt) / PEAK_FLOPS_BF16, 4)
-        _partial["infer_tflops_per_batch"] = round(infer_flops / 1e12, 3)
-        _partial["mfu_peak_tflops"] = PEAK_FLOPS_BF16 / 1e12
+        img_per_s = batch_infer * iters / dt
+        _log("infer: %.2f img/s" % img_per_s)
+        _partial.update({
+            "metric": "boosting_rcnn_r50_pafpn_infer_images_per_sec_"
+                      "800x1344_bs%d_%s" % (batch_infer, dtype_name),
+            "value": round(img_per_s, 2),
+            "unit": "img/s",
+            "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            "compute_dtype": dtype_name,
+        })
+        if infer_flops is not None:
+            _partial["infer_mfu"] = round(
+                infer_flops * (iters / dt) / PEAK_FLOPS_BF16, 4)
+            _partial["infer_tflops_per_batch"] = round(infer_flops / 1e12, 3)
+            _partial["mfu_peak_tflops"] = PEAK_FLOPS_BF16 / 1e12
+
+    if mode == "both":
+        # guard each phase so one failing path (e.g. a relay fault at an
+        # untested batch size) still lets the other report its number
+        try:
+            measure_infer()
+        except Exception as e:
+            _partial["infer_error"] = str(e)[:200]
+    else:
+        measure_infer()
     if mode == "both":
         try:
             train_img_s, scan_steps, tflops, tmfu = measure_train()
