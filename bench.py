@@ -40,7 +40,7 @@ PEAK_FLOPS_BF16 = 197e12  # TPU v5e bf16 MXU peak (jax-ml scaling book)
 # Robust output: the driver runs this script under a timeout on a possibly
 # cold machine (round 4's run died at rc 124 with ZERO output mid-compile).
 # All results accumulate in _partial; a watchdog thread (BENCH_BUDGET_S,
-# default 480 s) and a SIGTERM handler both print whatever has been measured
+# default 540 s) and a SIGTERM handler both print whatever has been measured
 # so far as the one JSON line.  Progress stamps go to stderr only.
 # ---------------------------------------------------------------------------
 _partial: dict = {}
@@ -74,7 +74,7 @@ def _emit(final: bool = False) -> bool:
                           "800x1344_bs%s_%s" % (
                               os.environ.get("BENCH_MODE", "both")
                               .replace("both", "infer"),
-                              os.environ.get("BENCH_BATCH", "16"),
+                              os.environ.get("BENCH_BATCH", "128"),
                               os.environ.get("BENCH_DTYPE", "bf16")),
                 "value": 0,
                 "unit": "img/s",
@@ -116,7 +116,7 @@ def _flops_of(jitted, *args):
 
 def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
     threading.Thread(
         target=_watchdog, args=(budget,), daemon=True
     ).start()
@@ -128,11 +128,13 @@ def main():
     from __graft_entry__ import _build
 
     # Measured batch sweep (bf16, 800x1344, docs/TRAIN_PERF.md round 5):
-    # inference 170.3 (bs12) / 207.7 (bs8) / 220.0 (bs16) img/s; train
-    # 62.0 (bs12) / 76.0 (bs16) / 76.7 (bs8).  Defaults pick each path's
+    # inference img/s by batch: 170.3 (12) / 207.7 (8) / 220.0 (16) /
+    # 237.9 (32) / 243.3 (48) / 245.5 (64) / 254.0 (96) / 257.3 (128,
+    # repeatable to 0.02%) / 250.9 (192 — past the peak); train 62.0
+    # (12) / 76.0 (16) / 76.7 (8).  Defaults pick each path's measured
     # sweet spot; BENCH_BATCH overrides both (experiment mode).
     batch_env = os.environ.get("BENCH_BATCH")
-    batch_infer = int(batch_env) if batch_env else 16
+    batch_infer = int(batch_env) if batch_env else 128
     batch_train = int(batch_env) if batch_env else 8
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     # 'both' (default): one JSON line with inference as the primary metric
