@@ -24,8 +24,13 @@ DEFAULT_CACHE_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
 
 
 def enable_compilation_cache(path: str = DEFAULT_CACHE_DIR) -> None:
-    # explicit env var wins (lets CI/driver point elsewhere)
+    # explicit env var wins (lets CI/driver point elsewhere); an EMPTY
+    # value means "explicitly disabled" — the CPU-mesh dryrun sets
+    # JAX_COMPILATION_CACHE_DIR="" because XLA:CPU AOT entries bake in
+    # host machine features (loading one compiled elsewhere SIGILLs)
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    if not path:
+        return
     os.makedirs(path, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     try:
